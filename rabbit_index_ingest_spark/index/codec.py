@@ -1,0 +1,127 @@
+"""Posting-list compression: delta-gap doc IDs + varbyte, fixed-size blocks.
+
+Spark-free, pure-numpy module (vectorized — no per-element Python loops),
+called from inside Arrow-batched ``mapInPandas`` stages (SURVEY.md §2.2 B4,
+mirroring Lucene's FOR/vint block postings which define the reference's
+storage behavior via ES 7.9.1).
+
+Each block covers ≤ BLOCK_SIZE docs of one term and carries:
+  first_doc / last_doc  — decode-free skip bounds (block-max WAND, B6)
+  max_tf_norm           — max over the block of the idf-independent BM25
+                          factor tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl));
+                          query multiplies by idf(term) → block max_score.
+                          Storing it idf-free keeps block metadata valid
+                          when df changes under incremental merges (B7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+K1 = 1.2
+B = 0.75
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """LEB128-style varbyte encode of a uint64 array (vectorized)."""
+    if len(values) == 0:
+        return b""
+    v = np.asarray(values, dtype=np.uint64)
+    n = len(v)
+    # 7-bit groups, little-endian; uint64 needs at most 10 groups.
+    shifts = (np.arange(10, dtype=np.uint64) * np.uint64(7))[None, :]
+    groups = (v[:, None] >> shifts) & np.uint64(0x7F)
+    # bytes needed per value = index of highest nonzero group + 1 (min 1)
+    nonzero = groups != 0
+    nbytes = np.where(
+        nonzero.any(axis=1), 10 - np.argmax(nonzero[:, ::-1], axis=1), 1
+    ).astype(np.int64)
+    mask = np.arange(10)[None, :] < nbytes[:, None]
+    out = groups.astype(np.uint8)
+    # continuation bit on every byte except the last of each value
+    is_last = np.arange(10)[None, :] == (nbytes - 1)[:, None]
+    out |= np.where(mask & ~is_last, 0x80, 0).astype(np.uint8)
+    return out[mask].tobytes()
+
+
+def varbyte_decode(buf: bytes) -> np.ndarray:
+    """Inverse of varbyte_encode → uint64 array (vectorized)."""
+    if not buf:
+        return np.empty(0, dtype=np.uint64)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    ends = np.flatnonzero(b < 0x80)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    offsets = np.arange(len(b)) - np.repeat(starts, ends - starts + 1)
+    contribs = (b & np.uint8(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * offsets.astype(np.uint64)
+    )
+    return np.add.reduceat(contribs, starts)
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """Strictly-increasing int64 ids → gaps (first element kept verbatim)."""
+    ids = np.asarray(sorted_ids, dtype=np.int64)
+    out = np.empty_like(ids)
+    if len(ids):
+        out[0] = ids[0]
+        np.subtract(ids[1:], ids[:-1], out=out[1:])
+    return out.astype(np.uint64)
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(gaps, dtype=np.uint64)).astype(np.int64)
+
+
+def tf_norm(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
+    """idf-independent BM25 factor, float64 (classic (k1+1) numerator)."""
+    tfs = np.asarray(tfs, dtype=np.float64)
+    dls = np.asarray(dls, dtype=np.float64)
+    return tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+
+
+def pack_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> list[dict]:
+    """Cut one term's sorted (doc_id, tf, dl) postings into compressed blocks.
+
+    Returns plain dicts (columnar-friendly) with keys: block_id, first_doc,
+    last_doc, n_docs, doc_bytes, tf_bytes, dl_bytes, max_tf, min_dl. The
+    (max_tf, min_dl) pair is the Lucene-impact-style upper-bound metadata:
+    idf·tf_norm(max_tf, min_dl, avgdl) bounds any doc's contribution.
+    """
+    n = len(doc_ids)
+    blocks = []
+    for b0 in range(0, n, block_size):
+        b1 = min(b0 + block_size, n)
+        ids = np.asarray(doc_ids[b0:b1], dtype=np.int64)
+        tf = np.asarray(tfs[b0:b1], dtype=np.uint64)
+        dl = np.asarray(dls[b0:b1], dtype=np.uint64)
+        blocks.append(
+            {
+                "block_id": b0 // block_size,
+                "first_doc": int(ids[0]),
+                "last_doc": int(ids[-1]),
+                "n_docs": int(b1 - b0),
+                "doc_bytes": varbyte_encode(delta_encode(ids)),
+                "tf_bytes": varbyte_encode(tf),
+                "dl_bytes": varbyte_encode(dl),
+                "max_tf": int(tf.max()),
+                "min_dl": int(dl.min()),
+            }
+        )
+    return blocks
+
+
+def unpack_block(doc_bytes: bytes, tf_bytes: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """→ (doc_ids int64 ascending, tfs int64)."""
+    return (
+        delta_decode(varbyte_decode(doc_bytes)),
+        varbyte_decode(tf_bytes).astype(np.int64),
+    )

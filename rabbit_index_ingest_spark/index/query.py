@@ -1,0 +1,268 @@
+"""Query-time top-k BM25 retrieval (SURVEY.md §2.2 B5-B6, §3.4 QUERY).
+
+Two independent paths that must agree rank- and score-identically:
+
+* ``Searcher.topk_dataframe`` — the *reference scorer*: decode blocks to
+  flat (term, doc_id, tf, dl) rows, pure-DataFrame join/agg, global
+  ``orderBy().limit(k)`` (TakeOrderedAndProject). Transparently correct; it
+  is also the shape of the DuckDB oracle_sql twin.
+
+* ``Searcher.topk_blockmax`` — the fast path: term-pruned block scan
+  (Catalyst partition pruning on the term-hash ``bucket`` storage
+  partition) → per-doc-range exact MaxScore/block-max scoring in
+  ``applyInPandas`` (dense float64 accumulators per 2^RANGE_BITS-doc
+  range, conservative block skipping) → local top-k → global
+  TakeOrderedAndProject. Exactness: a block is skipped only when every doc
+  in it has a provable final-score upper bound below the running local
+  kth-best lower bound θ, so no skipped doc can reach the top-k and every
+  returned doc was fully scored. Final scores are accumulated in
+  sorted-term order (float64) so they are bit-comparable with the
+  pure-Python oracle (SURVEY.md §4.2 exact-score discipline).
+
+Replaces: the reference's delegation of search to Elasticsearch 7.9.1
+(Lucene 8.6 block-max WAND + BM25 k1=1.2 b=0.75; constants pinned in
+codec.K1 / codec.B).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..analysis import py_tokenize
+from . import codec
+from .build import RANGE_BITS, term_bucket_expr
+
+FLAT_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.LongType(), False),
+        T.StructField("dl", T.LongType(), False),
+    ]
+)
+
+TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+def lucene_idf(n_docs: int, df: int) -> float:
+    """ES 7 / Lucene 8 BM25 idf (SURVEY.md B5)."""
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def flat_postings(blocks: DataFrame) -> DataFrame:
+    """Decode posting blocks back to one row per (term, doc_id) posting."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            frames = []
+            for row in batch.itertuples(index=False):
+                ids, tfs = codec.unpack_block(row.doc_bytes, row.tf_bytes)
+                dls = codec.varbyte_decode(row.dl_bytes).astype(np.int64)
+                frames.append(
+                    pd.DataFrame({"term": row.term, "doc_id": ids, "tf": tfs, "dl": dls})
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return blocks.mapInPandas(decode, FLAT_SCHEMA)
+
+
+def _term_buckets(spark: SparkSession, terms: list[str]) -> list[int]:
+    """Storage buckets of the query terms, computed with the *same JVM
+    expression* used at write time (guarantees identical hashing)."""
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(term_bucket_expr(F.col("term")).alias("b"))
+        .distinct()
+        .collect()
+    )
+    return [r["b"] for r in rows]
+
+
+class Searcher:
+    """Bound query interface over the index tables.
+
+    ``deleted`` is the tombstone set of superseded doc_ids (upsert
+    semantics, SURVEY.md B7) — filtered before local/global top-k so
+    replaced docs can never surface.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        postings: DataFrame,
+        dictionary: DataFrame,
+        n_docs: int,
+        avgdl: float,
+        deleted: set[int] | None = None,
+        range_bits: int = RANGE_BITS,
+    ):
+        self.spark = spark
+        self.postings = postings
+        self.dictionary = dictionary
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+        self.deleted = frozenset(deleted or ())
+        self.range_bits = range_bits
+
+    def _plan(self, query_text: str) -> tuple[dict[str, float], DataFrame] | None:
+        """Analyze query (shared tokenizer), fetch idfs, prune block scan."""
+        terms = sorted(set(py_tokenize(query_text)))
+        if not terms:
+            return None
+        buckets = _term_buckets(self.spark, terms)
+        dict_rows = (
+            self.dictionary.where(F.col("bucket").isin(buckets))
+            .where(F.col("term").isin(terms))
+            .select("term", "df")
+            .collect()
+        )
+        idfs = {r["term"]: lucene_idf(self.n_docs, int(r["df"])) for r in dict_rows}
+        if not idfs:
+            return None
+        blocks = self.postings.where(F.col("bucket").isin(buckets)).where(
+            F.col("term").isin(list(idfs))
+        )
+        return idfs, blocks
+
+    # ---------------- reference (DataFrame) path ----------------
+
+    def topk_dataframe(self, query_text: str, k: int = 10) -> DataFrame:
+        plan = self._plan(query_text)
+        if plan is None:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        idfs, blocks = plan
+        idf_df = F.broadcast(
+            self.spark.createDataFrame(
+                sorted(idfs.items()), "term string, idf double"
+            )
+        )
+        flat = flat_postings(blocks)
+        if self.deleted:
+            flat = flat.where(~F.col("doc_id").isin(list(self.deleted)))
+        scored = (
+            flat.join(idf_df, "term")
+            .withColumn(
+                "contrib",
+                F.col("idf")
+                * F.col("tf")
+                * (codec.K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + codec.K1
+                    * (1.0 - codec.B + codec.B * F.col("dl") / F.lit(self.avgdl))
+                ),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("score"))
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    # ---------------- block-max fast path ----------------
+
+    def topk_blockmax(self, query_text: str, k: int = 10) -> DataFrame:
+        plan = self._plan(query_text)
+        if plan is None:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        idfs, blocks = plan
+        scorer = _make_range_scorer(
+            idfs, self.avgdl, k, self.range_bits, self.deleted
+        )
+        local = blocks.groupBy("range_id").applyInPandas(scorer, TOPK_SCHEMA)
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def fetch_topk(
+        self, query_text: str, k: int, docs: DataFrame, fast: bool = True
+    ) -> DataFrame:
+        """Top-k joined back to doc keys/text — verifies the per-turn
+        text-equality invariant (BASELINE.json input_hint)."""
+        top = (
+            self.topk_blockmax(query_text, k)
+            if fast
+            else self.topk_dataframe(query_text, k)
+        )
+        return top.join(docs, "doc_id", "inner").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+
+
+def _make_range_scorer(
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    range_bits: int,
+    deleted: frozenset,
+):
+    """Exact MaxScore/block-max scorer for one doc range (applyInPandas)."""
+    range_size = 1 << range_bits
+    eps = 1e-9
+
+    def score_range(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        (range_id,) = key
+        base = int(range_id) << range_bits
+        pdf = pdf.assign(
+            ub=codec.tf_norm(
+                pdf["max_tf"].to_numpy(), pdf["min_dl"].to_numpy(), avgdl
+            )
+        )
+        by_term = {t: g.sort_values("first_doc") for t, g in pdf.groupby("term")}
+        # U_t = max possible contribution of term t within this range
+        U = {t: idfs[t] * float(g["ub"].max()) for t, g in by_term.items()}
+        order = sorted(U, key=lambda t: -U[t])
+        suffix = np.zeros(len(order) + 1)
+        for i in range(len(order) - 1, -1, -1):
+            suffix[i] = suffix[i + 1] + U[order[i]]
+
+        total = np.zeros(range_size, dtype=np.float64)
+        per_term: dict[str, np.ndarray] = {}
+        theta = 0.0
+        for i, t in enumerate(order):
+            idf = idfs[t]
+            arr = np.zeros(range_size, dtype=np.float64)
+            for row in by_term[t].itertuples(index=False):
+                lo, hi = row.first_doc - base, row.last_doc - base
+                if theta > 0.0:
+                    span_max = float(total[lo : hi + 1].max())
+                    if span_max + idf * row.ub + suffix[i + 1] < theta - eps:
+                        continue  # no doc in this block can reach top-k
+                ids, tfs = codec.unpack_block(row.doc_bytes, row.tf_bytes)
+                dls = codec.varbyte_decode(row.dl_bytes)
+                arr[ids - base] += idf * codec.tf_norm(tfs, dls, avgdl)
+            per_term[t] = arr
+            total += arr
+            touched = total[total > 0.0]
+            if len(touched) >= k:
+                theta = float(np.partition(touched, -k)[-k])
+
+        # deterministic final accumulation: sorted-term order (oracle parity)
+        final = np.zeros(range_size, dtype=np.float64)
+        for t in sorted(per_term):
+            final += per_term[t]
+        nz = np.flatnonzero(final > 0.0)
+        if deleted and len(nz):
+            nz = nz[~np.isin(nz + base, np.fromiter(deleted, dtype=np.int64))]
+        if len(nz) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        scores = final[nz]
+        order_idx = np.lexsort((nz, -scores))[:k]
+        return pd.DataFrame(
+            {
+                "doc_id": (nz[order_idx] + base).astype("int64"),
+                "score": scores[order_idx],
+            }
+        )
+
+    return score_range

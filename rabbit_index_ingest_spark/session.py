@@ -1,0 +1,76 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults target local[N] testing but every knob is the one you would set on
+a real multi-executor cluster: AQE on (runtime coalescing + skew-join
+splitting), Arrow on (vectorized pandas UDF exchange), explicit shuffle
+partition count, UTC session timezone (determinism).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def package_zip() -> str:
+    """Zip this package for shipping to executors (spark-submit --py-files
+    analogue, usable from a plain python process). Idempotent per process."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    out = os.path.join(tempfile.gettempdir(), f"{pkg_name}.zip")
+    if not os.path.exists(out):
+        with zipfile.ZipFile(out, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.join(
+                            pkg_name, os.path.relpath(full, pkg_dir)
+                        )
+                        z.write(full, rel)
+    return out
+
+
+def get_spark(
+    app_name: str = "rabbit-index-ingest-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` controls local parallelism (``local[cores]``); None → all.
+    On a real cluster you would drop ``.master`` and submit with
+    ``spark-submit --py-files engine.zip`` (see cli.py).
+    """
+    cores_s = str(cores) if cores else os.environ.get("SPARK_GRAFT_CPUS", "*")
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores_s}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # Ship the engine to Python workers — the in-process equivalent of
+    # `spark-submit --py-files engine.zip` (SURVEY.md §7 M7). Without this,
+    # pandas-UDF closures referencing the package fail to unpickle on
+    # workers launched from outside the repo directory.
+    spark.sparkContext.addPyFile(package_zip())
+    return spark

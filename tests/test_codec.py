@@ -1,0 +1,74 @@
+"""Varbyte/delta codec: golden + property tests (FIXTURES.md §5)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rabbit_index_ingest_spark.index import codec
+
+
+def test_varbyte_golden():
+    assert codec.varbyte_encode(np.array([], dtype=np.uint64)) == b""
+    assert codec.varbyte_encode(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert codec.varbyte_encode(np.array([1], dtype=np.uint64)) == b"\x01"
+    assert codec.varbyte_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    # 128 = 0b1000_0000 → LEB128 little-endian: 0x80 0x01
+    assert codec.varbyte_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+    assert codec.varbyte_encode(np.array([300], dtype=np.uint64)) == b"\xac\x02"
+
+
+def test_varbyte_roundtrip_fixed_lengths():
+    rs = np.random.RandomState(42)
+    for n in (0, 1, 127, 128, 129, 10_000):
+        vals = rs.randint(0, 2**40, size=n).astype(np.uint64)
+        out = codec.varbyte_decode(codec.varbyte_encode(vals))
+        np.testing.assert_array_equal(out, vals)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500))
+def test_varbyte_roundtrip_property(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    np.testing.assert_array_equal(codec.varbyte_decode(codec.varbyte_encode(arr)), arr)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**40), min_size=1, max_size=400, unique=True
+    )
+)
+def test_delta_roundtrip_property(ids):
+    arr = np.array(sorted(ids), dtype=np.int64)
+    np.testing.assert_array_equal(codec.delta_decode(codec.delta_encode(arr)), arr)
+
+
+def test_pack_unpack_blocks():
+    rs = np.random.RandomState(42)
+    ids = np.unique(rs.randint(0, 2**30, size=1200).astype(np.int64))[:1000]
+    tfs = rs.randint(1, 50, size=1000).astype(np.int64)
+    dls = rs.randint(5, 120, size=1000).astype(np.int64)
+    blocks = codec.pack_postings(ids, tfs, dls, block_size=128)
+    assert len(blocks) == 8  # ceil(1000/128)
+    got_ids, got_tfs, got_dls = [], [], []
+    for blk in blocks:
+        d, t = codec.unpack_block(blk["doc_bytes"], blk["tf_bytes"])
+        dl = codec.varbyte_decode(blk["dl_bytes"]).astype(np.int64)
+        got_ids.append(d)
+        got_tfs.append(t)
+        got_dls.append(dl)
+        lo = blk["block_id"] * 128
+        assert blk["max_tf"] == tfs[lo : lo + blk["n_docs"]].max()
+        assert blk["min_dl"] == dls[lo : lo + blk["n_docs"]].min()
+        assert blk["first_doc"] == d[0] and blk["last_doc"] == d[-1]
+    np.testing.assert_array_equal(np.concatenate(got_ids), ids)
+    np.testing.assert_array_equal(np.concatenate(got_tfs), tfs)
+    np.testing.assert_array_equal(np.concatenate(got_dls), dls)
+
+
+def test_tf_norm_monotone_in_tf():
+    # sanity: BM25 tf saturation — increasing, bounded by (k1+1)
+    tfs = np.arange(1, 200)
+    n = codec.tf_norm(tfs, np.full_like(tfs, 60), avgdl=60.0)
+    assert np.all(np.diff(n) > 0)
+    assert n.max() < codec.K1 + 1.0
