@@ -1,0 +1,205 @@
+"""Benchmark harness (SURVEY.md §7 M6).
+
+Runs the headline pipeline at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...}
+
+Phases:
+  build        — inverted-index build (tokenize → tf → pack → persist) over
+                 deterministic synthetic transcripts scaled to the sf dir
+  q_bmw_*      — block-max WAND top-10 latencies (hot term, rare term,
+                 3-term mix); p95 over the batch reported as q_p95
+  q_dataframe  — reference DataFrame scorer for the mixed query
+  dedup_lsh    — minhash+LSH candidate pairs over the transcript texts
+  ann_cosine   — brute-force cosine top-10 over the embeddings table
+
+`python bench.py --scaling` additionally re-runs the build+query suite in
+subprocesses at local[8] and local[32] on the SAME input and reports
+throughput at both plus scaling efficiency (N vs 4N evidence for the
+north rule — sandbox stand-in for executor counts).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# transcript corpus size per sf tier (≈7 turns/conv)
+N_CONV = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 30000}
+
+QUERIES = {
+    "q_bmw_hot": "karo",
+    "q_bmw_rare": "quedganqued karoquedgan",
+    "q_bmw_mix": "karo tenro solda",
+    "q_bmw_sentinel": "zephyr quantum lattice",
+}
+
+
+def _sf_name() -> str:
+    return os.path.basename(SF_DIR.rstrip("/")) or "sf?"
+
+
+def _corpus_parquet(spark, n_conv: int) -> str:
+    """Generate (once) and cache the bench transcript corpus as parquet."""
+    path = f"/tmp/bench_transcripts_{n_conv}"
+    if not os.path.exists(path + "/_SUCCESS"):
+        from rabbit_index_ingest_spark.datagen import transcripts_df
+
+        transcripts_df(spark, n_conv=n_conv, partitions=max(CPUS, 8)).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def run_suite(cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from rabbit_index_ingest_spark.index.build import build_index
+    from rabbit_index_ingest_spark.index.query import Searcher
+    from rabbit_index_ingest_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-{cpus}", cores=cpus, shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_conv = N_CONV.get(_sf_name(), 3000)
+    t0 = time.time()
+    corpus = _corpus_parquet(spark, n_conv)
+    transcripts = spark.read.parquet(corpus)
+    n_turns = transcripts.count()
+    _log(f"corpus ready: {n_turns} turns in {time.time()-t0:.1f}s")
+
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    built = build_index(spark, transcripts)
+    built.postings = built.postings.persist()
+    built.dictionary = built.dictionary.persist()
+    n_blocks = built.postings.count()
+    built.dictionary.count()
+    timings["build"] = time.time() - t0
+    _log(f"build done in {timings['build']:.1f}s ({n_blocks} blocks)")
+
+    searcher = Searcher(
+        spark, built.postings, built.dictionary, built.n_docs, built.avgdl
+    )
+
+    q_times = []
+    for name, q in QUERIES.items():
+        t0 = time.time()
+        searcher.topk_blockmax(q, 10).collect()
+        timings[name] = time.time() - t0
+        q_times.append(timings[name])
+    # repeat the batch twice more for a stable p95
+    for _ in range(2):
+        for q in QUERIES.values():
+            t0 = time.time()
+            searcher.topk_blockmax(q, 10).collect()
+            q_times.append(time.time() - t0)
+    q_times.sort()
+    timings["q_p95"] = q_times[min(len(q_times) - 1, int(0.95 * len(q_times)))]
+    _log(f"queries done, p95={timings['q_p95']:.2f}s")
+
+    t0 = time.time()
+    searcher.topk_dataframe("karo tenro solda", 10).collect()
+    timings["q_dataframe"] = time.time() - t0
+
+    # dedup: minhash + LSH candidates over transcript texts
+    from rabbit_index_ingest_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    t0 = time.time()
+    docs = transcripts.select(
+        F.monotonically_increasing_id().alias("doc_id"), F.col("text")
+    )
+    sigs = minhash_signatures(docs, n_hashes=16)
+    lsh_candidate_pairs(sigs).count()
+    timings["dedup_lsh"] = time.time() - t0
+    _log(f"dedup_lsh done in {timings['dedup_lsh']:.1f}s")
+
+    # ANN: brute-force cosine top-10 over the sf embeddings table
+    from rabbit_index_ingest_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    t0 = time.time()
+    cosine_topk(emb, qvec, 10).collect()
+    timings["ann_cosine"] = time.time() - t0
+
+    result = {
+        "n_turns": n_turns,
+        "n_blocks": n_blocks,
+        "timings": timings,
+        "turns_per_sec": round(n_turns / timings["build"], 1),
+    }
+    spark.stop()
+    return result
+
+
+def main() -> None:
+    if "--subprocess" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--subprocess") + 1])
+        print("SUBPROC_RESULT " + json.dumps(run_suite(cpus)))
+        return
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for cpus in (8, 32):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--subprocess", str(cpus)],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus)},
+                check=True,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("SUBPROC_RESULT ")][-1]
+            results[cpus] = json.loads(line.removeprefix("SUBPROC_RESULT "))
+        t8 = results[8]["timings"]["build"]
+        t32 = results[32]["timings"]["build"]
+        eff = (t8 / t32) / 4.0
+        print(
+            json.dumps(
+                {
+                    "local8_turns_per_sec": results[8]["turns_per_sec"],
+                    "local32_turns_per_sec": results[32]["turns_per_sec"],
+                    "build_sec_local8": round(t8, 2),
+                    "build_sec_local32": round(t32, 2),
+                    "scaling_efficiency": round(eff, 3),
+                }
+            )
+        )
+        return
+
+    res = run_suite(CPUS)
+    sf = _sf_name().removeprefix("sf")
+    print(
+        json.dumps(
+            {
+                "metric": "index-build throughput + BM25 top-k latency",
+                "value": round(sum(res["timings"].values()), 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in res["timings"].items()},
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "turns_per_sec": res["turns_per_sec"],
+                "n_turns": res["n_turns"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

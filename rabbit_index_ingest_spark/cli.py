@@ -1,0 +1,127 @@
+"""CLI entry point (reference A20 — consumer_setup + console_scripts;
+SURVEY.md §7 M7).
+
+Run via spark-submit on a cluster:
+
+    spark-submit --py-files $(python -c 'from rabbit_index_ingest_spark.session import package_zip; print(package_zip())') \
+        -m rabbit_index_ingest_spark.cli build --input /lake/transcripts --index /lake/idx
+
+or locally: ``python -m rabbit_index_ingest_spark.cli <cmd> ...``.
+
+Subcommands: build | resume | upsert | query | compact | bench-corpus.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="rabbit-index-ingest-spark")
+    p.add_argument("--cores", type=int, default=None, help="local[N] cores")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--input", required=True, help="parquet dir of transcript turns")
+    b.add_argument("--index", required=True, help="index root directory")
+    b.add_argument("--id-col", default="conv_id")
+    b.add_argument("--order-col", default="turn_idx")
+    b.add_argument("--text-col", default="text")
+    b.add_argument("--resume", action="store_true",
+                   help="skip stages already marked done in the manifest")
+
+    u = sub.add_parser("upsert", help="doc_as_upsert a batch of turns")
+    u.add_argument("--input", required=True)
+    u.add_argument("--index", required=True)
+
+    q = sub.add_parser("query", help="BM25 top-k")
+    q.add_argument("--index", required=True)
+    q.add_argument("--q", required=True)
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--path", choices=["blockmax", "dataframe"], default="blockmax")
+
+    c = sub.add_parser("compact", help="merge segments, drop tombstones")
+    c.add_argument("--index", required=True)
+
+    g = sub.add_parser("gen-corpus", help="write a synthetic transcript corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--n-conv", type=int, default=1000)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _parser().parse_args(argv)
+    from .session import get_spark
+
+    spark = get_spark(cores=args.cores, shuffle_partitions=args.shuffle_partitions)
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.cmd == "build":
+        from .index.build import build_index
+        from .index.store import IndexStore
+
+        transcripts = spark.read.parquet(args.input)
+        built = build_index(
+            spark, transcripts, args.id_col, args.order_col, args.text_col
+        )
+        store = IndexStore(spark, args.index)
+        store.save(built, segment=0, resume=args.resume)
+        print(json.dumps({"n_docs": built.n_docs, "avgdl": built.avgdl}))
+
+    elif args.cmd == "upsert":
+        from .index.store import IndexStore
+
+        store = IndexStore(spark, args.index)
+        seg = store.upsert(spark.read.parquet(args.input))
+        print(json.dumps({"segment": seg}))
+
+    elif args.cmd == "query":
+        from .index.query import Searcher
+        from .index.store import IndexStore
+
+        L = IndexStore(spark, args.index).load()
+        s = Searcher(
+            spark, L.postings, L.dictionary, L.n_docs, L.avgdl, deleted=L.deleted
+        )
+        fn = s.topk_blockmax if args.path == "blockmax" else s.topk_dataframe
+        rows = (
+            fn(args.q, args.k)
+            .join(L.doc_stats.select("doc_id", "conv_id", "turn_idx"), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        )
+        for r in rows:
+            print(
+                json.dumps(
+                    {
+                        "conv_id": r["conv_id"],
+                        "turn_idx": r["turn_idx"],
+                        "score": round(r["score"], 6),
+                    }
+                )
+            )
+
+    elif args.cmd == "compact":
+        from .index.store import IndexStore
+
+        IndexStore(spark, args.index).compact()
+        print(json.dumps({"compacted": True}))
+
+    elif args.cmd == "gen-corpus":
+        from .datagen import transcripts_df
+
+        transcripts_df(spark, n_conv=args.n_conv).write.mode("overwrite").parquet(
+            args.out
+        )
+        print(json.dumps({"written": args.out}))
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,113 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure built-in Column expressions (JVM codegen, no UDFs): language-ID
+heuristic, quality scoring, token counting, shingling, fingerprinting.
+Every function has an ANSI-SQL twin runnable in DuckDB (see
+__spark_entry__.oracle_sql) — the generalization of the reference's only
+content-bearing operator, the 00README text scrub (A13,
+path_tools.py:221-235).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..analysis import tokens_expr
+
+# tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deterministic and SQL-expressible (no model).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "ein", "nicht", "mit"],
+    "fr": ["le", "la", "de", "et", "un", "en", "est", "que", "pour", "dans"],
+}
+
+
+def token_count_expr(text: Column | str) -> Column:
+    """Analyzer token count (≡ BM25 doc length)."""
+    return F.size(tokens_expr(text))
+
+
+def ws_token_count_expr(text: Column | str) -> Column:
+    """Whitespace-split token count (the cheap 'word count')."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.filter(F.split(c, r"\s+"), lambda x: x != F.lit("")))
+
+
+def punct_ratio_expr(text: Column | str) -> Column:
+    """Fraction of non-alnum-non-space chars — a quality feature."""
+    c = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(c, r"[\p{L}\p{N}\s]", "")
+    return F.when(F.length(c) > 0, F.length(stripped) / F.length(c)).otherwise(0.0)
+
+
+def stopword_ratio_expr(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    toks = tokens_expr(text)
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(0.0)
+
+
+def quality_score_expr(text: Column | str) -> Column:
+    """Composite document-quality score in [0,1]: favors mid-length docs,
+    low punctuation density, some stopword mass (prose-likeness).
+    Formula is deliberately simple + SQL-twin-able."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count_expr(c).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    punct_pen = F.lit(1.0) - F.least(punct_ratio_expr(c) * 4.0, F.lit(1.0))
+    sw_score = F.least(stopword_ratio_expr(c, "en") * 5.0, F.lit(1.0))
+    return F.round((len_score + punct_pen + sw_score) / 3.0, 6)
+
+
+def lang_scores_expr(text: Column | str) -> dict[str, Column]:
+    """Stopword-hit count per candidate language."""
+    toks = tokens_expr(text)
+    out = {}
+    for lang, words in LANG_STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return out
+
+
+def lang_id_expr(text: Column | str) -> Column:
+    """Predicted language = argmax stopword hits, ties → lexicographically
+    first language code, zero hits → 'und' (BCP-47 undetermined)."""
+    scores = lang_scores_expr(text)
+    # struct max compares fields in order: hits, then -rank (so ties pick
+    # the lexicographically-first language code), then the code itself.
+    best = F.greatest(
+        *[
+            F.struct(
+                scores[lang].alias("hits"),
+                F.lit(-i).alias("neg_rank"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(sorted(LANG_STOPWORDS))
+        ]
+    )
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def shingles_expr(text: Column | str, k: int = 3) -> Column:
+    """Token k-gram shingles (space-joined strings). Empty/short docs →
+    empty array."""
+    toks = tokens_expr(text)
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def fingerprint_expr(text: Column | str, k: int = 3) -> Column:
+    """Document fingerprint: the minimum md5 of its k-gram shingles
+    (winnowing-style representative hash; md5-on-string so the DuckDB twin
+    is bit-identical). Null for docs with < k tokens."""
+    return F.array_min(F.transform(shingles_expr(text, k), F.md5))

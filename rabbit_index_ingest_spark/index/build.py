@@ -86,6 +86,7 @@ def term_bucket_expr(col) -> F.Column:
 
 def assign_doc_ids(
     df: DataFrame,
+    key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
     num_partitions: int | None = None,
     persist: bool = True,
     id_base: int = 0,
@@ -102,9 +103,7 @@ def assign_doc_ids(
     """
     spark = df.sparkSession
     nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(nparts, "conv_id", "turn_idx").sortWithinPartitions(
-        "conv_id", "turn_idx"
-    )
+    ranged = df.repartitionByRange(nparts, *key_cols).sortWithinPartitions(*key_cols)
     if persist:
         ranged = ranged.persist()
     counts = (
@@ -187,7 +186,9 @@ def build_index(
     max doc_id, SURVEY.md B7).
     """
     docs = assign_doc_ids(
-        transcripts.select(id_col, order_col, text_col), id_base=id_base
+        transcripts.select(id_col, order_col, text_col),
+        key_cols=(id_col, order_col),
+        id_base=id_base,
     )
 
     toks = docs.select(

@@ -141,12 +141,17 @@ class IndexStore:
         )
 
     def _read_all(self, table: str) -> DataFrame:
-        paths = [
-            self._path(table, s)
+        # read segments separately and union: the seg=NNNNN dirs would
+        # otherwise be mis-inferred as partition columns of one dataset
+        dfs = [
+            self.spark.read.parquet(self._path(table, s))
             for s in self.segments()
             if os.path.isdir(self._path(table, s))
         ]
-        return self.spark.read.parquet(*paths)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     def tombstones(self) -> set[int]:
         p = os.path.join(self.root, "_tombstones.json")

