@@ -62,6 +62,9 @@ BLOCKS_SCHEMA = T.StructType(
         # incremental segment appends (B7) — unlike a precomputed score.
         T.StructField("max_tf", T.LongType(), False),
         T.StructField("min_dl", T.LongType(), False),
+        # block tf total — lets the dictionary be derived as a column-pruned
+        # rollup of the blocks instead of a second tokenize+explode pass
+        T.StructField("tf_sum", T.LongType(), False),
     ]
 )
 
@@ -101,6 +104,19 @@ def assign_doc_ids(
     (conv_id, turn_idx) order — the engine's tie-break therefore matches the
     oracle's (score desc, conv_id asc, turn_idx asc).
     """
+    df2, _ = assign_doc_ids_with_count(df, key_cols, num_partitions, persist, id_base)
+    return df2
+
+
+def assign_doc_ids_with_count(
+    df: DataFrame,
+    key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
+    num_partitions: int | None = None,
+    persist: bool = True,
+    id_base: int = 0,
+) -> tuple[DataFrame, int]:
+    """assign_doc_ids + the total row count (free — it is the final prefix
+    offset), so callers don't need a separate count() job."""
     spark = df.sparkSession
     nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(nparts, *key_cols).sortWithinPartitions(*key_cols)
@@ -118,6 +134,7 @@ def assign_doc_ids(
     for pid in sorted(sizes):
         offsets[pid] = acc
         acc += sizes[pid]
+    n_rows = acc - id_base
     boffsets = spark.sparkContext.broadcast(offsets)
 
     out_schema = T.StructType(
@@ -135,39 +152,100 @@ def assign_doc_ids(
             seen += n
             yield batch
 
-    return ranged.mapInPandas(number, out_schema)
+    return ranged.mapInPandas(number, out_schema), n_rows
 
 
-def _pack_group_fn(block_size: int):
-    """applyInPandas packer for one (term, range_id) group."""
+_BLOCK_COLS = [f.name for f in BLOCKS_SCHEMA.fields]
 
-    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, range_id = key
-        pdf = pdf.sort_values("doc_id")
-        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
-        rows = []
-        for b0 in range(0, len(ids), block_size):
-            b1 = min(b0 + block_size, len(ids))
-            rows.append(
-                {
-                    "term": term,
-                    "range_id": int(range_id),
-                    "block_id": b0 // block_size,
-                    "first_doc": int(ids[b0]),
-                    "last_doc": int(ids[b1 - 1]),
-                    "n_docs": b1 - b0,
-                    "doc_bytes": codec.varbyte_encode(codec.delta_encode(ids[b0:b1])),
-                    "tf_bytes": codec.varbyte_encode(tfs[b0:b1].astype(np.uint64)),
-                    "dl_bytes": codec.varbyte_encode(dls[b0:b1].astype(np.uint64)),
-                    "max_tf": int(tfs[b0:b1].max()),
-                    "min_dl": int(dls[b0:b1].min()),
-                }
+
+def _pack_groups_frame(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+    """Pack a frame holding ≥1 COMPLETE (term, range_id) groups of raw
+    TOKEN OCCURRENCES, sorted by (term, range_id, doc_id).
+
+    tf is computed here by run-length encoding the sorted doc_ids — this
+    replaces a whole groupBy(term, doc) shuffle stage in the build (one
+    shuffle instead of two)."""
+    terms = pdf["term"].to_numpy()
+    ranges = pdf["range_id"].to_numpy()
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    dls = pdf["dl"].to_numpy(dtype=np.int64)
+    change = np.flatnonzero((terms[1:] != terms[:-1]) | (ranges[1:] != ranges[:-1])) + 1
+    bounds = np.concatenate(([0], change, [len(pdf)]))
+    rows: list[dict] = []
+    for g0, g1 in zip(bounds[:-1], bounds[1:]):
+        g_ids = ids[g0:g1]
+        # run-length: occurrences of one doc are adjacent (sorted)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(g_ids[1:] != g_ids[:-1]) + 1)
+        )
+        tfs = np.diff(np.concatenate((starts, [len(g_ids)])))
+        u_ids = g_ids[starts]
+        u_dls = dls[g0:g1][starts]
+        blocks = codec.pack_group_blocks(u_ids, tfs, u_dls, block_size)
+        term, range_id = terms[g0], int(ranges[g0])
+        for blk in blocks:
+            blk["term"] = term
+            blk["range_id"] = range_id
+        rows.extend(blocks)
+    return pd.DataFrame(rows, columns=_BLOCK_COLS)
+
+
+def _pack_stream_fn(block_size: int):
+    """Streaming mapInPandas packer: consumes Arrow batches of tf rows
+    sorted by (term, range_id, doc_id) within the partition, carrying the
+    (possibly batch-spanning) trailing group over to the next batch.
+
+    vs groupBy().applyInPandas: one pandas frame per ARROW BATCH instead of
+    one per GROUP — per-group overhead collapses, which dominates build
+    time (a 210k-turn corpus has ~77k groups)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for batch in batches:
+            if carry is not None and len(carry):
+                batch = pd.concat([carry, batch], ignore_index=True)
+            if not len(batch):
+                continue
+            terms = batch["term"].to_numpy()
+            ranges = batch["range_id"].to_numpy()
+            change = (
+                np.flatnonzero(
+                    (terms[1:] != terms[:-1]) | (ranges[1:] != ranges[:-1])
+                )
+                + 1
             )
-        return pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
+            if len(change) == 0:
+                carry = batch  # batch is a single (possibly continuing) group
+                continue
+            last_start = int(change[-1])
+            carry = batch.iloc[last_start:]
+            yield _pack_groups_frame(batch.iloc[:last_start], block_size)
+        if carry is not None and len(carry):
+            yield _pack_groups_frame(carry, block_size)
 
-    return pack
+    return run
+
+
+def dictionary_from_blocks(postings: DataFrame) -> DataFrame:
+    """Dictionary (term → df, cf, impacts) as a rollup of posting blocks.
+
+    Reads only the five metadata columns — when the blocks come from
+    parquet, column pruning means the (much larger) compressed byte columns
+    are never touched. This replaces a second full tokenize+explode+groupBy
+    pass over the corpus. NOTE: if ``postings`` is an unpersisted in-memory
+    lineage, evaluating the dictionary recomputes the pack stage — persist
+    postings (or write them, as IndexStore.save does) first.
+    """
+    return (
+        postings.groupBy("term")
+        .agg(
+            F.sum("n_docs").alias("df"),
+            F.sum("tf_sum").alias("cf"),
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_dl").alias("min_dl"),
+        )
+        .withColumn("bucket", term_bucket_expr(F.col("term")))
+    )
 
 
 def build_index(
@@ -179,13 +257,23 @@ def build_index(
     block_size: int = codec.BLOCK_SIZE,
     range_bits: int = RANGE_BITS,
     id_base: int = 0,
+    persist_postings: bool = True,
 ) -> BuiltIndex:
     """Build all four index tables from a transcript DataFrame.
 
     ``id_base`` offsets doc_ids (segment appends start above the existing
     max doc_id, SURVEY.md B7).
+
+    Exactly ONE heavy pipeline pass runs over the corpus: tokenize →
+    explode → tf groupBy → pack. n_docs falls out of the doc-id
+    assignment's offset pass; the dictionary is a metadata rollup of the
+    packed blocks; corpus stats (total tokens → avgdl) aggregate the
+    dictionary. With ``persist_postings=True`` (default; right for corpora
+    that fit the cluster's cache+spill) the blocks materialize once. At
+    extreme scale pass False and let IndexStore.save sequence the
+    postings-write before the dictionary rollup instead.
     """
-    docs = assign_doc_ids(
+    docs, n_docs = assign_doc_ids_with_count(
         transcripts.select(id_col, order_col, text_col),
         key_cols=(id_col, order_col),
         id_base=id_base,
@@ -200,43 +288,37 @@ def build_index(
 
     doc_stats = toks.select("doc_id", "conv_id", "turn_idx", "dl")
 
-    stats_row = doc_stats.agg(
-        F.count("*").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        F.sum("dl").alias("total_tokens"),
-    ).collect()[0]
-    n_docs, avgdl = int(stats_row["n_docs"]), float(stats_row["avgdl"] or 0.0)
-    corpus_stats = spark.createDataFrame(
-        [(n_docs, avgdl, int(stats_row["total_tokens"] or 0))],
-        "n_docs long, avgdl double, total_tokens long",
-    )
+    # Raw token occurrences (term, doc_id, dl) — dl rides along (it is
+    # functionally dependent on doc_id) so pack never joins doc_stats.
+    occurrences = toks.select(
+        "doc_id", "dl", F.explode("tokens").alias("term")
+    ).withColumn("range_id", F.shiftright("doc_id", range_bits))
 
-    # tf per (term, doc). dl rides along in the grouping key — it is
-    # functionally dependent on doc_id, so this costs nothing and saves the
-    # doc_stats join that pack would otherwise need.
-    tf = (
-        toks.select("doc_id", "dl", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id", "dl")
-        .agg(F.count("*").alias("tf"))
-    )
-
-    tf_ranged = tf.withColumn("range_id", F.shiftright("doc_id", range_bits))
-
+    # ONE shuffle for the whole postings build: repartition on
+    # (term, range_id) + in-partition sort + streaming mapInPandas packer
+    # (tf computed by run-length inside pack — no separate groupBy stage).
+    # range_id is the deterministic anti-skew salt: a hot term spreads over
+    # doc ranges, so no single shuffle partition can exceed ~2^range_bits
+    # postings per term.
+    nparts = spark.sparkContext.defaultParallelism
     postings = (
-        tf_ranged.groupBy("term", "range_id")
-        .applyInPandas(_pack_group_fn(block_size), BLOCKS_SCHEMA)
+        occurrences.repartition(nparts, "term", "range_id")
+        .sortWithinPartitions("term", "range_id", "doc_id")
+        .mapInPandas(_pack_stream_fn(block_size), BLOCKS_SCHEMA)
         .withColumn("bucket", term_bucket_expr(F.col("term")))
     )
+    if persist_postings:
+        postings = postings.persist()
 
-    dictionary = (
-        tf.groupBy("term")
-        .agg(
-            F.count("*").alias("df"),
-            F.sum("tf").alias("cf"),
-            F.max("tf").alias("max_tf"),
-            F.min("dl").alias("min_dl"),
-        )
-        .withColumn("bucket", term_bucket_expr(F.col("term")))
+    dictionary = dictionary_from_blocks(postings)
+
+    total_tokens = int(
+        dictionary.agg(F.sum("cf").alias("t")).collect()[0]["t"] or 0
+    )
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
+    corpus_stats = spark.createDataFrame(
+        [(n_docs, avgdl, total_tokens)],
+        "n_docs long, avgdl double, total_tokens long",
     )
 
     return BuiltIndex(

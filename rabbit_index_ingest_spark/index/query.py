@@ -37,7 +37,7 @@ from pyspark.sql import types as T
 
 from ..analysis import py_tokenize
 from . import codec
-from .build import RANGE_BITS, term_bucket_expr
+from .build import RANGE_BITS
 
 FLAT_SCHEMA = T.StructType(
     [
@@ -80,15 +80,13 @@ def flat_postings(blocks: DataFrame) -> DataFrame:
 
 
 def _term_buckets(spark: SparkSession, terms: list[str]) -> list[int]:
-    """Storage buckets of the query terms, computed with the *same JVM
-    expression* used at write time (guarantees identical hashing)."""
-    rows = (
-        spark.createDataFrame([(t,) for t in terms], "term string")
-        .select(term_bucket_expr(F.col("term")).alias("b"))
-        .distinct()
-        .collect()
-    )
-    return [r["b"] for r in rows]
+    """Storage buckets of the query terms — computed driver-side with the
+    pure-Python twin of Spark's xxhash64 (functions/hashing.py, parity
+    asserted in tests/test_hashing.py). Avoids one Spark job per query."""
+    from ..functions.hashing import term_bucket
+    from .build import N_TERM_BUCKETS
+
+    return sorted({term_bucket(t, N_TERM_BUCKETS) for t in terms})
 
 
 class Searcher:

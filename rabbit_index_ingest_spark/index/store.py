@@ -115,21 +115,76 @@ class IndexStore:
         The ``docs`` table keeps the original text (the ES ``_source``
         analogue) so fetch-back and compaction never need the input table.
         """
+        from .build import dictionary_from_blocks
+
+        # postings are written BEFORE the dictionary: the dictionary is a
+        # column-pruned rollup of the just-written blocks (metadata columns
+        # only), so it never re-runs the tokenize/pack pipeline.
         stages = [
-            ("docs", built.docs, ()),
-            ("doc_stats", built.doc_stats, ()),
-            ("corpus_stats", built.corpus_stats, ()),
-            ("dictionary", built.dictionary, ("bucket",)),
-            ("postings", built.postings, ("bucket",)),
+            ("docs", lambda: built.docs, ()),
+            ("doc_stats", lambda: built.doc_stats, ()),
+            ("corpus_stats", lambda: built.corpus_stats, ()),
+            ("postings", lambda: built.postings, ("bucket",)),
+            (
+                "dictionary",
+                lambda: dictionary_from_blocks(
+                    self.spark.read.parquet(self._path("postings", segment))
+                ),
+                ("bucket",),
+            ),
         ]
-        for name, df, pcols in stages:
+        stages.append(
+            (
+                "metrics",
+                lambda: self._build_metrics(segment),
+                (),
+            )
+        )
+        for name, df_fn, pcols in stages:
             stage_key = f"seg{segment}/{name}"
             if resume and self.stage_done(stage_key):
                 continue
             self.log_manifest(stage_key, "started")
-            self._write(df, name, segment, pcols)
+            self._write(df_fn(), name, segment, pcols)
             n = self.spark.read.parquet(self._path(name, segment)).count()
             self.log_manifest(stage_key, "done", rows=n, segment=segment)
+
+    def _build_metrics(self, segment: int) -> DataFrame:
+        """Per-partition build lineage metrics (north rule / reference A21):
+        for every postings storage partition (term bucket): blocks written,
+        postings emitted, compressed bytes; for every doc range: turns
+        tokenized and token totals. Long format: (dimension, key, metric,
+        value)."""
+        postings = self.spark.read.parquet(self._path("postings", segment))
+        per_bucket = postings.groupBy("bucket").agg(
+            F.count("*").alias("n_blocks"),
+            F.sum("n_docs").alias("postings_emitted"),
+            F.sum(
+                F.octet_length("doc_bytes")
+                + F.octet_length("tf_bytes")
+                + F.octet_length("dl_bytes")
+            ).alias("bytes_compressed"),
+        )
+        bucket_long = per_bucket.selectExpr(
+            "stack(3, 'n_blocks', n_blocks, 'postings_emitted', postings_emitted,"
+            " 'bytes_compressed', bytes_compressed) as (metric, value)",
+            "bucket as key",
+        ).select(F.lit("term_bucket").alias("dimension"), "key", "metric", "value")
+        doc_stats = self.spark.read.parquet(self._path("doc_stats", segment))
+        range_long = (
+            doc_stats.groupBy(F.shiftright("doc_id", 16).alias("key"))
+            .agg(
+                F.count("*").alias("turns_tokenized"),
+                F.sum("dl").alias("tokens_total"),
+            )
+            .selectExpr(
+                "stack(2, 'turns_tokenized', turns_tokenized,"
+                " 'tokens_total', tokens_total) as (metric, value)",
+                "key",
+            )
+            .select(F.lit("doc_range").alias("dimension"), "key", "metric", "value")
+        )
+        return bucket_long.unionByName(range_long)
 
     def segments(self) -> list[int]:
         if not os.path.isdir(self.root):

@@ -63,20 +63,26 @@ def minhash_signatures(
     hex string* of salted shingles. String-min md5 keeps the DuckDB twin
     exact; at production scale swap to xxhash64 (same shape, one line).
     Docs with < shingle_k tokens get null signatures (excluded from LSH)."""
-    sh = shingles_expr(text_col, shingle_k)
-
     def salted_md5(salt: str):
         # NB: a `lambda s, i=i` default-arg capture would make PySpark treat
         # the lambda as binary and pass the ARRAY INDEX as the second arg —
         # use a unary closure instead.
         return lambda s: F.md5(F.concat(F.lit(salt), s))
 
+    # materialize the shingle array once — inlining shingles_expr into each
+    # of the n_hashes columns would re-tokenize and re-shingle the text
+    # n_hashes times (Catalyst does not CSE across lambda functions)
+    shingled = df.select(
+        F.col(key_col), shingles_expr(text_col, shingle_k).alias("_sh")
+    )
     cols = [F.col(key_col)]
     for i in range(n_hashes):
         cols.append(
-            F.array_min(F.transform(sh, salted_md5(f"salt{i}#"))).alias(f"mh_{i}")
+            F.array_min(F.transform(F.col("_sh"), salted_md5(f"salt{i}#"))).alias(
+                f"mh_{i}"
+            )
         )
-    return df.select(*cols)
+    return shingled.select(*cols)
 
 
 def lsh_candidate_pairs(
@@ -84,27 +90,37 @@ def lsh_candidate_pairs(
     key_col: str = "doc_id",
     n_bands: int = 4,
     rows_per_band: int = 4,
+    cache: bool = True,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become a candidate pair.
 
-    Self-join happens *within band buckets only* (groupBy band_key), so the
-    join never goes quadratic in corpus size — the classic scale-out shape.
-    Returns distinct (a, b) with a < b.
+    Self-join happens *within band buckets only* (shuffle-join keyed on
+    band_key), so the join never goes quadratic in corpus size — the
+    classic scale-out shape. Returns distinct (a, b) with a < b.
+
+    The banded projection is built with one explode (not an N-way union —
+    that would recompute the signature pipeline once per band) and, with
+    ``cache=True``, persisted so the self-join's two scans don't recompute
+    the minhashes (16 md5 passes over every shingle) twice.
     """
-    bands = []
-    for b in range(n_bands):
-        sig_cols = [
-            F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
+    band_structs = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+            )
+            for b in range(n_bands)
         ]
-        bands.append(
-            signatures.select(
-                F.col(key_col),
-                F.md5(F.concat_ws("|", F.lit(str(b)), *sig_cols)).alias("band_key"),
-            ).where(sig_cols[0].isNotNull())
-        )
-    tagged = bands[0]
-    for extra in bands[1:]:
-        tagged = tagged.unionByName(extra)
+    )
+    tagged = (
+        signatures.where(F.col("mh_0").isNotNull())
+        .select(F.col(key_col), F.explode(band_structs).alias("band_key"))
+    )
+    if cache:
+        tagged = tagged.persist()
     left = tagged.alias("l")
     right = tagged.alias("r")
     return (
@@ -125,14 +141,19 @@ def ngram_jaccard_pairs(
     key_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    cache: bool = True,
 ) -> DataFrame:
     """Exact Jaccard similarity over distinct k-gram shingles for all pairs
     sharing ≥1 shingle. Shingle-inverted-index join (explode → join on
     shingle → count) — work is proportional to true overlap, not n².
     Output: (a, b, jaccard) with a < b, jaccard = |∩| / |∪| rounded 6dp."""
-    sh = (
-        df.select(F.col(key_col), F.explode(F.array_distinct(shingles_expr(text_col, shingle_k))).alias("s"))
+    sh = df.select(
+        F.col(key_col),
+        F.explode(F.array_distinct(shingles_expr(text_col, shingle_k))).alias("s"),
     )
+    if cache:
+        # scanned three times (both join sides + sizes) — don't re-shingle
+        sh = sh.persist()
     sizes = sh.groupBy(key_col).agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("l")

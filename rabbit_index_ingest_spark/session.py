@@ -41,12 +41,16 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     ``cores`` controls local parallelism (``local[cores]``); None → all.
-    On a real cluster you would drop ``.master`` and submit with
-    ``spark-submit --py-files engine.zip`` (see cli.py).
+    ``master`` overrides entirely — e.g. ``local-cluster[4,4,8192]`` spawns
+    4 real executor JVMs × 4 cores (the sandbox stand-in for a
+    multi-executor cluster; used by bench.py --scaling for the N-vs-4N
+    evidence). On a real cluster you would drop ``.master`` and submit
+    with ``spark-submit --py-files engine.zip`` (see cli.py).
     """
     cores_s = str(cores) if cores else os.environ.get("SPARK_GRAFT_CPUS", "*")
     shuffle = shuffle_partitions or int(
@@ -54,7 +58,7 @@ def get_spark(
     )
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cores_s}]")
+        .master(master or f"local[{cores_s}]")
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -62,7 +66,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: driver heap IS the executor heap. Size it so each of
+        # N concurrent tasks gets a real execution-memory share —
+        # 8g/32 tasks ≈ 150MB/task spills and GC-thrashes (measured: a
+        # 210k-turn build ran 5× slower at local[32] than local[8] on an
+        # 8g heap). On a real cluster this is spark.executor.memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -66,6 +66,21 @@ def test_pack_unpack_blocks():
     np.testing.assert_array_equal(np.concatenate(got_dls), dls)
 
 
+def test_pack_group_blocks_equals_per_block_packing():
+    """The single-pass vectorized packer must produce byte-identical blocks
+    to the straightforward per-block reference packer."""
+    rs = np.random.RandomState(7)
+    for n in (1, 127, 128, 129, 1000):
+        ids = np.unique(rs.randint(0, 2**35, size=n + 200).astype(np.int64))[:n]
+        tfs = rs.randint(1, 40, size=n).astype(np.int64)
+        dls = rs.randint(5, 120, size=n).astype(np.int64)
+        fast = codec.pack_group_blocks(ids, tfs, dls, block_size=128)
+        ref = codec.pack_postings(ids, tfs, dls, block_size=128)
+        assert len(fast) == len(ref)
+        for a, b in zip(fast, ref):
+            assert a == b, (a["block_id"], n)
+
+
 def test_tf_norm_monotone_in_tf():
     # sanity: BM25 tf saturation — increasing, bounded by (k1+1)
     tfs = np.arange(1, 200)
