@@ -92,6 +92,18 @@ def lang_id_expr(text: Column | str) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def scrub_text_expr(text: Column | str) -> Column:
+    """Content scrub (reference A13 — get_readme, path_tools.py:221-235):
+    the reference decodes file bytes with errors='replace' then re-encodes
+    with errors='ignore', i.e. *invalid byte sequences become U+FFFD
+    replacement chars and are then dropped*; golden behavior at
+    tests/test_path_tools.py:117-125. Spark strings are already valid
+    UTF-8, so the transferable part of the contract is: strip replacement
+    chars and non-newline control characters."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(c, "[�\\p{Cc}&&[^\n\t]]", "")
+
+
 def shingles_expr(text: Column | str, k: int = 3) -> Column:
     """Token k-gram shingles (space-joined strings). Empty/short docs →
     empty array."""

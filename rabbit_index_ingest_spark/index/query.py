@@ -61,6 +61,14 @@ def lucene_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def _empty_topk(spark: SparkSession) -> DataFrame:
+    """Empty (doc_id, score) result as a pure plan — createDataFrame([],
+    schema) takes seconds on first use (Arrow/py4j init); range(0) is free."""
+    return spark.range(0).select(
+        F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
+    )
+
+
 def flat_postings(blocks: DataFrame) -> DataFrame:
     """Decode posting blocks back to one row per (term, doc_id) posting."""
 
@@ -140,7 +148,7 @@ class Searcher:
     def topk_dataframe(self, query_text: str, k: int = 10) -> DataFrame:
         plan = self._plan(query_text)
         if plan is None:
-            return self.spark.createDataFrame([], TOPK_SCHEMA)
+            return _empty_topk(self.spark)
         idfs, blocks = plan
         idf_df = F.broadcast(
             self.spark.createDataFrame(
@@ -173,7 +181,7 @@ class Searcher:
     def topk_blockmax(self, query_text: str, k: int = 10) -> DataFrame:
         plan = self._plan(query_text)
         if plan is None:
-            return self.spark.createDataFrame([], TOPK_SCHEMA)
+            return _empty_topk(self.spark)
         idfs, blocks = plan
         scorer = _make_range_scorer(
             idfs, self.avgdl, k, self.range_bits, self.deleted

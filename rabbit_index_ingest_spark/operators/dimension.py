@@ -46,6 +46,43 @@ def build_dimension(
     )
 
 
+def fetch_paginated(fetch_fn, url: str, accumulate=None) -> list:
+    """Cursor-paginated fetch (reference A7 — generate_moles_mapping,
+    path_tools.py:55-84): follow ``response["next"]`` until null,
+    accumulating ``results``. Iterative rather than recursive (the
+    reference recurses; a deep catalogue would blow Python's stack).
+
+    ``fetch_fn(url) -> {"results": [...], "next": url|None}`` is injected —
+    the engine has no live catalogue; tests use a fake. This runs on the
+    driver (a small dimension) and feeds ``build_dimension`` →
+    ``spark.createDataFrame`` → broadcast (SURVEY.md A7: never a
+    distributed op)."""
+    out = list(accumulate or [])
+    next_url = url
+    while next_url:
+        resp = fetch_fn(next_url)
+        out.extend(resp.get("results", []))
+        next_url = resp.get("next")
+    return out
+
+
+def load_dimension_file(spark, path: str):
+    """Dimension load from a JSON mapping file + trailing-slash key
+    normalization (reference A8 — load_moles_mapping, path_tools.py:87-101).
+    File shape: {data_path: {title, url, record_type}} → DataFrame."""
+    import json
+
+    with open(path) as f:
+        mapping = json.load(f)
+    rows = [
+        (k.rstrip("/"), v.get("title"), v.get("url"), v.get("record_type"))
+        for k, v in mapping.items()
+    ]
+    return spark.createDataFrame(
+        rows, "data_path string, title string, url string, record_type string"
+    ).dropDuplicates(["data_path"])
+
+
 def lookup_join(
     facts: DataFrame,
     dim: DataFrame,

@@ -152,6 +152,51 @@ def test_dimension_build_and_join(spark):
     assert got["/badc/unknown"] is None
 
 
+def test_fetch_paginated(spark):
+    """A7: cursor-following accumulation (path_tools.py:55-84)."""
+    from rabbit_index_ingest_spark.operators.dimension import fetch_paginated
+
+    pages = {
+        "p1": {"results": [{"k": 1}, {"k": 2}], "next": "p2"},
+        "p2": {"results": [{"k": 3}], "next": "p3"},
+        "p3": {"results": [], "next": None},
+    }
+    got = fetch_paginated(lambda u: pages[u], "p1")
+    assert got == [{"k": 1}, {"k": 2}, {"k": 3}]
+
+
+def test_load_dimension_file(spark, tmp_path):
+    """A8: JSON mapping load + trailing-slash key normalization
+    (path_tools.py:87-101; fixture shape = tests/moles_mapping_file.json)."""
+    import json
+
+    from rabbit_index_ingest_spark.operators.dimension import load_dimension_file
+
+    p = tmp_path / "mapping.json"
+    p.write_text(
+        json.dumps(
+            {
+                "/badc/cmip5/": {"title": "CMIP5", "url": "u", "record_type": "Dataset"},
+                "/neodc/x": {"title": "X", "url": "u2", "record_type": "Dataset"},
+            }
+        )
+    )
+    rows = {r["data_path"]: r["title"] for r in load_dimension_file(spark, str(p)).collect()}
+    assert rows == {"/badc/cmip5": "CMIP5", "/neodc/x": "X"}
+
+
+def test_scrub_text_expr(spark):
+    """A13: replacement chars + control chars dropped, newlines/tabs kept
+    (reference encoding behavior, tests/test_path_tools.py:117-125)."""
+    from rabbit_index_ingest_spark.functions.text import scrub_text_expr
+
+    df = spark.createDataFrame(
+        [("(51.1445�N, 1.4370�W)\nok\tend\x00\x07",)], "t string"
+    )
+    got = df.select(scrub_text_expr("t").alias("s")).collect()[0]["s"]
+    assert got == "(51.1445N, 1.4370W)\nok\tend"
+
+
 def test_lookup_join_is_broadcast(spark):
     """The physical plan must contain a BroadcastHashJoin — the 100 TB
     guarantee that the fact side never shuffles for the dimension."""
