@@ -298,7 +298,7 @@ def _q_d2_minhash(spark, sf_dir):
     from rabbit_index_ingest_spark.operators.dedup import minhash_signatures
 
     d = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
-    return minhash_signatures(d, n_hashes=4).select(
+    return minhash_signatures(d, n_hashes=4, method="md5").select(
         "doc_id", "mh_0", "mh_1", "mh_2", "mh_3"
     )
 
@@ -315,7 +315,7 @@ def _q_d3_lsh_pairs(spark, sf_dir):
             (F.col("doc_id") + 10_000).alias("doc_id"), "text"
         )
     )
-    sigs = minhash_signatures(dup, n_hashes=16)
+    sigs = minhash_signatures(dup, n_hashes=16, method="md5")
     return lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=4)
 
 

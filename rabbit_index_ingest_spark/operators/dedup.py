@@ -58,16 +58,28 @@ def minhash_signatures(
     key_col: str = "doc_id",
     n_hashes: int = 16,
     shingle_k: int = 3,
+    method: str = "xxhash",
 ) -> DataFrame:
-    """Per-doc MinHash signature: n_hashes columns, each the *minimum md5
-    hex string* of salted shingles. String-min md5 keeps the DuckDB twin
-    exact; at production scale swap to xxhash64 (same shape, one line).
-    Docs with < shingle_k tokens get null signatures (excluded from LSH)."""
-    def salted_md5(salt: str):
+    """Per-doc MinHash signature: n_hashes columns, each the minimum of a
+    salted hash over the doc's shingles. Docs with < shingle_k tokens get
+    null signatures (excluded from LSH).
+
+    ``method="xxhash"`` (default — the 100 TB path): the i-th hash family
+    is ``xxhash64(shingle, seed=i)``, pure JVM, one multiply-mix per
+    shingle — ~20x cheaper than md5-of-concat.
+    ``method="md5"``: minimum md5 HEX STRING of ``salt{i}#`` + shingle —
+    bit-identical to a DuckDB SQL twin (md5 is the only hash both engines
+    share); used by the cross-engine oracle checks in __spark_entry__.
+    """
+
+    def salted(i: int):
         # NB: a `lambda s, i=i` default-arg capture would make PySpark treat
         # the lambda as binary and pass the ARRAY INDEX as the second arg —
         # use a unary closure instead.
-        return lambda s: F.md5(F.concat(F.lit(salt), s))
+        if method == "md5":
+            salt = f"salt{i}#"
+            return lambda s: F.md5(F.concat(F.lit(salt), s))
+        return lambda s: F.xxhash64(s, F.lit(i))
 
     # materialize the shingle array once — inlining shingles_expr into each
     # of the n_hashes columns would re-tokenize and re-shingle the text
@@ -77,11 +89,7 @@ def minhash_signatures(
     )
     cols = [F.col(key_col)]
     for i in range(n_hashes):
-        cols.append(
-            F.array_min(F.transform(F.col("_sh"), salted_md5(f"salt{i}#"))).alias(
-                f"mh_{i}"
-            )
-        )
+        cols.append(F.array_min(F.transform(F.col("_sh"), salted(i))).alias(f"mh_{i}"))
     return shingled.select(*cols)
 
 
