@@ -122,22 +122,38 @@ class Searcher:
         self.avgdl = avgdl
         self.deleted = frozenset(deleted or ())
         self.range_bits = range_bits
+        # term → df cache: repeated query terms skip the dictionary scan
+        # (the dictionary is immutable for a Searcher's lifetime; df=0 is
+        # cached too so absent terms don't re-scan)
+        self._df_cache: dict[str, int] = {}
+
+    def _term_dfs(self, terms: list[str]) -> dict[str, int]:
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            buckets = _term_buckets(self.spark, missing)
+            rows = (
+                self.dictionary.where(F.col("bucket").isin(buckets))
+                .where(F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        return {t: self._df_cache[t] for t in terms}
 
     def _plan(self, query_text: str) -> tuple[dict[str, float], DataFrame] | None:
         """Analyze query (shared tokenizer), fetch idfs, prune block scan."""
         terms = sorted(set(py_tokenize(query_text)))
         if not terms:
             return None
-        buckets = _term_buckets(self.spark, terms)
-        dict_rows = (
-            self.dictionary.where(F.col("bucket").isin(buckets))
-            .where(F.col("term").isin(terms))
-            .select("term", "df")
-            .collect()
-        )
-        idfs = {r["term"]: lucene_idf(self.n_docs, int(r["df"])) for r in dict_rows}
+        dfs = self._term_dfs(terms)
+        idfs = {
+            t: lucene_idf(self.n_docs, df) for t, df in dfs.items() if df > 0
+        }
         if not idfs:
             return None
+        buckets = _term_buckets(self.spark, list(idfs))
         blocks = self.postings.where(F.col("bucket").isin(buckets)).where(
             F.col("term").isin(list(idfs))
         )
