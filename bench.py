@@ -90,17 +90,26 @@ def run_suite(cpus: int, quick: bool = False) -> dict:
 
     timings: dict[str, float] = {}
 
+    # build + persist to the on-disk store: the production path (queries
+    # then run against bucket-partitioned parquet, exercising partition
+    # pruning — not against cached in-memory frames)
+    import shutil
+    import tempfile
+
+    from rabbit_index_ingest_spark.index.store import IndexStore
+
+    idx_root = tempfile.mkdtemp(prefix="bench_idx_")
     t0 = time.time()
     built = build_index(spark, transcripts)
-    built.postings = built.postings.persist()
-    built.dictionary = built.dictionary.persist()
-    n_blocks = built.postings.count()
-    built.dictionary.count()
+    store = IndexStore(spark, idx_root)
+    store.save(built, segment=0)
     timings["build"] = time.time() - t0
-    _log(f"build done in {timings['build']:.1f}s ({n_blocks} blocks)")
+    loaded = store.load()
+    n_blocks = loaded.postings.count()
+    _log(f"build+save done in {timings['build']:.1f}s ({n_blocks} blocks)")
 
     searcher = Searcher(
-        spark, built.postings, built.dictionary, built.n_docs, built.avgdl
+        spark, loaded.postings, loaded.dictionary, loaded.n_docs, loaded.avgdl
     )
 
     queries = _queries()
@@ -142,6 +151,7 @@ def run_suite(cpus: int, quick: bool = False) -> dict:
         minhash_signatures,
     )
 
+    # LSH dedup over the FULL corpus (vectorized numpy minhash path)
     t0 = time.time()
     docs = transcripts.select(
         F.monotonically_increasing_id().alias("doc_id"), F.col("text")

@@ -273,13 +273,23 @@ def build_index(
     extreme scale pass False and let IndexStore.save sequence the
     postings-write before the dictionary rollup instead.
     """
-    docs, n_docs = assign_doc_ids_with_count(
+    assigned, n_docs = assign_doc_ids_with_count(
         transcripts.select(id_col, order_col, text_col),
         key_cols=(id_col, order_col),
         id_base=id_base,
     )
+    # docs (the ES _source analogue) carries dl so doc_stats is a pure
+    # column-pruned projection of the written docs table — IndexStore.save
+    # exploits this to avoid a second tokenize pass.
+    docs = assigned.select(
+        "doc_id",
+        F.col(id_col).alias("conv_id"),
+        F.col(order_col).alias("turn_idx"),
+        F.col(text_col).alias("text"),
+        F.size(tokens_expr(text_col)).alias("dl"),
+    )
 
-    toks = docs.select(
+    toks = assigned.select(
         "doc_id",
         F.col(id_col).alias("conv_id"),
         F.col(order_col).alias("turn_idx"),

@@ -102,10 +102,16 @@ class IndexStore:
         return os.path.join(self.root, f"seg={segment:05d}", table)
 
     def _write(self, df: DataFrame, table: str, segment: int, partition_cols=()) -> None:
-        w = df.write.mode("overwrite")
+        w = df
         if partition_cols:
-            w = w.partitionBy(*partition_cols)
-        w.parquet(self._path(table, segment))
+            # co-locate each storage partition's rows in one task first —
+            # otherwise every task writes a file into every partition dir
+            # (tasks × partitions small files; 32×64=2048 for postings)
+            w = w.repartition(*[F.col(c) for c in partition_cols])
+        writer = w.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(self._path(table, segment))
 
     def save(self, built: BuiltIndex, segment: int = 0, resume: bool = False) -> None:
         """Persist all index tables for one segment, with stage checkpoints.
@@ -117,12 +123,19 @@ class IndexStore:
         """
         from .build import dictionary_from_blocks
 
-        # postings are written BEFORE the dictionary: the dictionary is a
-        # column-pruned rollup of the just-written blocks (metadata columns
-        # only), so it never re-runs the tokenize/pack pipeline.
+        # Write order is load-bearing: docs first (carries dl), then
+        # doc_stats as a column-pruned projection of the WRITTEN docs (no
+        # second tokenize pass); postings before the dictionary, which is a
+        # column-pruned rollup of the WRITTEN blocks (no pipeline re-run).
         stages = [
             ("docs", lambda: built.docs, ()),
-            ("doc_stats", lambda: built.doc_stats, ()),
+            (
+                "doc_stats",
+                lambda: self.spark.read.parquet(self._path("docs", segment)).select(
+                    "doc_id", "conv_id", "turn_idx", "dl"
+                ),
+                (),
+            ),
             ("corpus_stats", lambda: built.corpus_stats, ()),
             ("postings", lambda: built.postings, ("bucket",)),
             (
