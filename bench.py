@@ -78,7 +78,10 @@ def run_suite(cpus: int, quick: bool = False) -> dict:
     from rabbit_index_ingest_spark.index.query import Searcher
     from rabbit_index_ingest_spark.session import get_spark
 
-    spark = get_spark(app_name=f"bench-{cpus}", cores=cpus, shuffle_partitions=max(cpus, 8))
+    # shuffle partitions sized for the DATA (constant across parallelism
+    # levels — scaling compares the identical plan at different core
+    # counts, and per-partition sorts must not spill)
+    spark = get_spark(app_name=f"bench-{cpus}", cores=cpus, shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
 
     n_conv = SCALING_N_CONV if quick else N_CONV.get(_sf_name(), 3000)

@@ -118,7 +118,11 @@ def assign_doc_ids_with_count(
     """assign_doc_ids + the total row count (free — it is the final prefix
     offset), so callers don't need a separate count() job."""
     spark = df.sparkSession
-    nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # partition count follows the shuffle-partitions conf (a data-size
+    # knob), NOT the core count — the same job must produce the same
+    # partitioning at any cluster size, and partitions must stay small
+    # enough not to spill (size spark.sql.shuffle.partitions for the data)
+    nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranged = df.repartitionByRange(nparts, *key_cols).sortWithinPartitions(*key_cols)
     if persist:
         ranged = ranged.persist()
@@ -309,8 +313,8 @@ def build_index(
     # (tf computed by run-length inside pack — no separate groupBy stage).
     # range_id is the deterministic anti-skew salt: a hot term spreads over
     # doc ranges, so no single shuffle partition can exceed ~2^range_bits
-    # postings per term.
-    nparts = spark.sparkContext.defaultParallelism
+    # postings per term. Partition count = shuffle conf (data-size knob).
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     postings = (
         occurrences.repartition(nparts, "term", "range_id")
         .sortWithinPartitions("term", "range_id", "doc_id")
