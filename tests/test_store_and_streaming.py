@@ -159,6 +159,65 @@ def test_streaming_incremental_index(spark, tmp_path):
     assert IndexStore(spark, root).segments() == segs_before
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A17 contract: with a watermark, rows older than (max event time −
+    delay) arriving in a later batch are DROPPED from append-mode windows —
+    the bounded-wait replacement for the reference's 60 s sleep
+    (base.py:83-100)."""
+    from rabbit_index_ingest_spark.streaming.ingest import (
+        read_transcript_stream,
+        windowed_turn_counts,
+    )
+
+    src = str(tmp_path / "src")
+    base = "2026-01-01 00:{m:02d}:00"
+    rows1 = [("c1", 0, "user", "a", None, base.format(m=1)),
+             ("c1", 1, "user", "b", None, base.format(m=30))]
+    rows2 = [("c2", 0, "user", "late", None, base.format(m=2))]  # 28 min late
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts_s string"
+
+    def write(rows, name):
+        (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.col("ts_s").cast("timestamp"))
+            .drop("ts_s")
+            .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+            .write.mode("append").parquet(src)
+        )
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            windowed_turn_counts(
+                read_transcript_stream(spark, src, max_files_per_trigger=100),
+                "5 minutes",
+            )
+            .select("conv_id", F.col("window.start").alias("w_start"), "n_turns")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write(rows1, "b1")
+    run_once()  # watermark advances to 00:25 (max 00:30 − 5 min), persisted
+    write(rows2, "b2")  # minute-2 row arrives AFTER the watermark passed it
+    run_once()  # resumes from checkpoint → late row dropped
+    got = {
+        (r["conv_id"], r["w_start"].minute): r["n_turns"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # c1's minute-1 window closed and was emitted; the late c2 row must not
+    # materialize a window (the bounded-wait contract)
+    assert ("c1", 1) in got, got
+    assert all(k[0] != "c2" for k in got), got
+
+
 def test_watermarked_stream_aggregation(spark, tmp_path):
     from rabbit_index_ingest_spark.streaming.ingest import (
         read_transcript_stream,
