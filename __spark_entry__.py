@@ -401,6 +401,14 @@ def _q_t1_token_counts(spark, sf_dir):
     )
 
 
+def _q_t5_bpe_tokens(spark, sf_dir):
+    from rabbit_index_ingest_spark.functions.text import bpe_ish_token_count_expr
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", bpe_ish_token_count_expr("text").cast("long").alias("n_bpe_tokens")
+    )
+
+
 def _q_t2_quality(spark, sf_dir):
     from rabbit_index_ingest_spark.functions.text import (
         punct_ratio_expr,
@@ -462,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_embedding_neardup": _q_s2_embedding_neardup,
         "s3_ivf_topk": _q_s3_ivf_topk,
         "t1_token_counts": _q_t1_token_counts,
+        "t5_bpe_tokens": _q_t5_bpe_tokens,
         "t2_quality": _q_t2_quality,
         "t3_lang_id": _q_t3_lang_id,
         "t4_fingerprint": _q_t4_fingerprint,
@@ -735,6 +744,12 @@ FROM dots WHERE round(dot / (nx * ny), 6) >= 0.5
     sql["t1_token_counts"] = f"""
 SELECT doc_id, len({tok}) AS n_tokens,
        len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_ws_tokens
+FROM documents
+"""
+
+    sql["t5_bpe_tokens"] = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS n_bpe_tokens
 FROM documents
 """
 

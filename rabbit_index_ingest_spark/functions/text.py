@@ -36,6 +36,19 @@ def ws_token_count_expr(text: Column | str) -> Column:
     return F.size(F.filter(F.split(c, r"\s+"), lambda x: x != F.lit("")))
 
 
+# BPE-ish pre-tokenization pattern (GPT-2-style, minus the \s+(?!\S)
+# lookahead so the same pattern runs in Java regex AND DuckDB's RE2):
+# a leading-space word, a leading-space number run, or a leading-space
+# punctuation run. Counts approximate LLM token counts for budgeting.
+BPE_ISH_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_ish_token_count_expr(text: Column | str) -> Column:
+    """Approximate LLM-token count via the BPE-ish pre-tokenizer regex."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
 def punct_ratio_expr(text: Column | str) -> Column:
     """Fraction of non-alnum-non-space chars — a quality feature."""
     c = F.col(text) if isinstance(text, str) else text
