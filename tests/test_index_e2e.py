@@ -79,7 +79,7 @@ def _rank_lists(spark_rows, oracle_top, id_map):
 QUERY_SET = [q for q in fixture_queries()]
 
 
-@pytest.mark.parametrize("qspec", QUERY_SET[:28], ids=lambda q: q["query_id"])
+@pytest.mark.parametrize("qspec", QUERY_SET, ids=lambda q: q["query_id"])
 def test_rank_identical_both_paths(corpus, qspec):
     _, _, searcher, oracle, id_map = corpus
     q, k = qspec["query_text"], qspec["k"]
