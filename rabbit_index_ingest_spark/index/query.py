@@ -114,13 +114,18 @@ class Searcher:
         avgdl: float,
         deleted: set[int] | None = None,
         range_bits: int = RANGE_BITS,
+        deleted_df: DataFrame | None = None,
     ):
+        """``deleted`` (small set, broadcast into scorer closures) or
+        ``deleted_df`` (a doc_id DataFrame, cogrouped per doc range — the
+        scale path for large tombstone tables); pass one or the other."""
         self.spark = spark
         self.postings = postings
         self.dictionary = dictionary
         self.n_docs = n_docs
         self.avgdl = avgdl
         self.deleted = frozenset(deleted or ())
+        self.deleted_df = deleted_df
         self.range_bits = range_bits
         # term → df cache: repeated query terms skip the dictionary scan
         # (the dictionary is immutable for a Searcher's lifetime; df=0 is
@@ -172,7 +177,9 @@ class Searcher:
             )
         )
         flat = flat_postings(blocks)
-        if self.deleted:
+        if self.deleted_df is not None:
+            flat = flat.join(self.deleted_df.select("doc_id"), "doc_id", "left_anti")
+        elif self.deleted:
             flat = flat.where(~F.col("doc_id").isin(list(self.deleted)))
         scored = (
             flat.join(idf_df, "term")
@@ -199,10 +206,27 @@ class Searcher:
         if plan is None:
             return _empty_topk(self.spark)
         idfs, blocks = plan
-        scorer = _make_range_scorer(
-            idfs, self.avgdl, k, self.range_bits, self.deleted
-        )
-        local = blocks.groupBy("range_id").applyInPandas(scorer, TOPK_SCHEMA)
+        if self.deleted_df is not None:
+            # tombstones at scale: cogroup each doc-range's blocks with its
+            # tombstone rows — the deleted set never leaves the cluster
+            # (vs broadcasting a Python set, which caps at ~10^6 deletes)
+            scorer = _make_range_scorer(
+                idfs, self.avgdl, k, self.range_bits, frozenset(), cogrouped=True
+            )
+            tombs = self.deleted_df.select(
+                F.col("doc_id"),
+                F.shiftright("doc_id", self.range_bits).alias("range_id"),
+            )
+            local = (
+                blocks.groupBy("range_id")
+                .cogroup(tombs.groupBy("range_id"))
+                .applyInPandas(scorer, TOPK_SCHEMA)
+            )
+        else:
+            scorer = _make_range_scorer(
+                idfs, self.avgdl, k, self.range_bits, self.deleted
+            )
+            local = blocks.groupBy("range_id").applyInPandas(scorer, TOPK_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def fetch_topk(
@@ -226,10 +250,28 @@ def _make_range_scorer(
     k: int,
     range_bits: int,
     deleted: frozenset,
+    cogrouped: bool = False,
 ):
-    """Exact MaxScore/block-max scorer for one doc range (applyInPandas)."""
+    """Exact MaxScore/block-max scorer for one doc range (applyInPandas;
+    with ``cogrouped=True`` the second frame carries this range's
+    tombstoned doc_ids)."""
     range_size = 1 << range_bits
     eps = 1e-9
+
+    def score_range_cogrouped(
+        key: tuple, pdf: pd.DataFrame, tombs: pd.DataFrame
+    ) -> pd.DataFrame:
+        local = _make_range_scorer(
+            idfs,
+            avgdl,
+            k,
+            range_bits,
+            frozenset(tombs["doc_id"].tolist()),
+        )
+        return local(key, pdf)
+
+    if cogrouped:
+        return score_range_cogrouped
 
     def score_range(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (range_id,) = key
