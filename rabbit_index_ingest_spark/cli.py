@@ -85,8 +85,11 @@ def main(argv: list[str] | None = None) -> int:
         from .index.store import IndexStore
 
         L = IndexStore(spark, args.index).load()
+        # tombstones ride as a DataFrame (cogrouped per doc range in the
+        # scorer) — the deleted set never materializes on the driver
         s = Searcher(
-            spark, L.postings, L.dictionary, L.n_docs, L.avgdl, deleted=L.deleted
+            spark, L.postings, L.dictionary, L.n_docs, L.avgdl,
+            deleted_df=L.deleted_df,
         )
         fn = s.topk_blockmax if args.path == "blockmax" else s.topk_dataframe
         rows = (

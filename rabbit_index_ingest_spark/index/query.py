@@ -201,7 +201,10 @@ class Searcher:
 
     # ---------------- block-max fast path ----------------
 
-    def topk_blockmax(self, query_text: str, k: int = 10) -> DataFrame:
+    def topk_blockmax(self, query_text: str, k: int = 10, skip_acc=None) -> DataFrame:
+        """``skip_acc``: optional SparkContext accumulator incremented by the
+        number of posting blocks the scorer proved sub-θ and never decoded
+        (pruning observability; used by tests and bench)."""
         plan = self._plan(query_text)
         if plan is None:
             return _empty_topk(self.spark)
@@ -211,7 +214,8 @@ class Searcher:
             # tombstone rows — the deleted set never leaves the cluster
             # (vs broadcasting a Python set, which caps at ~10^6 deletes)
             scorer = _make_range_scorer(
-                idfs, self.avgdl, k, self.range_bits, frozenset(), cogrouped=True
+                idfs, self.avgdl, k, self.range_bits, frozenset(),
+                cogrouped=True, skip_acc=skip_acc,
             )
             tombs = self.deleted_df.select(
                 F.col("doc_id"),
@@ -224,7 +228,8 @@ class Searcher:
             )
         else:
             scorer = _make_range_scorer(
-                idfs, self.avgdl, k, self.range_bits, self.deleted
+                idfs, self.avgdl, k, self.range_bits, self.deleted,
+                skip_acc=skip_acc,
             )
             local = blocks.groupBy("range_id").applyInPandas(scorer, TOPK_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -251,12 +256,35 @@ def _make_range_scorer(
     range_bits: int,
     deleted: frozenset,
     cogrouped: bool = False,
+    skip_acc=None,
 ):
     """Exact MaxScore/block-max scorer for one doc range (applyInPandas;
     with ``cogrouped=True`` the second frame carries this range's
-    tombstoned doc_ids)."""
+    tombstoned doc_ids).
+
+    Tombstones are masked **at block-decode time** (before any score is
+    accumulated), so the skip threshold θ and every partial sum are
+    tombstone-free — a deleted doc ranking highly can never cause a block
+    holding live top-k docs to be skipped, and live docs are never returned
+    under-scored. (Masking only at the end would poison θ.)
+
+    θ discipline (exactness-preserving MaxScore/BMW):
+    * partial accumulated scores are *lower bounds* on final scores (every
+      term contribution is ≥ 0), so the running kth-largest partial score
+      is a valid lower bound on the range's kth-best final score;
+    * θ is refreshed both after each term AND every ``_THETA_REFRESH``
+      blocks within a term, so single-/hot-term queries prune too (a
+      per-term-only θ never skips anything on a one-term query);
+    * blocks are visited in descending block-upper-bound order within each
+      term, so once the span-independent bound fails for one block it fails
+      for all remaining blocks of that term (early break);
+    * a block is skipped only when max(total over its doc span) + idf·ub +
+      Σ remaining-term upper bounds < θ − eps: no doc in it can enter the
+      local top-k. ``skip_acc`` (a SparkContext accumulator) counts skips.
+    """
     range_size = 1 << range_bits
     eps = 1e-9
+    _THETA_REFRESH = 8  # blocks between within-term θ refreshes
 
     def score_range_cogrouped(
         key: tuple, pdf: pd.DataFrame, tombs: pd.DataFrame
@@ -267,6 +295,7 @@ def _make_range_scorer(
             k,
             range_bits,
             frozenset(tombs["doc_id"].tolist()),
+            skip_acc=skip_acc,
         )
         return local(key, pdf)
 
@@ -276,12 +305,24 @@ def _make_range_scorer(
     def score_range(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (range_id,) = key
         base = int(range_id) << range_bits
+        # local bitmap of tombstoned slots in this range (decode-time mask)
+        del_mask = None
+        if deleted:
+            local_del = np.fromiter(deleted, dtype=np.int64) - base
+            local_del = local_del[(local_del >= 0) & (local_del < range_size)]
+            if len(local_del):
+                del_mask = np.zeros(range_size, dtype=bool)
+                del_mask[local_del] = True
         pdf = pdf.assign(
             ub=codec.tf_norm(
                 pdf["max_tf"].to_numpy(), pdf["min_dl"].to_numpy(), avgdl
             )
         )
-        by_term = {t: g.sort_values("first_doc") for t, g in pdf.groupby("term")}
+        # descending ub: the pruning-friendly visit order (see docstring)
+        by_term = {
+            t: g.sort_values("ub", ascending=False)
+            for t, g in pdf.groupby("term")
+        }
         # U_t = max possible contribution of term t within this range
         U = {t: idfs[t] * float(g["ub"].max()) for t, g in by_term.items()}
         order = sorted(U, key=lambda t: -U[t])
@@ -292,31 +333,63 @@ def _make_range_scorer(
         total = np.zeros(range_size, dtype=np.float64)
         per_term: dict[str, np.ndarray] = {}
         theta = 0.0
+        skipped = 0
+
+        def kth_partial(extra: np.ndarray | None) -> float:
+            combined = total if extra is None else total + extra
+            touched = combined[combined > 0.0]
+            if len(touched) >= k:
+                return float(np.partition(touched, -k)[-k])
+            return 0.0
+
         for i, t in enumerate(order):
             idf = idfs[t]
+            rest = suffix[i + 1]
             arr = np.zeros(range_size, dtype=np.float64)
-            for row in by_term[t].itertuples(index=False):
-                lo, hi = row.first_doc - base, row.last_doc - base
+            total_max = float(total.max()) if theta > 0.0 else 0.0
+            since_refresh = 0
+            blocks_t = by_term[t]
+            n_blk = len(blocks_t)
+            for bi, row in enumerate(blocks_t.itertuples(index=False)):
                 if theta > 0.0:
+                    # ub-desc order: if even the best-scoring doc anywhere
+                    # can't reach θ with this block's ub, no later block can
+                    if total_max + idf * row.ub + rest < theta - eps:
+                        skipped += n_blk - bi
+                        break
+                    lo, hi = row.first_doc - base, row.last_doc - base
                     span_max = float(total[lo : hi + 1].max())
-                    if span_max + idf * row.ub + suffix[i + 1] < theta - eps:
+                    if span_max + idf * row.ub + rest < theta - eps:
+                        skipped += 1
                         continue  # no doc in this block can reach top-k
                 ids, tfs = codec.unpack_block(row.doc_bytes, row.tf_bytes)
                 dls = codec.varbyte_decode(row.dl_bytes)
+                if del_mask is not None:
+                    live = ~del_mask[ids - base]
+                    if not live.all():
+                        ids, tfs, dls = ids[live], tfs[live], dls[live]
+                        if len(ids) == 0:
+                            continue
                 arr[ids - base] += idf * codec.tf_norm(tfs, dls, avgdl)
+                since_refresh += 1
+                if since_refresh >= _THETA_REFRESH:
+                    since_refresh = 0
+                    new_theta = kth_partial(arr)
+                    if new_theta > theta:
+                        theta = new_theta
+                        total_max = float(total.max())
             per_term[t] = arr
             total += arr
-            touched = total[total > 0.0]
-            if len(touched) >= k:
-                theta = float(np.partition(touched, -k)[-k])
+            theta = max(theta, kth_partial(None))
+
+        if skip_acc is not None and skipped:
+            skip_acc.add(skipped)
 
         # deterministic final accumulation: sorted-term order (oracle parity)
         final = np.zeros(range_size, dtype=np.float64)
         for t in sorted(per_term):
             final += per_term[t]
         nz = np.flatnonzero(final > 0.0)
-        if deleted and len(nz):
-            nz = nz[~np.isin(nz + base, np.fromiter(deleted, dtype=np.int64))]
         if len(nz) == 0:
             return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                  "score": pd.Series(dtype="float64")})

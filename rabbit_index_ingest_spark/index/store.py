@@ -16,9 +16,12 @@ that contract on a data lake:
 
 * **Upsert (B7, doc_as_upsert)** — re-ingesting turns with an existing
   (conv_id, turn_idx) key appends a new *segment* (Lucene-style: immutable
-  additive postings + a tombstone set of superseded doc_ids). Queries mask
-  tombstones; ``compact()`` rebuilds a single segment. Like Lucene/ES,
-  corpus stats include not-yet-compacted deleted docs.
+  additive postings + a per-segment parquet **tombstone table** of
+  superseded doc_ids — computed, written, queried and compacted entirely
+  as DataFrames, never collected to the driver). Queries mask tombstones
+  at block-decode time; ``compact()`` anti-joins them and rebuilds a
+  single segment. Like Lucene/ES, corpus stats include not-yet-compacted
+  deleted docs.
 
 * **At-least-once → exactly-once (A15/A16)** — every build stage commits a
   manifest row (stage, partition/bucket, row counts, bytes, status) under
@@ -56,8 +59,24 @@ class LoadedIndex:
     postings: DataFrame
     n_docs: int
     avgdl: float
-    deleted: set[int]
     next_doc_id: int
+    # tombstones as a TABLE (None = no deletes). The scale path: queries
+    # cogroup / anti-join this DataFrame; it is never collected by load().
+    deleted_df: DataFrame | None = None
+    _deleted_cache: set[int] | None = None
+
+    @property
+    def deleted(self) -> set[int]:
+        """Driver-side tombstone set — convenience for small indexes and
+        tests only (collects deleted_df on first access). At scale use
+        ``deleted_df`` directly; nothing in load() materializes it."""
+        if self._deleted_cache is None:
+            self._deleted_cache = (
+                {r["doc_id"] for r in self.deleted_df.select("doc_id").collect()}
+                if self.deleted_df is not None
+                else set()
+            )
+        return self._deleted_cache
 
 
 class IndexStore:
@@ -216,21 +235,42 @@ class IndexStore:
             for s in self.segments()
             if os.path.isdir(self._path(table, s))
         ]
+        if not dfs:
+            raise FileNotFoundError(
+                f"no index segments under {self.root!r} (table {table!r}) — "
+                "run `build` first, or point --index at an existing root"
+            )
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
 
-    def tombstones(self) -> set[int]:
-        p = os.path.join(self.root, "_tombstones.json")
-        if os.path.exists(p):
-            with open(p) as f:
-                return set(json.load(f))
-        return set()
+    # ------------- tombstones (a TABLE, never a driver-side set) ---------
 
-    def _write_tombstones(self, t: set[int]) -> None:
-        with open(os.path.join(self.root, "_tombstones.json"), "w") as f:
-            json.dump(sorted(t), f)
+    def _tomb_path(self, segment: int) -> str:
+        return os.path.join(self.root, "_tombstones", f"seg={segment:05d}")
+
+    def _tomb_segments(self) -> list[str]:
+        d = os.path.join(self.root, "_tombstones")
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            os.path.join(d, s) for s in os.listdir(d) if s.startswith("seg=")
+        )
+
+    def tombstones_df(self) -> DataFrame | None:
+        """All tombstoned doc_ids as a DataFrame (None if no deletes).
+        Distributed end-to-end: written by upsert() without any collect,
+        cogrouped per doc range at query time, anti-joined by compact()."""
+        paths = self._tomb_segments()
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths).select("doc_id")
+
+    def tombstones(self) -> set[int]:
+        """Driver-side convenience (tests / tiny indexes); see tombstones_df."""
+        df = self.tombstones_df()
+        return {r["doc_id"] for r in df.collect()} if df is not None else set()
 
     def load(self) -> LoadedIndex:
         doc_stats = self._read_all("doc_stats")
@@ -250,7 +290,7 @@ class IndexStore:
             postings=postings,
             n_docs=n_docs,
             avgdl=avgdl,
-            deleted=self.tombstones(),
+            deleted_df=self.tombstones_df(),
             next_doc_id=int(
                 doc_stats.agg(F.max("doc_id")).collect()[0][0] or -1
             )
@@ -285,10 +325,24 @@ class IndexStore:
         segment whose doc_ids start above the current max (``id_base``),
         append its tables, and tombstone the superseded old doc_ids. Old
         segments are never rewritten (cheap, atomic-per-table); queries
-        mask tombstones. Returns the new segment id.
+        mask tombstones. The superseded set is computed and persisted as a
+        DataFrame→parquet — it never touches the driver, so a 10^9-delete
+        re-ingestion is fine. Returns the new segment id.
         """
         existing = self.load()
         seg = (self.segments()[-1] + 1) if self.segments() else 0
+        # in-batch last-write-wins: the reference applies messages one at a
+        # time, so a batch carrying the same (conv_id, turn_idx) twice must
+        # leave exactly ONE live version. Deterministic pick: max (ts, text)
+        # — latest timestamp wins, text as a total tie-break.
+        pick_cols = [F.col(text_col).alias("t")]
+        if "ts" in new_turns.columns:
+            pick_cols.insert(0, F.col("ts"))
+        new_turns = (
+            new_turns.groupBy(id_col, order_col)
+            .agg(F.max(F.struct(*pick_cols)).alias("_m"))
+            .select(id_col, order_col, F.col("_m.t").alias(text_col))
+        )
         built = build_index(
             self.spark, new_turns, id_col, order_col, text_col,
             id_base=existing.next_doc_id,
@@ -297,19 +351,15 @@ class IndexStore:
         new_keys = built.doc_stats.select(
             F.col("conv_id").alias("k1"), F.col("turn_idx").alias("k2")
         )
-        superseded = (
-            existing.doc_stats.join(
-                F.broadcast(new_keys),
-                (F.col("conv_id") == F.col("k1")) & (F.col("turn_idx") == F.col("k2")),
-                "left_semi",
-            )
-            .select("doc_id")
-            .collect()
-        )
+        superseded = existing.doc_stats.join(
+            F.broadcast(new_keys),
+            (F.col("conv_id") == F.col("k1")) & (F.col("turn_idx") == F.col("k2")),
+            "left_semi",
+        ).select("doc_id")
         self.save(built, segment=seg)
-        tombs = self.tombstones() | {r["doc_id"] for r in superseded}
-        self._write_tombstones(tombs)
-        self.log_manifest(f"seg{seg}/upsert", "done", tombstones=len(tombs))
+        superseded.write.mode("overwrite").parquet(self._tomb_path(seg))
+        n_new = self.spark.read.parquet(self._tomb_path(seg)).count()
+        self.log_manifest(f"seg{seg}/upsert", "done", new_tombstones=n_new)
         return seg
 
     def compact(self) -> None:
@@ -318,17 +368,19 @@ class IndexStore:
         existing = self.load()
         if existing.docs is None:
             raise ValueError("compact requires the docs (text) table")
-        latest = existing.docs.where(
-            ~F.col("doc_id").isin(list(existing.deleted))
-            if existing.deleted
-            else F.lit(True)
-        ).select("conv_id", "turn_idx", "text")
+        latest = existing.docs
+        if existing.deleted_df is not None:
+            # distributed anti-join — tombstones never materialize driver-side
+            latest = latest.join(
+                existing.deleted_df.select("doc_id"), "doc_id", "left_anti"
+            )
+        latest = latest.select("conv_id", "turn_idx", "text")
         latest = latest.localCheckpoint()  # sever lineage from dirs we delete
         built = build_index(self.spark, latest)
         import shutil
 
         for s in self.segments():
             shutil.rmtree(os.path.join(self.root, f"seg={s:05d}"))
-        self._write_tombstones(set())
+        shutil.rmtree(os.path.join(self.root, "_tombstones"), ignore_errors=True)
         self.save(built, segment=0)
         self.log_manifest("compact", "done", n_docs=built.n_docs)

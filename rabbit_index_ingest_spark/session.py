@@ -19,20 +19,40 @@ DEFAULT_SHUFFLE_PARTITIONS = 32
 
 def package_zip() -> str:
     """Zip this package for shipping to executors (spark-submit --py-files
-    analogue, usable from a plain python process). Idempotent per process."""
+    analogue, usable from a plain python process).
+
+    The zip filename is keyed on a content hash of every .py source, so an
+    edited package can never ship a stale zip from a previous process to
+    the workers (a plain existence check would: /tmp persists across
+    processes, and workers would then silently run old pandas-UDF code
+    while the driver runs new code)."""
+    import hashlib
+
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     pkg_name = os.path.basename(pkg_dir)
-    out = os.path.join(tempfile.gettempdir(), f"{pkg_name}.zip")
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in files:
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                sources.append(
+                    (os.path.join(pkg_name, os.path.relpath(full, pkg_dir)), full)
+                )
+    sources.sort()
+    h = hashlib.sha1()
+    for rel, full in sources:
+        h.update(rel.encode())
+        with open(full, "rb") as f:
+            h.update(f.read())
+    out = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}-{h.hexdigest()[:12]}.zip"
+    )
     if not os.path.exists(out):
-        with zipfile.ZipFile(out, "w") as z:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.join(
-                            pkg_name, os.path.relpath(full, pkg_dir)
-                        )
-                        z.write(full, rel)
+        tmp = out + f".tmp{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for rel, full in sources:
+                z.write(full, rel)
+        os.replace(tmp, out)  # atomic: concurrent processes can't torn-read
     return out
 
 

@@ -241,3 +241,57 @@ def test_watermarked_stream_aggregation(spark, tmp_path):
     # watermarked rather than asserting row counts.
     assert "turn_counts" in [t.name for t in spark.catalog.listTables()]
     assert q.lastProgress is not None
+
+
+def test_upsert_duplicate_keys_in_batch_last_write_wins(spark, root):
+    """A batch carrying the same (conv_id, turn_idx) twice leaves exactly
+    ONE live version (reference doc_as_upsert contract: one message at a
+    time, last write wins). Deterministic pick: max (ts, text)."""
+    t = transcripts_df(spark, n_conv=10)
+    store = IndexStore(spark, root)
+    store.save(build_index(spark, t), segment=0)
+    dup = spark.createDataFrame(
+        [
+            ("conv-dup", 0, "xenolith early version", "2024-01-01 00:00:00"),
+            ("conv-dup", 0, "xenolith late version", "2024-01-02 00:00:00"),
+        ],
+        "conv_id string, turn_idx int, text string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    store.upsert(dup)
+    L, s = _searcher(spark, store)
+    hits = s.fetch_topk("xenolith", 10, L.docs).collect()
+    texts = {r["text"] for r in hits if r["conv_id"] == "conv-dup"}
+    assert texts == {"xenolith late version"}
+
+
+def test_upsert_tombstones_never_hit_driver_at_1e5(spark, root):
+    """10^5-tombstone upsert: the superseded set stays a DataFrame
+    (parquet tombstone table), load() does not collect it, and both query
+    paths mask every tombstone."""
+    n = 100_000
+    base = spark.range(n).select(
+        F.concat(F.lit("c"), F.lpad(F.col("id").cast("string"), 7, "0")).alias(
+            "conv_id"
+        ),
+        F.lit(0).alias("turn_idx"),
+        F.concat(F.lit("alpha beta gamma doc "), F.col("id")).alias("text"),
+    )
+    store = IndexStore(spark, root)
+    store.save(build_index(spark, base), segment=0)
+    # re-ingest EVERY key → 10^5 tombstones
+    store.upsert(base.withColumn("text", F.concat(F.col("text"), F.lit(" v2"))))
+    L = store.load()
+    assert L.deleted_df is not None
+    assert L.deleted_df.count() == n
+    s = Searcher(
+        spark, L.postings, L.dictionary, L.n_docs, L.avgdl, deleted_df=L.deleted_df
+    )
+    top = s.topk_blockmax("alpha", 5).collect()
+    assert len(top) == 5
+    assert all(r["doc_id"] >= n for r in top)  # only v2 docs are live
+
+
+def test_load_on_missing_root_raises_clear_error(spark, tmp_path):
+    store = IndexStore(spark, str(tmp_path / "nope"))
+    with pytest.raises(FileNotFoundError, match="no index segments"):
+        store.load()
