@@ -154,19 +154,37 @@ def _q_b6_bm25_topk(spark, sf_dir):
     )
 
 
+B7_CORPUS_PARQUET = "/tmp/rii_b7_transcripts.parquet"
+B7_QUERY = "zephyr quantum lattice"
+
+
+def _write_b7_corpus() -> None:
+    """Materialize the (deterministic, seed-42) b7 transcript corpus where
+    the DuckDB oracle can read_parquet it. Pure pandas→pyarrow — no Spark —
+    so BOTH queries() and oracle_sql() can call it regardless of which the
+    driver runs first; repeated writes are byte-stable."""
+    from rabbit_index_ingest_spark.datagen import transcripts_pandas
+
+    transcripts_pandas(n_conv=60)[["conv_id", "turn_idx", "text"]].to_parquet(
+        B7_CORPUS_PARQUET, index=False
+    )
+
+
 def _q_b7_transcripts_topk(spark, sf_dir):
-    """[rows-only] Full pipeline on synthetic transcripts (datagen →
-    build → block-max query). No DuckDB twin: transcripts are not a
-    registered view; rank/score parity is enforced against the in-repo
-    pure-Python oracle by tests/test_index_e2e.py."""
+    """Full pipeline on synthetic transcripts (datagen → build → block-max
+    query). The DuckDB twin scores the same corpus from a parquet snapshot
+    (read_parquet) with the pure-SQL BM25 scorer; rank/score parity is
+    additionally enforced against the in-repo pure-Python oracle by
+    tests/test_index_e2e.py."""
     from rabbit_index_ingest_spark.datagen import transcripts_df
     from rabbit_index_ingest_spark.index.build import build_index
     from rabbit_index_ingest_spark.index.query import Searcher
 
+    _write_b7_corpus()
     t = transcripts_df(spark, n_conv=60)
     built = build_index(spark, t)
     s = Searcher(spark, built.postings, built.dictionary, built.n_docs, built.avgdl)
-    top = s.topk_blockmax("zephyr quantum lattice", 10)
+    top = s.topk_blockmax(B7_QUERY, 10)
     return top.join(built.doc_stats, "doc_id").select(
         "conv_id", "turn_idx", F.round("score", 4).alias("score")
     )
@@ -260,15 +278,43 @@ def _q_a9_lookup_join(spark, sf_dir):
 
 
 def _q_a11_path_metadata(spark, sf_dir):
-    from rabbit_index_ingest_spark.operators.pathmeta import path_metadata
+    """FULL reference document projection (path_tools.py:125-179): depth /
+    dir / archive_path with symlink ..-resolution, link, type, and the
+    dir-only conditional MOLES title/url/record_type enrichment. Link
+    targets, dir-ness and the catalogue dimension are synthesized
+    deterministically from doc_id so the DuckDB twin can recompute the
+    expected semantics independently."""
+    from rabbit_index_ingest_spark.operators.pathmeta import path_metadata_full
 
+    sid = F.col("doc_id").cast("string")
     d = _docs(spark, sf_dir).select(
         "doc_id",
         F.concat(F.lit("/corpus/"), "source", F.lit("/"), "lang", F.lit("/doc-"),
-                 F.col("doc_id").cast("string")).alias("path"),
+                 sid).alias("path"),
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit("../shared/t-"), sid))
+        .when(F.col("doc_id") % 7 == 1, F.concat(F.lit("/mirror/doc-"), sid))
+        .when(F.col("doc_id") % 7 == 2, F.concat(F.lit("/datacentre/x-"), sid))
+        .alias("link_target"),
+        (F.col("doc_id") % 3 == 0).alias("is_dir"),
     )
-    return path_metadata(d).select(
-        "doc_id", F.col("depth").cast("long").alias("depth"), "dir", "archive_path"
+    dim = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 5 == 0)
+        .select(
+            F.concat(F.lit("/corpus/"), "source", F.lit("/"), "lang",
+                     F.lit("/doc-"), sid).alias("data_path"),
+            F.when(F.col("doc_id") % 10 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("Doc "), sid)
+            ).alias("title"),
+            F.concat(F.lit("https://catalogue.example/"), sid).alias("url"),
+            F.lit("Dataset").alias("record_type"),
+        )
+    )
+    return path_metadata_full(
+        d, link_target_col="link_target", is_dir_col="is_dir", moles_dim=dim
+    ).select(
+        "doc_id", F.col("depth").cast("long").alias("depth"), "dir",
+        "archive_path", "link", "type", "title", "url", "record_type",
     )
 
 
@@ -371,6 +417,40 @@ def _q_s2_embedding_neardup(spark, sf_dir):
     )
 
 
+def _q_s4_embedding_neardup_lsh(spark, sf_dir):
+    """Bucketed embedding near-dup (random-hyperplane LSH → chunk join →
+    exact cosine verify) — the scale-safe alternative to s2's all-pairs
+    shape. Exact near-duplicates are planted (vec_id+10000 copies) so the
+    all-pairs DuckDB twin has non-trivial rows to agree on."""
+    from rabbit_index_ingest_spark.operators.similarity import embedding_neardup_lsh
+
+    e = _emb(spark, sf_dir).where(F.col("vec_id") < 40).select("vec_id", "embedding")
+    dup = e.unionByName(
+        e.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    )
+    return embedding_neardup_lsh(dup, threshold=0.9)
+
+
+def _q_m1_media_features(spark, sf_dir):
+    """Multimodal plumbing with a checkable oracle: documents' text bytes
+    (ASCII-sanitized so byte==char) become binary payloads; the Arrow-
+    batched feature extractor computes byte stats over the BINARY column.
+    The DuckDB twin recomputes length + character-entropy on the string."""
+    from rabbit_index_ingest_spark.operators.multimodal import extract_features
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.regexp_replace("text", r"[^\x20-\x7e]", ""), "utf-8"
+        ).alias("payload"),
+    )
+    return extract_features(media).select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("byte_entropy"),
+    )
+
+
 def _q_s3_ivf_topk(spark, sf_dir):
     """[rows-only] IVF approximate NN: probes the 4 nearest of 8 centroid
     buckets (driver k-means is deterministic seed=42 but iterative —
@@ -468,7 +548,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5_simhash": _q_d5_simhash,
         "s1_cosine_topk": _q_s1_cosine_topk,
         "s2_embedding_neardup": _q_s2_embedding_neardup,
+        "s4_embedding_neardup_lsh": _q_s4_embedding_neardup_lsh,
         "s3_ivf_topk": _q_s3_ivf_topk,
+        "m1_media_features": _q_m1_media_features,
         "t1_token_counts": _q_t1_token_counts,
         "t5_bpe_tokens": _q_t5_bpe_tokens,
         "t2_quality": _q_t2_quality,
@@ -543,9 +625,49 @@ SELECT doc_id, {mh_cols} FROM shingled
 
 
 def oracle_sql() -> dict[str, str]:
+    # the b7 twin reads a parquet snapshot of the deterministic transcript
+    # corpus; write it here too (pure pandas) so the twin works no matter
+    # whether the driver runs queries() or oracle_sql() first
+    _write_b7_corpus()
     tok = _TOK
     sh = _SHINGLES.format(t="toks")
     sql: dict[str, str] = {}
+
+    sql["b7_transcripts_topk"] = f"""
+WITH docs AS (
+  SELECT conv_id, turn_idx, text FROM read_parquet('{B7_CORPUS_PARQUET}')
+),
+tok AS (
+  SELECT conv_id, turn_idx, unnest({tok}) AS term FROM docs
+),
+tf AS (SELECT conv_id, turn_idx, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2, 3),
+dl AS (SELECT conv_id, turn_idx, count(*)::DOUBLE AS dl FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM docs)::DOUBLE AS n,
+         (SELECT coalesce(sum(dl), 0) FROM dl)
+           / (SELECT count(*) FROM docs)::DOUBLE AS avgdl
+),
+qterms AS (SELECT DISTINCT unnest({TOKEN_SQL.format(c=f"'{B7_QUERY}'")}) AS term),
+dft AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx,
+         sum(
+           ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf
+  JOIN dft USING (term)
+  JOIN dl USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  GROUP BY 1, 2
+)
+SELECT conv_id, turn_idx, round(score, 4) AS score FROM scored
+ORDER BY score DESC, conv_id, turn_idx LIMIT 10
+"""
 
     sql["b1_doc_lengths"] = f"SELECT doc_id, len({tok}) AS dl FROM documents"
 
@@ -628,14 +750,26 @@ WHERE c.c_custkey < 500
 
     sql["a11_path_metadata"] = """
 WITH p AS (
-  SELECT doc_id,
+  SELECT doc_id, source, lang,
          '/corpus/' || source || '/' || lang || '/doc-' || doc_id AS path
   FROM documents
 )
 SELECT doc_id,
        len(string_split(path, '/')) - 1 AS depth,
        string_split(path, '/')[-1] AS dir,
-       path AS archive_path
+       CASE
+         WHEN doc_id % 7 = 1 THEN '/mirror/doc-' || doc_id
+         WHEN doc_id % 7 = 0 THEN '/corpus/' || source || '/shared/t-' || doc_id
+         ELSE path
+       END AS archive_path,
+       doc_id % 7 IN (0, 1, 2) AS link,
+       CASE WHEN doc_id % 3 = 0 THEN 'dir' ELSE 'file' END AS type,
+       CASE WHEN doc_id % 15 = 0 AND doc_id % 10 != 0
+            THEN 'Doc ' || doc_id END AS title,
+       CASE WHEN doc_id % 15 = 0 AND doc_id % 10 != 0
+            THEN 'https://catalogue.example/' || doc_id END AS url,
+       CASE WHEN doc_id % 15 = 0 AND doc_id % 10 != 0
+            THEN 'Dataset' END AS record_type
 FROM p
 """
 
@@ -739,6 +873,52 @@ dots AS (
 )
 SELECT a, b, round(dot / (nx * ny), 6) AS cosine
 FROM dots WHERE round(dot / (nx * ny), 6) >= 0.5
+"""
+
+    # s4: the engine runs the BUCKETED LSH path (sketch → chunk join →
+    # exact verify); the twin is the brute-force all-pairs definition over
+    # the same planted-duplicate set — equality proves 100% recall of the
+    # bucketed plan on this corpus, with no cartesian join in the engine.
+    sql["s4_embedding_neardup_lsh"] = """
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 40
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 40
+),
+pairs AS (
+  SELECT l.vec_id AS a, r.vec_id AS b, l.embedding AS va, r.embedding AS vb
+  FROM e l JOIN e r ON l.vec_id < r.vec_id
+),
+expl AS (
+  SELECT a, b, unnest(va)::DOUBLE AS x, unnest(vb)::DOUBLE AS y FROM pairs
+),
+dots AS (
+  SELECT a, b, sum(x * y) AS dot, sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
+  FROM expl GROUP BY 1, 2
+)
+SELECT a, b, round(dot / (nx * ny), 6) AS cosine
+FROM dots WHERE round(dot / (nx * ny), 6) >= 0.9
+"""
+
+    sql["m1_media_features"] = r"""
+WITH s AS (
+  SELECT doc_id AS media_id,
+         regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t
+  FROM documents
+),
+ch AS (
+  SELECT media_id, unnest(string_split(t, '')) AS c FROM s WHERE length(t) > 0
+),
+cnt AS (SELECT media_id, c, count(*)::DOUBLE AS n FROM ch GROUP BY 1, 2),
+tot AS (SELECT media_id, sum(n) AS tn FROM cnt GROUP BY 1),
+ent AS (
+  SELECT cnt.media_id, -sum((n / tn) * log2(n / tn)) AS e
+  FROM cnt JOIN tot USING (media_id) GROUP BY 1
+)
+SELECT s.media_id,
+       length(s.t)::BIGINT AS n_bytes,
+       round(coalesce(ent.e, 0.0), 6) AS byte_entropy
+FROM s LEFT JOIN ent USING (media_id)
 """
 
     sql["t1_token_counts"] = f"""

@@ -35,9 +35,13 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # transcript corpus size per sf tier (≈7 turns/conv)
 N_CONV = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 30000}
-# scaling mode uses a larger fixed corpus so parallel work dominates the
-# ~9 s of fixed per-build cost (driver jobs, JIT, Python-worker spin-up)
-SCALING_N_CONV = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "120000"))
+# scaling mode uses a larger fixed corpus (600k convs ≈ 4.2M turns) so
+# parallel work dominates the ~17-28 s of fixed per-build cost (driver job
+# scheduling, JIT warm-up, Python-worker spin-up, parquet commits) —
+# Amdahl: efficiency ≥0.8 between 2 and 8 pinned cores needs
+# fixed ≤ parallel_work/22; measured parallel work is ~180 s per million
+# turns on one core, so ≥4M turns gives the needed margin
+SCALING_N_CONV = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "600000"))
 
 def _queries() -> dict[str, str]:
     from rabbit_index_ingest_spark.datagen import VOCAB
@@ -81,7 +85,21 @@ def run_suite(cpus: int, quick: bool = False) -> dict:
     # shuffle partitions sized for the DATA (constant across parallelism
     # levels — scaling compares the identical plan at different core
     # counts, and per-partition sorts must not spill)
-    spark = get_spark(app_name=f"bench-{cpus}", cores=cpus, shuffle_partitions=64)
+    #
+    # In quick/scaling mode the JVM is additionally told it HAS cpus cores
+    # (-XX:ActiveProcessorCount): a bare local[2] JVM on this 32-core host
+    # still runs 32 GC/JIT/netty background threads — i.e. it models "2
+    # task slots on a 32-core executor", not a 2-core cluster. Capping the
+    # processor count is what container CPU limits do on a real cluster and
+    # makes the N-vs-4N comparison an honest machine-size emulation.
+    extra = (
+        {"spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cpus}"}
+        if quick
+        else None
+    )
+    spark = get_spark(
+        app_name=f"bench-{cpus}", cores=cpus, shuffle_partitions=64, extra_conf=extra
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     n_conv = SCALING_N_CONV if quick else N_CONV.get(_sf_name(), 3000)
@@ -89,6 +107,12 @@ def run_suite(cpus: int, quick: bool = False) -> dict:
     corpus = _corpus_parquet(spark, n_conv)
     transcripts = spark.read.parquet(corpus)
     n_turns = transcripts.count()
+    if quick:
+        # untimed warm read of the text column: parquet count() is
+        # metadata-only, so without this the first timed build pays a cold
+        # page-cache read that later interleaved reps don't — an artifact,
+        # not a scaling property (observed: 95.6/84.2/74.4 s rep trend)
+        transcripts.select(F.max(F.length("text"))).collect()
     _log(f"corpus ready: {n_turns} turns in {time.time()-t0:.1f}s")
 
     timings: dict[str, float] = {}
@@ -195,7 +219,16 @@ def main() -> None:
         # runs (an 8-core build measured 16.4/25.8/48.6 s back-to-back),
         # so we interleave repetitions and take the MINIMUM — the
         # contention-free estimate, standard for shared-host benchmarks.
-        lo, hi, reps = 2, 8, 2
+        #
+        # Each level is CPU-PINNED to exactly N cores (taskset) and the JVM
+        # is told it has N (-XX:ActiveProcessorCount). Without pinning, a
+        # local[2] run on this 32-core host borrows the whole socket for
+        # its Python workers, GC, JIT and page cache — i.e. it measures "2
+        # task slots on a 32-core machine", not a 2-core executor, and the
+        # ratio is meaningless as cluster-size evidence. With pinning both
+        # levels run everything (JVM task threads + pyspark workers) inside
+        # their core budget, exactly like N-core executor machines would.
+        lo, hi, reps = 2, 8, 3
         # pre-generate the shared corpus at full parallelism, then free the JVM
         from rabbit_index_ingest_spark.session import get_spark
 
@@ -207,8 +240,11 @@ def main() -> None:
         runs: dict[int, list[dict]] = {lo: [], hi: []}
         for _ in range(reps):
             for cpus in (lo, hi):
+                cmd = [sys.executable, os.path.abspath(__file__), "--subprocess", str(cpus)]
+                if os.path.exists("/usr/bin/taskset"):
+                    cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
                 out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--subprocess", str(cpus)],
+                    cmd,
                     capture_output=True,
                     text=True,
                     env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus)},

@@ -4,16 +4,21 @@ Pipeline (shuffles marked *):
 
   scan transcripts (column-pruned to conv_id, turn_idx, text)
     → assign dense doc_id            *repartitionByRange(conv_id, turn_idx)
-    → tokenize (JVM regexp, codegen) — analysis.tokens_expr
-    → doc_stats / corpus_stats       (side aggregation)
-    → explode → tf per (term, doc)   *groupBy(term, doc_id) — high-cardinality
-                                      key ⇒ no skew; partial agg map-side
-    → pack blocks per (term, range)  *groupBy(term, range_id) applyInPandas —
-                                      range_id = doc_id >> RANGE_BITS is the
-                                      deterministic "salt": a hot term is
-                                      split across ranges, bounding any one
-                                      group to ≤ 2^RANGE_BITS postings
-                                      (SURVEY.md §4.2 hot-term skew)
+                                      numbering itself is pure JVM (counter
+                                      + broadcast prefix offsets)
+    → tokenize ONCE (JVM regexp)     — analysis.tokens_expr; the numbered+
+                                      tokenized frame is persisted and docs/
+                                      doc_stats/occurrences project from it
+    → explode occurrences            (term, doc_id, dl) — narrow
+    → pack blocks per (term, range)  *repartition(term, doc_id>>RANGE_BITS)
+                                      + in-partition sort + streaming
+                                      vectorized packer (tf by run-length —
+                                      no separate groupBy stage). The doc
+                                      range is the deterministic "salt": a
+                                      hot term is split across ranges,
+                                      bounding any one group to
+                                      ≤ 2^RANGE_BITS postings (SURVEY.md
+                                      §4.2 hot-term skew)
 
 Blocks are *self-contained* (doc gaps + tf + dl, all varbyte): the query
 path never joins doc_stats — at 10^12 docs that join would be the dominant
@@ -32,7 +37,6 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -80,6 +84,15 @@ class BuiltIndex:
     postings: DataFrame  # BLOCKS_SCHEMA + bucket
     n_docs: int = 0
     avgdl: float = 0.0
+    cached: tuple = ()  # build-time persisted frames (toks, postings)
+
+    def release(self) -> None:
+        """Unpersist build-time caches — call once the index is saved (or
+        the built frames are no longer needed). Repeated upserts/compacts
+        would otherwise leak executor cache."""
+        for df in self.cached:
+            df.unpersist()
+        self.cached = ()
 
 
 def term_bucket_expr(col) -> F.Column:
@@ -98,13 +111,14 @@ def assign_doc_ids(
 
     Two-pass zipWithIndex-on-DataFrame without a single-partition sort
     (SURVEY.md §4.2): range-partition on the key, count rows per partition
-    (tiny job), then number rows per partition and add the broadcast prefix
-    offset inside mapInPandas. The input is persisted between the two passes
+    (tiny job), then number rows JVM-side (per-partition counter + prefix
+    offset — see assign_doc_ids_with_count; no Arrow round-trip of the
+    corpus). The input is persisted between the two passes
     so both see identical partitioning. doc_id order is isomorphic to
     (conv_id, turn_idx) order — the engine's tie-break therefore matches the
     oracle's (score desc, conv_id asc, turn_idx asc).
     """
-    df2, _ = assign_doc_ids_with_count(df, key_cols, num_partitions, persist, id_base)
+    df2, _, _ = assign_doc_ids_with_count(df, key_cols, num_partitions, persist, id_base)
     return df2
 
 
@@ -114,9 +128,22 @@ def assign_doc_ids_with_count(
     num_partitions: int | None = None,
     persist: bool = True,
     id_base: int = 0,
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, DataFrame | None]:
     """assign_doc_ids + the total row count (free — it is the final prefix
-    offset), so callers don't need a separate count() job."""
+    offset), so callers don't need a separate count() job. Third return
+    value is the internally persisted range-partitioned frame (None when
+    ``persist=False``) so callers can unpersist it once downstream results
+    are materialized (executor-cache hygiene across repeated upserts).
+
+    The numbering itself is **pure JVM**: within-partition index from
+    ``monotonically_increasing_id``'s low 33 bits (per-partition counter in
+    row order — the documented layout) plus the broadcast per-partition
+    prefix offset keyed on ``spark_partition_id``. Earlier versions
+    numbered in mapInPandas, which round-tripped the ENTIRE corpus
+    (including text) through Arrow→pandas→Arrow once per build — measured
+    as the second-largest stage of the whole pipeline. Both passes read
+    the same persisted frame, so they see identical partitioning.
+    """
     spark = df.sparkSession
     # partition count follows the shuffle-partitions conf (a data-size
     # knob), NOT the core count — the same job must produce the same
@@ -139,93 +166,88 @@ def assign_doc_ids_with_count(
         offsets[pid] = acc
         acc += sizes[pid]
     n_rows = acc - id_base
-    boffsets = spark.sparkContext.broadcast(offsets)
 
-    out_schema = T.StructType(
-        [T.StructField("doc_id", T.LongType(), False)] + list(df.schema.fields)
-    )
-
-    def number(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
-        base = boffsets.value.get(pid, 0)
-        seen = 0
-        for batch in batches:
-            n = len(batch)
-            batch = batch.copy()
-            batch.insert(0, "doc_id", np.arange(base + seen, base + seen + n, dtype=np.int64))
-            seen += n
-            yield batch
-
-    return ranged.mapInPandas(number, out_schema), n_rows
+    local_idx = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    if len(offsets) <= 8192:
+        # small partition count: inline the offset table as a map literal
+        flat = [F.lit(x) for kv in offsets.items() for x in kv]
+        offset_expr = (
+            F.create_map(*flat)[F.spark_partition_id()] if flat else F.lit(id_base)
+        )
+        out = ranged.select(
+            (offset_expr.cast("long") + local_idx).alias("doc_id"), "*"
+        )
+    else:
+        # huge partition counts (10^12-scale builds): a map literal would
+        # bloat the plan — broadcast-join the offset table on partition id
+        # (BHJ streams the probe side, preserving intra-partition order)
+        off_df = spark.createDataFrame(
+            sorted(offsets.items()), "_pid int, _off long"
+        )
+        out = (
+            ranged.withColumn("_pid", F.spark_partition_id())
+            .withColumn("_lid", local_idx)
+            .join(F.broadcast(off_df), "_pid")
+            .select(
+                (F.col("_off") + F.col("_lid")).alias("doc_id"),
+                *[F.col(c) for c in df.columns],
+            )
+        )
+    return out, n_rows, (ranged if persist else None)
 
 
 _BLOCK_COLS = [f.name for f in BLOCKS_SCHEMA.fields]
 
 
-def _pack_groups_frame(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
-    """Pack a frame holding ≥1 COMPLETE (term, range_id) groups of raw
-    TOKEN OCCURRENCES, sorted by (term, range_id, doc_id).
+def _pack_stream_fn(block_size: int, range_bits: int = RANGE_BITS):
+    """Streaming mapInPandas packer: consumes Arrow batches of raw token
+    occurrences (term, doc_id, dl) sorted by (term, doc_id) within the
+    partition, carrying the (possibly batch-spanning) trailing
+    (term, range) group over to the next batch.
 
-    tf is computed here by run-length encoding the sorted doc_ids — this
-    replaces a whole groupBy(term, doc) shuffle stage in the build (one
-    shuffle instead of two)."""
-    terms = pdf["term"].to_numpy()
-    ranges = pdf["range_id"].to_numpy()
-    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-    dls = pdf["dl"].to_numpy(dtype=np.int64)
-    change = np.flatnonzero((terms[1:] != terms[:-1]) | (ranges[1:] != ranges[:-1])) + 1
-    bounds = np.concatenate(([0], change, [len(pdf)]))
-    rows: list[dict] = []
-    for g0, g1 in zip(bounds[:-1], bounds[1:]):
-        g_ids = ids[g0:g1]
-        # run-length: occurrences of one doc are adjacent (sorted)
-        starts = np.concatenate(
-            ([0], np.flatnonzero(g_ids[1:] != g_ids[:-1]) + 1)
-        )
-        tfs = np.diff(np.concatenate((starts, [len(g_ids)])))
-        u_ids = g_ids[starts]
-        u_dls = dls[g0:g1][starts]
-        blocks = codec.pack_group_blocks(u_ids, tfs, u_dls, block_size)
-        term, range_id = terms[g0], int(ranges[g0])
-        for blk in blocks:
-            blk["term"] = term
-            blk["range_id"] = range_id
-        rows.extend(blocks)
-    return pd.DataFrame(rows, columns=_BLOCK_COLS)
-
-
-def _pack_stream_fn(block_size: int):
-    """Streaming mapInPandas packer: consumes Arrow batches of tf rows
-    sorted by (term, range_id, doc_id) within the partition, carrying the
-    (possibly batch-spanning) trailing group over to the next batch.
-
-    vs groupBy().applyInPandas: one pandas frame per ARROW BATCH instead of
-    one per GROUP — per-group overhead collapses, which dominates build
-    time (a 210k-turn corpus has ~77k groups)."""
+    tf is computed by run-length encoding the sorted doc_ids (replaces a
+    whole groupBy(term, doc) shuffle stage — one shuffle instead of two);
+    range_id is derived here from doc_id (>> range_bits) instead of riding
+    the shuffle — 8 bytes/row less shuffle traffic. All packing is
+    batch-wide vectorized numpy (codec.pack_batch): no per-group or
+    per-block Python loop. vs groupBy().applyInPandas: one frame per ARROW
+    BATCH instead of one per GROUP (a 210k-turn corpus has ~60k groups)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry: pd.DataFrame | None = None
+        carry: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
         for batch in batches:
-            if carry is not None and len(carry):
-                batch = pd.concat([carry, batch], ignore_index=True)
-            if not len(batch):
-                continue
             terms = batch["term"].to_numpy()
-            ranges = batch["range_id"].to_numpy()
+            ids = batch["doc_id"].to_numpy(dtype=np.int64)
+            dls = batch["dl"].to_numpy(dtype=np.int64)
+            if carry is not None:
+                terms = np.concatenate((carry[0], terms))
+                ids = np.concatenate((carry[1], ids))
+                dls = np.concatenate((carry[2], dls))
+            if not len(ids):
+                carry = None
+                continue
+            ranges = ids >> range_bits
             change = (
                 np.flatnonzero(
-                    (terms[1:] != terms[:-1]) | (ranges[1:] != ranges[:-1])
+                    (ranges[1:] != ranges[:-1]) | (terms[1:] != terms[:-1])
                 )
                 + 1
             )
             if len(change) == 0:
-                carry = batch  # batch is a single (possibly continuing) group
+                carry = (terms, ids, dls)  # single (possibly continuing) group
                 continue
-            last_start = int(change[-1])
-            carry = batch.iloc[last_start:]
-            yield _pack_groups_frame(batch.iloc[:last_start], block_size)
-        if carry is not None and len(carry):
-            yield _pack_groups_frame(carry, block_size)
+            last = int(change[-1])
+            carry = (terms[last:], ids[last:], dls[last:])
+            cols = codec.pack_batch(
+                terms[:last], ranges[:last], ids[:last], dls[:last], block_size
+            )
+            yield pd.DataFrame(cols, columns=_BLOCK_COLS)
+        if carry is not None and len(carry[0]):
+            terms, ids, dls = carry
+            cols = codec.pack_batch(
+                terms, ids >> range_bits, ids, dls, block_size
+            )
+            yield pd.DataFrame(cols, columns=_BLOCK_COLS)
 
     return run
 
@@ -277,48 +299,56 @@ def build_index(
     extreme scale pass False and let IndexStore.save sequence the
     postings-write before the dictionary rollup instead.
     """
-    assigned, n_docs = assign_doc_ids_with_count(
+    assigned, n_docs, ranged_cache = assign_doc_ids_with_count(
         transcripts.select(id_col, order_col, text_col),
         key_cols=(id_col, order_col),
         id_base=id_base,
     )
-    # docs (the ES _source analogue) carries dl so doc_stats is a pure
-    # column-pruned projection of the written docs table — IndexStore.save
-    # exploits this to avoid a second tokenize pass.
-    docs = assigned.select(
-        "doc_id",
-        F.col(id_col).alias("conv_id"),
-        F.col(order_col).alias("turn_idx"),
-        F.col(text_col).alias("text"),
-        F.size(tokens_expr(text_col)).alias("dl"),
-    )
-
+    # ONE tokenize pass over the corpus: the numbered+tokenized frame is
+    # persisted, and docs / doc_stats / occurrences are all projections of
+    # it (before this, docs.dl recomputed the tokenizer — a second full
+    # regexp pass AND a second Arrow numbering round-trip per build).
     toks = assigned.select(
         "doc_id",
         F.col(id_col).alias("conv_id"),
         F.col(order_col).alias("turn_idx"),
+        F.col(text_col).alias("text"),
         tokens_expr(text_col).alias("tokens"),
-    ).withColumn("dl", F.size("tokens"))
+    ).persist()
 
-    doc_stats = toks.select("doc_id", "conv_id", "turn_idx", "dl")
+    # docs (the ES _source analogue) carries dl so doc_stats is a pure
+    # column-pruned projection of the written docs table — IndexStore.save
+    # exploits this to avoid a second tokenize pass.
+    docs = toks.select(
+        "doc_id", "conv_id", "turn_idx", "text", F.size("tokens").alias("dl")
+    )
+    doc_stats = toks.select(
+        "doc_id", "conv_id", "turn_idx", F.size("tokens").alias("dl")
+    )
 
     # Raw token occurrences (term, doc_id, dl) — dl rides along (it is
     # functionally dependent on doc_id) so pack never joins doc_stats.
+    # range_id deliberately does NOT ride the shuffle: it is a pure
+    # function of doc_id, re-derived inside the packer (8 B/row saved),
+    # and sorting by (term, doc_id) already sorts by (term, range, doc).
     occurrences = toks.select(
-        "doc_id", "dl", F.explode("tokens").alias("term")
-    ).withColumn("range_id", F.shiftright("doc_id", range_bits))
+        "doc_id", F.size("tokens").alias("dl"), F.explode("tokens").alias("term")
+    )
 
     # ONE shuffle for the whole postings build: repartition on
-    # (term, range_id) + in-partition sort + streaming mapInPandas packer
+    # (term, doc_range) + in-partition sort + streaming mapInPandas packer
     # (tf computed by run-length inside pack — no separate groupBy stage).
-    # range_id is the deterministic anti-skew salt: a hot term spreads over
-    # doc ranges, so no single shuffle partition can exceed ~2^range_bits
-    # postings per term. Partition count = shuffle conf (data-size knob).
+    # The doc range is the deterministic anti-skew salt: a hot term spreads
+    # over doc ranges, so no single shuffle partition can exceed
+    # ~2^range_bits postings per term. Partition count = shuffle conf
+    # (data-size knob).
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     postings = (
-        occurrences.repartition(nparts, "term", "range_id")
-        .sortWithinPartitions("term", "range_id", "doc_id")
-        .mapInPandas(_pack_stream_fn(block_size), BLOCKS_SCHEMA)
+        occurrences.repartition(
+            nparts, F.col("term"), F.shiftright("doc_id", range_bits)
+        )
+        .sortWithinPartitions("term", "doc_id")
+        .mapInPandas(_pack_stream_fn(block_size, range_bits), BLOCKS_SCHEMA)
         .withColumn("bucket", term_bucket_expr(F.col("term")))
     )
     if persist_postings:
@@ -326,9 +356,14 @@ def build_index(
 
     dictionary = dictionary_from_blocks(postings)
 
+    # this action materializes postings → toks caches; once toks is cached
+    # the range-partitioned input cache is redundant — drop it immediately
+    # (executor-cache hygiene across repeated upserts/compactions)
     total_tokens = int(
         dictionary.agg(F.sum("cf").alias("t")).collect()[0]["t"] or 0
     )
+    if ranged_cache is not None:
+        ranged_cache.unpersist()
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
     corpus_stats = spark.createDataFrame(
         [(n_docs, avgdl, total_tokens)],
@@ -343,4 +378,5 @@ def build_index(
         postings=postings,
         n_docs=n_docs,
         avgdl=avgdl,
+        cached=(toks, postings) if persist_postings else (toks,),
     )

@@ -42,8 +42,23 @@ from pyspark.sql import functions as F
 
 from .build import BuiltIndex, build_index
 
-TABLES = ("doc_stats", "corpus_stats", "dictionary", "postings", "docs")
+# physical tables; doc_stats is a logical projection of docs (see save())
+TABLES = ("corpus_stats", "dictionary", "postings", "docs")
 MANIFEST_DIR = "_manifest"
+
+
+def merge_into_sql(
+    target: str, source_view: str, key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+) -> str:
+    """Iceberg MERGE INTO statement for ``doc_as_upsert`` semantics
+    (SURVEY.md §1.2: the reference's ES bulk `{"doc": ..., "doc_as_upsert":
+    true}` maps to insert-or-update keyed on the content-derived id)."""
+    on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+    return (
+        f"MERGE INTO {target} t USING {source_view} s ON {on} "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
 
 
 def _manifest_path(root: str) -> str:
@@ -85,9 +100,25 @@ class IndexStore:
     ``root`` is a directory (parquet mode) or an Iceberg namespace prefix.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self, spark: SparkSession, root: str, iceberg_catalog: str | None = None
+    ):
+        """``iceberg_catalog``: a ``catalog.namespace`` prefix (the catalog
+        must be configured via ``spark.sql.catalog.<name>`` with Iceberg
+        jars on the classpath). When set, table writes go through
+        ``writeTo(...).using("iceberg")`` and upserts can use
+        ``merge_into_sql``; when None (this sandbox — no Iceberg jars),
+        the parquet-directory layout below is used. Layout and semantics
+        are identical; the manifest/tombstone contracts do not change."""
         self.spark = spark
         self.root = root
+        self.iceberg_catalog = iceberg_catalog
+
+    def _use_iceberg(self) -> bool:
+        return self.iceberg_catalog is not None
+
+    def _iceberg_table(self, table: str, segment: int) -> str:
+        return f"{self.iceberg_catalog}.{table}_seg{segment:05d}"
 
     # ------------- manifest / checkpoint (A15/A21) -------------
 
@@ -127,6 +158,12 @@ class IndexStore:
             # otherwise every task writes a file into every partition dir
             # (tasks × partitions small files; 32×64=2048 for postings)
             w = w.repartition(*[F.col(c) for c in partition_cols])
+        if self._use_iceberg():
+            writer = w.writeTo(self._iceberg_table(table, segment)).using("iceberg")
+            if partition_cols:
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_cols])
+            writer.createOrReplace()
+            return
         writer = w.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
@@ -139,23 +176,26 @@ class IndexStore:
         replay-is-a-no-op contract (reference at-least-once ack analogue).
         The ``docs`` table keeps the original text (the ES ``_source``
         analogue) so fetch-back and compaction never need the input table.
+
+        Fixed-cost discipline (the serial driver time here is what caps
+        N→4N scaling efficiency, so it is kept minimal):
+        * ``doc_stats`` is NOT a physical table — it is a column-pruned
+          projection of the written ``docs`` (parquet is columnar, so
+          reading 4 small columns of docs costs the same as a dedicated
+          table; writing it would be a whole extra job);
+        * single-row ``corpus_stats`` is written driver-side via pyarrow
+          (a Spark job to write one row costs ~1 s of scheduling);
+        * no per-stage re-read count jobs — row-level lineage lives in the
+          ``metrics`` table (A21), not the manifest.
         """
         from .build import dictionary_from_blocks
 
-        # Write order is load-bearing: docs first (carries dl), then
-        # doc_stats as a column-pruned projection of the WRITTEN docs (no
-        # second tokenize pass); postings before the dictionary, which is a
-        # column-pruned rollup of the WRITTEN blocks (no pipeline re-run).
+        # Write order is load-bearing: postings before the dictionary,
+        # which is a column-pruned rollup of the WRITTEN blocks (no
+        # pipeline re-run).
         stages = [
             ("docs", lambda: built.docs, ()),
-            (
-                "doc_stats",
-                lambda: self.spark.read.parquet(self._path("docs", segment)).select(
-                    "doc_id", "conv_id", "turn_idx", "dl"
-                ),
-                (),
-            ),
-            ("corpus_stats", lambda: built.corpus_stats, ()),
+            ("corpus_stats", None, ()),  # driver-side pyarrow write
             ("postings", lambda: built.postings, ("bucket",)),
             (
                 "dictionary",
@@ -164,22 +204,38 @@ class IndexStore:
                 ),
                 ("bucket",),
             ),
+            ("metrics", lambda: self._build_metrics(segment), ()),
         ]
-        stages.append(
-            (
-                "metrics",
-                lambda: self._build_metrics(segment),
-                (),
-            )
-        )
         for name, df_fn, pcols in stages:
             stage_key = f"seg{segment}/{name}"
             if resume and self.stage_done(stage_key):
                 continue
             self.log_manifest(stage_key, "started")
-            self._write(df_fn(), name, segment, pcols)
-            n = self.spark.read.parquet(self._path(name, segment)).count()
-            self.log_manifest(stage_key, "done", rows=n, segment=segment)
+            if name == "corpus_stats":
+                self._write_corpus_stats(built, segment)
+            else:
+                self._write(df_fn(), name, segment, pcols)
+            self.log_manifest(stage_key, "done", segment=segment)
+        # everything is on disk now — drop the build-time executor caches
+        built.release()
+
+    def _write_corpus_stats(self, built: BuiltIndex, segment: int) -> None:
+        """One row — pyarrow on the driver, schema identical to the Spark
+        write it replaces (spark.read.parquet reads it back unchanged)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        row = built.corpus_stats.collect()[0]
+        table = pa.table(
+            {
+                "n_docs": pa.array([row["n_docs"]], pa.int64()),
+                "avgdl": pa.array([row["avgdl"]], pa.float64()),
+                "total_tokens": pa.array([row["total_tokens"]], pa.int64()),
+            }
+        )
+        path = self._path("corpus_stats", segment)
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(table, os.path.join(path, "part-00000.parquet"))
 
     def _build_metrics(self, segment: int) -> DataFrame:
         """Per-partition build lineage metrics (north rule / reference A21):
@@ -202,7 +258,9 @@ class IndexStore:
             " 'bytes_compressed', bytes_compressed) as (metric, value)",
             "bucket as key",
         ).select(F.lit("term_bucket").alias("dimension"), "key", "metric", "value")
-        doc_stats = self.spark.read.parquet(self._path("doc_stats", segment))
+        doc_stats = self.spark.read.parquet(self._path("docs", segment)).select(
+            "doc_id", "dl"
+        )
         range_long = (
             doc_stats.groupBy(F.shiftright("doc_id", 16).alias("key"))
             .agg(
@@ -273,7 +331,11 @@ class IndexStore:
         return {r["doc_id"] for r in df.collect()} if df is not None else set()
 
     def load(self) -> LoadedIndex:
-        doc_stats = self._read_all("doc_stats")
+        # doc_stats = column-pruned projection of the docs table (columnar
+        # storage: reading 4 narrow columns skips the text entirely)
+        doc_stats = self._read_all("docs").select(
+            "doc_id", "conv_id", "turn_idx", "dl"
+        )
         corpus = self._read_all("corpus_stats").agg(
             F.sum("n_docs").alias("n_docs"), F.sum("total_tokens").alias("tt")
         ).collect()[0]

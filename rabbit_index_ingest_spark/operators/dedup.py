@@ -175,18 +175,67 @@ def _minhash_fast(
     return df.select(key_col, text_col).mapInPandas(run, out_schema)
 
 
+def _bucketed_pairs(
+    tagged: DataFrame,
+    bucket_col: str,
+    key_col: str,
+    max_bucket: int = 5000,
+) -> DataFrame:
+    """All (a, b) pairs with a < b sharing a bucket value, emitted EXACTLY
+    ONCE per shared bucket — with **hot buckets salted into a 2-D grid** so
+    no single task ever materializes a whole m² pair block.
+
+    The skew problem: a bucket shared by a near-duplicate *cluster* of m
+    docs (1,000 identical docs → every band bucket identical) puts m² pair
+    generation into ONE join task. Salting: buckets larger than
+    ``max_bucket`` get s = ⌈m/max_bucket⌉ salt groups; the left side keys
+    on (bucket, h(a) mod s, gr) for every gr, the right on (bucket, gl,
+    h(b) mod s) for every gl — pair (a, b) meets in exactly the one cell
+    (h(a) mod s, h(b) mod s), and each of the s² join cells holds
+    ≤ max_bucket² pairs. Replication factor s per side is bounded by the
+    pair output itself. Small buckets take s=1 (zero overhead rows beyond
+    the size join).
+    """
+    sizes = tagged.groupBy(bucket_col).agg(F.count("*").alias("_bn"))
+    sized = tagged.join(sizes, bucket_col).withColumn(
+        "_s", F.ceil(F.col("_bn") / F.lit(max_bucket)).cast("int")
+    )
+    own = F.pmod(F.xxhash64(F.col(key_col)), F.col("_s")).cast("int")
+    salts = F.sequence(F.lit(0), F.col("_s") - 1)
+    left = sized.select(
+        F.col(bucket_col),
+        F.col(key_col).alias("a"),
+        own.alias("_gl"),
+        F.explode(salts).alias("_gr"),
+    )
+    right = sized.select(
+        F.col(bucket_col),
+        F.col(key_col).alias("b"),
+        F.explode(salts).alias("_gl"),
+        own.alias("_gr"),
+    )
+    return (
+        left.join(right, [bucket_col, "_gl", "_gr"])
+        .where(F.col("a") < F.col("b"))
+        .select(bucket_col, "a", "b")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     key_col: str = "doc_id",
     n_bands: int = 4,
     rows_per_band: int = 4,
     cache: bool = True,
+    max_bucket: int = 5000,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become a candidate pair.
 
     Self-join happens *within band buckets only* (shuffle-join keyed on
     band_key), so the join never goes quadratic in corpus size — the
-    classic scale-out shape. Returns distinct (a, b) with a < b.
+    classic scale-out shape — and hot band buckets (near-dup clusters) are
+    salted into bounded tasks by ``_bucketed_pairs``. Returns distinct
+    (a, b) with a < b.
 
     The banded projection is built with one explode (not an N-way union —
     that would recompute the signature pipeline once per band) and, with
@@ -211,14 +260,9 @@ def lsh_candidate_pairs(
     )
     if cache:
         tagged = tagged.persist()
-    left = tagged.alias("l")
-    right = tagged.alias("r")
     return (
-        left.join(right, "band_key")
-        .where(F.col(f"l.{key_col}") < F.col(f"r.{key_col}"))
-        .select(
-            F.col(f"l.{key_col}").alias("a"), F.col(f"r.{key_col}").alias("b")
-        )
+        _bucketed_pairs(tagged, "band_key", key_col, max_bucket)
+        .select("a", "b")
         .distinct()
     )
 
@@ -232,10 +276,14 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     cache: bool = True,
+    max_bucket: int = 5000,
 ) -> DataFrame:
     """Exact Jaccard similarity over distinct k-gram shingles for all pairs
     sharing ≥1 shingle. Shingle-inverted-index join (explode → join on
-    shingle → count) — work is proportional to true overlap, not n².
+    shingle → count) — work is proportional to true overlap, not n², and
+    hot shingles (shared by a near-dup cluster) are salted into bounded
+    tasks by ``_bucketed_pairs`` (which emits each pair exactly once per
+    shared shingle, preserving the intersection counts).
     Output: (a, b, jaccard) with a < b, jaccard = |∩| / |∪| rounded 6dp."""
     sh = df.select(
         F.col(key_col),
@@ -246,12 +294,8 @@ def ngram_jaccard_pairs(
         sh = sh.persist()
     sizes = sh.groupBy(key_col).agg(F.count("*").alias("n_sh"))
     inter = (
-        sh.alias("l")
-        .join(sh.alias("r"), "s")
-        .where(F.col(f"l.{key_col}") < F.col(f"r.{key_col}"))
-        .groupBy(
-            F.col(f"l.{key_col}").alias("a"), F.col(f"r.{key_col}").alias("b")
-        )
+        _bucketed_pairs(sh, "s", key_col, max_bucket)
+        .groupBy("a", "b")
         .agg(F.count("*").alias("n_inter"))
     )
     sa = sizes.select(F.col(key_col).alias("a"), F.col("n_sh").alias("na"))

@@ -11,10 +11,13 @@
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot_expr(a, b) -> F.Column:
@@ -55,6 +58,108 @@ def cosine_topk(
     )
 
 
+# ---------------- embedding near-dup (bucketed, never all-pairs) --------
+
+
+def embedding_sketch(
+    vectors: DataFrame,
+    hyperplanes: np.ndarray,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane sign-bit sketch per vector (SimHash for cosine):
+    bit i = sign(v · h_i), folded into one int64. Arrow-batched matrix
+    multiply — one ``X @ H.T`` per batch, no per-row Python."""
+    n_bits = len(hyperplanes)
+    H = np.asarray(hyperplanes, dtype=np.float64)
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType(), False),
+            T.StructField("sketch", T.LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.uint64(1) << np.arange(n_bits, dtype=np.uint64)
+        for batch in batches:
+            X = np.array(batch[vec_col].tolist(), dtype=np.float64)
+            bits = (X @ H.T) > 0  # (n, n_bits)
+            sigs = (bits.astype(np.uint64) * weights[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            yield pd.DataFrame(
+                {key_col: batch[key_col].values, "sketch": sigs.view(np.int64)}
+            )
+
+    return vectors.select(key_col, vec_col).mapInPandas(run, out_schema)
+
+
+def embedding_neardup_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 64,
+    n_chunks: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate embedding pairs WITHOUT an all-pairs join — the scale
+    path the pairwise ``cosine_expr`` shape lacks (its ``l.vec_id <
+    r.vec_id`` cross join is O(n²) at 100 TB):
+
+      sign-bit sketch (random hyperplanes, seeded) → split into n_chunks
+      chunk values → candidates = pairs agreeing on ≥1 chunk (pigeonhole:
+      a miss needs every chunk to differ ⇒ Hamming ≥ n_chunks; at
+      cos ≥ 0.95 the expected Hamming is ~0.10·n_bits ≈ 6.5 of 64, so
+      16 chunks make misses vanishingly rare) → exact cosine verify.
+
+    Output (a, b, cosine) with a < b — a verified subset of the all-pairs
+    result, equal to it whenever no true pair is missed (asserted against
+    the brute-force oracle on the fixture embeddings)."""
+    dim = len(vectors.select(vec_col).first()[0])
+    rs = np.random.RandomState(seed)
+    H = rs.normal(size=(n_bits, dim))
+    sk = embedding_sketch(vectors, H, key_col, vec_col)
+
+    chunk_bits = n_bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunk_vals = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned("sketch", c * chunk_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk_val"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    tagged = sk.select(F.col(key_col), F.explode(chunk_vals).alias("cv")).select(
+        key_col, "cv.chunk", "cv.chunk_val"
+    )
+    l, r = tagged.alias("l"), tagged.alias("r")
+    cand = (
+        l.join(r, ["chunk", "chunk_val"])
+        .where(F.col(f"l.{key_col}") < F.col(f"r.{key_col}"))
+        .select(
+            F.col(f"l.{key_col}").alias("a"), F.col(f"r.{key_col}").alias("b")
+        )
+        .distinct()
+    )
+    va = vectors.select(F.col(key_col).alias("a"), F.col(vec_col).alias("_va"))
+    vb = vectors.select(F.col(key_col).alias("b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 # ---------------- IVF (inverted file) ----------------
 
 
@@ -64,24 +169,83 @@ def train_centroids(
     vec_col: str = "embedding",
     n_iter: int = 5,
     seed: int = 42,
-    sample_limit: int = 100_000,
+    sample_target: int = 100_000,
+    key_col: str = "vec_id",
 ) -> np.ndarray:
-    """Driver-side k-means on a bounded sample (Lloyd's, deterministic
-    seed). Centroids are tiny (C × dim) — broadcast to assignment."""
-    sample = np.array(
-        [r[0] for r in vectors.select(vec_col).limit(sample_limit).collect()],
-        dtype=np.float64,
+    """Distributed, deterministic Lloyd's k-means — vectors NEVER collect
+    to the driver (only k×dim aggregates per iteration do).
+
+    * Sample: deterministic hash predicate ``xxhash64(key, seed) % m == 0``
+      sized to ~sample_target rows — unlike ``limit()`` (whose row choice
+      depends on partition order) the sampled SET is a pure function of the
+      keys, so any partitioning/cluster size trains on identical data.
+    * Init: the k rows with the smallest ``xxhash64(key, seed)`` (global
+      orderBy of a tiny top-k — TakeOrderedAndProject, no full sort).
+    * Iterate: Arrow-batched nearest-centroid assignment (numpy argmin vs
+      the broadcast centroid matrix) → per-bucket vector sums via
+      posexplode + groupBy(bucket, dim) — k·dim rows to the driver.
+    * Determinism under float reordering: partial sums combine in
+      nondeterministic order, so centroids are rounded to 9 dp each
+      iteration — assignments can only differ if a distance tie sits
+      within ~1e-9, which the determinism test (varied partition counts)
+      guards against.
+    """
+    n = vectors.count()
+    mod = max(1, n // sample_target)
+    sample = vectors.select(key_col, vec_col)
+    if mod > 1:
+        sample = sample.where(
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(mod)) == 0
+        )
+    sample = sample.persist()
+
+    k = n_centroids
+    init_rows = (
+        sample.orderBy(F.xxhash64(F.col(key_col), F.lit(seed)), F.col(key_col))
+        .limit(k)
+        .collect()
     )
-    rs = np.random.RandomState(seed)
-    cents = sample[rs.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    cents = np.array([list(r[vec_col]) for r in init_rows], dtype=np.float64)
+    k = len(cents)
+    dim = cents.shape[1]
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("bucket", T.IntegerType(), False),
+            T.StructField("vec", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+
     for _ in range(n_iter):
-        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for c in range(len(cents)):
-            members = sample[assign == c]
-            if len(members):
-                cents[c] = members.mean(axis=0)
-    return cents
+        C = np.round(cents, 9)
+
+        def assign(batches: Iterator[pd.DataFrame], C=C) -> Iterator[pd.DataFrame]:
+            c_sq = (C**2).sum(axis=1)
+            for batch in batches:
+                X = np.array(batch[vec_col].tolist(), dtype=np.float64)
+                d = c_sq[None, :] - 2.0 * (X @ C.T)  # argmin-equivalent
+                yield pd.DataFrame(
+                    {"bucket": d.argmin(axis=1).astype(np.int32), "vec": list(X)}
+                )
+
+        assigned = sample.mapInPandas(assign, assign_schema)
+        stats = (
+            assigned.select(
+                "bucket", F.posexplode("vec").alias("pos", "val")
+            )
+            .groupBy("bucket", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k)
+        for row in stats:
+            sums[row["bucket"], row["pos"]] = row["s"]
+            counts[row["bucket"]] = row["n"]
+        live = counts > 0
+        cents[live] = sums[live] / counts[live, None]
+    sample.unpersist()
+    return np.round(cents, 9)
 
 
 def assign_buckets(

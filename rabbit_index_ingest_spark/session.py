@@ -84,6 +84,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # pandas-UDF stages are fed whole Arrow batches; the 10k default
+        # makes the streaming pack stage pay per-batch overhead (carry
+        # concat + numpy dispatch) ~7× more often than needed. 64k rows of
+        # occurrence tuples ≈ a few MB per batch — safely inside task memory.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # local mode: driver heap IS the executor heap. Size it so each of

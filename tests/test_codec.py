@@ -87,3 +87,48 @@ def test_tf_norm_monotone_in_tf():
     n = codec.tf_norm(tfs, np.full_like(tfs, 60), avgdl=60.0)
     assert np.all(np.diff(n) > 0)
     assert n.max() < codec.K1 + 1.0
+
+
+def test_pack_batch_equals_per_group_packing():
+    """Batch-wide vectorized packing (codec.pack_batch) must produce
+    byte-identical blocks to per-group pack_group_blocks over the same
+    occurrence stream (multiple terms/ranges per batch, duplicate doc
+    occurrences for tf run-length, uneven tail blocks)."""
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    occ = []
+    for term in ("aa", "bb", "cc"):
+        for range_id in (0, 1):
+            n_docs = rng.randint(1, 400)
+            base = range_id << 16
+            ids = np.sort(rng.choice(5000, size=n_docs, replace=False)) + base
+            tfs = rng.randint(1, 5, size=n_docs)
+            dls = rng.randint(1, 60, size=n_docs)
+            for i, tf in zip(ids, tfs):
+                dl = int(dls[np.searchsorted(ids, i)])
+                occ.extend([(term, range_id, int(i), dl)] * int(tf))
+    terms = np.array([o[0] for o in occ], dtype=object)
+    ranges = np.array([o[1] for o in occ], dtype=np.int64)
+    ids_a = np.array([o[2] for o in occ], dtype=np.int64)
+    dls_a = np.array([o[3] for o in occ], dtype=np.int64)
+
+    got = pd.DataFrame(codec.pack_batch(terms, ranges, ids_a, dls_a, block_size=128))
+
+    # expected: per-group run-length + pack_group_blocks
+    exp_rows = []
+    df = pd.DataFrame({"term": terms, "range_id": ranges, "doc_id": ids_a, "dl": dls_a})
+    for (term, range_id), g in df.groupby(["term", "range_id"], sort=False):
+        gi = g["doc_id"].to_numpy()
+        starts = np.concatenate(([0], np.flatnonzero(gi[1:] != gi[:-1]) + 1))
+        tfs = np.diff(np.concatenate((starts, [len(gi)])))
+        for blk in codec.pack_group_blocks(
+            gi[starts], tfs, g["dl"].to_numpy()[starts], block_size=128
+        ):
+            blk["term"] = term
+            blk["range_id"] = range_id
+            exp_rows.append(blk)
+    exp = pd.DataFrame(exp_rows)[list(got.columns)]
+    assert len(got) == len(exp)
+    for c in got.columns:
+        assert list(got[c]) == list(exp[c]), c

@@ -207,3 +207,53 @@ def test_lookup_join_is_broadcast(spark):
     facts = spark.createDataFrame([("/a",)], "path string")
     plan = lookup_join(facts, build_dimension(raw))._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_path_metadata_full_reference_shape(spark):
+    """Full A11 projection vs the reference's golden semantics
+    (path_tools.py:125-179): link/type fields, ..-symlink resolution, and
+    the dir-only conditional MOLES enrichment."""
+    from rabbit_index_ingest_spark.operators.pathmeta import path_metadata_full
+
+    rows = [
+        # (path, link_target, is_dir)
+        ("/badc/cmip5/data", None, True),          # plain dir, MOLES hit
+        ("/badc/cmip5", None, True),               # plain dir, no MOLES title
+        ("/neodc/avhrr-3/file.nc", None, False),   # plain file
+        ("/badc/link1", "/archive/real", False),   # absolute link
+        ("/badc/sub/link2", "../other/x.nc", False),   # 1-hop relative link
+        ("/badc/a/b/link3", "../../deep/y.nc", False), # 2-hop relative link
+        ("/badc/link4", "/datacentre/internal", False),  # datacentre link
+    ]
+    df = spark.createDataFrame(rows, "path string, link_target string, is_dir boolean")
+    dim = spark.createDataFrame(
+        [
+            ("/badc/cmip5/data/", "CMIP5 data", "https://catalogue.example/cmip5", "Dataset"),
+            ("/badc/cmip5", "", "https://catalogue.example/empty", "Dataset"),
+            ("/neodc/avhrr-3", "AVHRR", "https://catalogue.example/avhrr", "Dataset Collection"),
+        ],
+        "data_path string, title string, url string, record_type string",
+    )
+    got = {
+        r["path"]: r.asDict()
+        for r in path_metadata_full(
+            df, link_target_col="link_target", is_dir_col="is_dir", moles_dim=dim
+        ).collect()
+    }
+    d = got["/badc/cmip5/data"]
+    assert (d["depth"], d["dir"], d["type"], d["link"]) == (3, "data", "dir", False)
+    assert d["archive_path"] == "/badc/cmip5/data"
+    assert (d["title"], d["record_type"]) == ("CMIP5 data", "Dataset")
+    # empty title → no enrichment (reference: `if record and record["title"]`)
+    assert got["/badc/cmip5"]["title"] is None
+    # file path matching a MOLES key is NOT enriched (dir-only branch)
+    f = got["/neodc/avhrr-3/file.nc"]
+    assert f["type"] == "file" and f["title"] is None
+    # symlink resolution
+    assert got["/badc/link1"]["archive_path"] == "/archive/real"
+    assert got["/badc/link1"]["link"] is True
+    assert got["/badc/sub/link2"]["archive_path"] == "/badc/other/x.nc"
+    assert got["/badc/a/b/link3"]["archive_path"] == "/badc/deep/y.nc"
+    # /datacentre links keep the original path
+    assert got["/badc/link4"]["archive_path"] == "/badc/link4"
+    assert got["/badc/link4"]["link"] is True

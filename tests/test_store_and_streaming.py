@@ -37,7 +37,7 @@ def test_save_load_roundtrip(spark, root):
     assert s.topk_blockmax("karo", 5).count() == 5
     # manifest has a done row per table stage
     m = store.manifest()
-    for tbl in ("docs", "doc_stats", "corpus_stats", "dictionary", "postings"):
+    for tbl in ("docs", "corpus_stats", "dictionary", "postings"):
         assert m[f"seg0/{tbl}"]["status"] == "done"
 
 

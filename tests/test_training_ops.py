@@ -168,3 +168,90 @@ def test_quality_and_lang_functions(spark):
     assert rows[3]["lang"] == "und" and rows[3]["n"] == 0
     assert rows[4]["q"] is not None
     assert rows[0]["q"] > rows[3]["q"]
+
+
+def test_lsh_hot_bucket_salting_preserves_pairs(spark):
+    """300 identical docs (a near-dup cluster) put every signature in one
+    band bucket; with salting (small max_bucket) the pair set must be
+    IDENTICAL to the unsalted result, and counts must be exact."""
+    rows = [(i, "all work and no play makes jack a dull boy") for i in range(300)]
+    rows += [(1000 + i, f"unique document number {i} about topic {i*7}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, n_hashes=16).persist()
+    salted = {
+        (r["a"], r["b"])
+        for r in lsh_candidate_pairs(sigs, max_bucket=50, cache=False).collect()
+    }
+    plain = {
+        (r["a"], r["b"])
+        for r in lsh_candidate_pairs(sigs, max_bucket=10**9, cache=False).collect()
+    }
+    assert salted == plain
+    assert len(salted) >= 300 * 299 // 2  # the full clique is present
+    sigs.unpersist()
+
+
+def test_jaccard_salting_preserves_intersection_counts(spark, docs):
+    """Salted pair generation must emit each pair exactly once per shared
+    shingle — Jaccard values depend on exact intersection counts."""
+    plain = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.1, max_bucket=10**9).collect()
+    }
+    salted = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.1, max_bucket=1).collect()
+    }
+    assert salted == plain
+
+
+def test_embedding_neardup_lsh_matches_bruteforce(spark):
+    """Planted near-dups: the bucketed LSH path must find exactly the
+    all-pairs cosine >= threshold set (verified candidates)."""
+    from rabbit_index_ingest_spark.operators.similarity import (
+        cosine_expr,
+        embedding_neardup_lsh,
+    )
+
+    rs = np.random.RandomState(7)
+    rows = []
+    for i in range(120):
+        v = rs.randn(32)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+        if i % 10 == 0:  # plant a near-duplicate of every 10th vector
+            w = v + 0.05 * rs.randn(32)
+            w /= np.linalg.norm(w)
+            rows.append((1000 + i, [float(x) for x in w]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").persist()
+
+    got = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in embedding_neardup_lsh(emb, threshold=0.9).collect()
+    }
+    l = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    r_ = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    exp = {
+        (row["a"], row["b"]): row["cosine"]
+        for row in l.join(r_, F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"))
+        .where(F.col("cosine") >= 0.9)
+        .collect()
+    }
+    assert got == exp
+    assert len(exp) >= 12  # the planted pairs are actually in play
+    emb.unpersist()
+
+
+def test_embedding_neardup_lsh_plan_is_not_cartesian(spark, vectors):
+    from rabbit_index_ingest_spark.operators.similarity import embedding_neardup_lsh
+
+    plan = embedding_neardup_lsh(vectors, threshold=0.99)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_train_centroids_deterministic_across_partitioning(spark, vectors):
+    a = train_centroids(vectors.repartition(3), n_centroids=8, sample_target=10**6)
+    b = train_centroids(vectors.repartition(17), n_centroids=8, sample_target=10**6)
+    assert np.array_equal(a, b)
