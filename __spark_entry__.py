@@ -4,9 +4,8 @@
 as a (spark, sf_dir) → DataFrame callable; ``oracle_sql()`` gives the
 DuckDB twin for every SQL-expressible one (value-identical by
 construction: shared analyzer regex, md5-based hashes, float64 + fixed
-rounding). Entries without a twin (simhash bit-folding, IVF probing,
-transcript-index paths — the input transcripts table is not a registered
-DuckDB view) get the driver's rows-only check and are marked below.
+rounding). Entries without a twin (IVF probing — iterative k-means is not
+SQL-expressible) get the driver's rows-only check and are marked below.
 """
 
 from __future__ import annotations
@@ -378,8 +377,11 @@ def _q_d4_ngram_jaccard(spark, sf_dir):
 
 
 def _q_d5_simhash(spark, sf_dir):
-    """[rows-only] SimHash near-dup pairs (bit-folding over md5 digests is
-    not expressible in DuckDB 1.0 SQL; determinism is unit-tested)."""
+    """SimHash near-dup pairs. The engine runs the bucketed 16-bit-chunk
+    pigeonhole join; the DuckDB twin recomputes the same md5-derived
+    64-bit signatures in SQL (hex→UBIGINT, per-bit ±1 votes, HUGEINT bit
+    fold) and brute-forces all pairs — equality proves both the signature
+    bits and 100% recall of the chunk join."""
     from rabbit_index_ingest_spark.operators.dedup import simhash, simhash_near_dups
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
@@ -840,6 +842,45 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = a
 JOIN sizes sb ON sb.doc_id = b
 WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.3
+"""
+
+    # d5: same md5-derived signatures in pure SQL (first 8 md5 bytes via
+    # hex→UBIGINT, tf-weighted ±1 votes per bit, HUGEINT power-of-two fold
+    # with two's-complement conversion to BIGINT), then brute-force
+    # all-pairs Hamming — the engine's chunk-pigeonhole join must agree
+    # exactly (signature bits AND recall).
+    sql["d5_simhash"] = f"""
+WITH dup AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 40
+),
+toks AS (SELECT doc_id, unnest({tok}) AS t FROM dup),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM toks
+),
+bits AS (
+  SELECT doc_id, b.i AS i,
+         SUM(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM hashed, (SELECT unnest(range(64)) AS i) b
+  GROUP BY 1, 2
+),
+folded AS (
+  SELECT doc_id,
+         SUM(CASE WHEN vote > 0 THEN (1::HUGEINT << i) ELSE 0 END) AS sigraw
+  FROM bits GROUP BY 1
+),
+sigs AS (
+  SELECT d.doc_id,
+         COALESCE(CASE WHEN f.sigraw >= (1::HUGEINT << 63)
+                       THEN (f.sigraw - (1::HUGEINT << 64))::BIGINT
+                       ELSE f.sigraw::BIGINT END, 0) AS simhash
+  FROM dup d LEFT JOIN folded f USING (doc_id)
+)
+SELECT l.doc_id AS a, r.doc_id AS b,
+       bit_count(xor(l.simhash, r.simhash))::INTEGER AS hamming
+FROM sigs l JOIN sigs r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
 """
 
     sql["s1_cosine_topk"] = """

@@ -115,10 +115,17 @@ class Searcher:
         deleted: set[int] | None = None,
         range_bits: int = RANGE_BITS,
         deleted_df: DataFrame | None = None,
+        probe_min_blocks: int = 2048,
     ):
         """``deleted`` (small set, broadcast into scorer closures) or
         ``deleted_df`` (a doc_id DataFrame, cogrouped per doc range — the
-        scale path for large tombstone tables); pass one or the other."""
+        scale path for large tombstone tables); pass one or the other.
+
+        ``probe_min_blocks`` gates the global-θ₀ seed probe (see
+        ``_seed_theta0``): queries whose estimated decode volume is below
+        it skip the probe — at small corpus sizes the extra tiny Spark job
+        costs more than the decodes it saves, while at 10^6+-posting terms
+        the seeded θ lets every doc range prune from its first block."""
         self.spark = spark
         self.postings = postings
         self.dictionary = dictionary
@@ -127,34 +134,44 @@ class Searcher:
         self.deleted = frozenset(deleted or ())
         self.deleted_df = deleted_df
         self.range_bits = range_bits
-        # term → df cache: repeated query terms skip the dictionary scan
-        # (the dictionary is immutable for a Searcher's lifetime; df=0 is
-        # cached too so absent terms don't re-scan)
-        self._df_cache: dict[str, int] = {}
+        self.probe_min_blocks = probe_min_blocks
+        # term → (df, max_tf, min_dl) cache: repeated query terms skip the
+        # dictionary scan (the dictionary is immutable for a Searcher's
+        # lifetime; df=0 is cached too so absent terms don't re-scan)
+        self._df_cache: dict[str, tuple[int, int, int]] = {}
 
-    def _term_dfs(self, terms: list[str]) -> dict[str, int]:
+    def _term_meta(self, terms: list[str]) -> dict[str, tuple[int, int, int]]:
+        """term → (df, max_tf, min_dl) from the dictionary (cached)."""
         missing = [t for t in terms if t not in self._df_cache]
         if missing:
             buckets = _term_buckets(self.spark, missing)
             rows = (
                 self.dictionary.where(F.col("bucket").isin(buckets))
                 .where(F.col("term").isin(missing))
-                .select("term", "df")
+                .select("term", "df", "max_tf", "min_dl")
                 .collect()
             )
-            found = {r["term"]: int(r["df"]) for r in rows}
+            found = {
+                r["term"]: (int(r["df"]), int(r["max_tf"]), int(r["min_dl"]))
+                for r in rows
+            }
             for t in missing:
-                self._df_cache[t] = found.get(t, 0)
+                self._df_cache[t] = found.get(t, (0, 0, 0))
         return {t: self._df_cache[t] for t in terms}
 
-    def _plan(self, query_text: str) -> tuple[dict[str, float], DataFrame] | None:
+    def _term_dfs(self, terms: list[str]) -> dict[str, int]:
+        return {t: m[0] for t, m in self._term_meta(terms).items()}
+
+    def _plan(
+        self, query_text: str
+    ) -> tuple[dict[str, float], DataFrame, dict[str, tuple[int, int, int]]] | None:
         """Analyze query (shared tokenizer), fetch idfs, prune block scan."""
         terms = sorted(set(py_tokenize(query_text)))
         if not terms:
             return None
-        dfs = self._term_dfs(terms)
+        meta = self._term_meta(terms)
         idfs = {
-            t: lucene_idf(self.n_docs, df) for t, df in dfs.items() if df > 0
+            t: lucene_idf(self.n_docs, m[0]) for t, m in meta.items() if m[0] > 0
         }
         if not idfs:
             return None
@@ -162,7 +179,80 @@ class Searcher:
         blocks = self.postings.where(F.col("bucket").isin(buckets)).where(
             F.col("term").isin(list(idfs))
         )
-        return idfs, blocks
+        return idfs, blocks, meta
+
+    def _seed_theta0(
+        self,
+        idfs: dict[str, float],
+        meta: dict[str, tuple[int, int, int]],
+        blocks: DataFrame,
+        k: int,
+    ) -> float:
+        """Global θ₀ seed: a provable lower bound on the corpus kth-best
+        final score, computed BEFORE range scoring so every doc range can
+        prune from its very first block (without it, θ starts at 0 per
+        range and each range fully decodes its leading blocks first).
+
+        Method: pick the term whose best block could hold the largest
+        single-term contributions (max idf·tf_norm(max_tf, min_dl)), fetch
+        its ⌈k/BLOCK_SIZE⌉+1 highest-upper-bound blocks (a tiny
+        TakeOrderedAndProject over the term-pruned metadata scan), decode
+        them driver-side and take the kth-largest single-term partial
+        score over live docs. Partial scores are lower bounds on final
+        scores (every BM25 term contribution is ≥ 0) and the decoded docs
+        are real, distinct, live docs — so ≥ k docs have final ≥ θ₀ and no
+        doc scoring < θ₀ can enter the global top-k. Exactness is
+        preserved by construction.
+
+        Skipped (returns 0.0) when the estimated decode volume is below
+        ``probe_min_blocks`` (probe job would cost more than it saves) or
+        when tombstones live in a distributed table (liveness of probed
+        docs can't be checked driver-side without an extra join job).
+        """
+        if self.deleted_df is not None:
+            return 0.0
+        est_blocks = sum(-(-m[0] // codec.BLOCK_SIZE) for m in meta.values())
+        if est_blocks < self.probe_min_blocks:
+            return 0.0
+        one = lambda v: np.array([v], dtype=np.float64)  # noqa: E731
+        t_star = max(
+            idfs,
+            key=lambda t: idfs[t]
+            * float(codec.tf_norm(one(meta[t][1]), one(meta[t][2]), self.avgdl)[0]),
+        )
+        nprobe = -(-k // codec.BLOCK_SIZE) + 1
+        ub = F.col("max_tf") * (codec.K1 + 1.0) / (
+            F.col("max_tf")
+            + codec.K1
+            * (1.0 - codec.B + codec.B * F.col("min_dl") / F.lit(self.avgdl))
+        )
+        rows = (
+            blocks.where(F.col("term") == t_star)
+            .orderBy(ub.desc())
+            .limit(nprobe)
+            .select("doc_bytes", "tf_bytes", "dl_bytes")
+            .collect()
+        )
+        dead = (
+            np.fromiter(self.deleted, dtype=np.int64)
+            if self.deleted
+            else None
+        )
+        partials = []
+        for r in rows:
+            ids, tfs = codec.unpack_block(r["doc_bytes"], r["tf_bytes"])
+            dls = codec.varbyte_decode(r["dl_bytes"])
+            if dead is not None:
+                live = ~np.isin(ids, dead)
+                tfs, dls = tfs[live], dls[live]
+            if len(tfs):
+                partials.append(idfs[t_star] * codec.tf_norm(tfs, dls, self.avgdl))
+        if not partials:
+            return 0.0
+        allp = np.concatenate(partials)
+        if len(allp) < k:
+            return 0.0
+        return float(np.partition(allp, -k)[-k])
 
     # ---------------- reference (DataFrame) path ----------------
 
@@ -170,7 +260,7 @@ class Searcher:
         plan = self._plan(query_text)
         if plan is None:
             return _empty_topk(self.spark)
-        idfs, blocks = plan
+        idfs, blocks, _ = plan
         idf_df = F.broadcast(
             self.spark.createDataFrame(
                 sorted(idfs.items()), "term string, idf double"
@@ -208,7 +298,8 @@ class Searcher:
         plan = self._plan(query_text)
         if plan is None:
             return _empty_topk(self.spark)
-        idfs, blocks = plan
+        idfs, blocks, meta = plan
+        theta0 = self._seed_theta0(idfs, meta, blocks, k)
         if self.deleted_df is not None:
             # tombstones at scale: cogroup each doc-range's blocks with its
             # tombstone rows — the deleted set never leaves the cluster
@@ -229,7 +320,7 @@ class Searcher:
         else:
             scorer = _make_range_scorer(
                 idfs, self.avgdl, k, self.range_bits, self.deleted,
-                skip_acc=skip_acc,
+                skip_acc=skip_acc, theta0=theta0,
             )
             local = blocks.groupBy("range_id").applyInPandas(scorer, TOPK_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -257,6 +348,7 @@ def _make_range_scorer(
     deleted: frozenset,
     cogrouped: bool = False,
     skip_acc=None,
+    theta0: float = 0.0,
 ):
     """Exact MaxScore/block-max scorer for one doc range (applyInPandas;
     with ``cogrouped=True`` the second frame carries this range's
@@ -272,8 +364,15 @@ def _make_range_scorer(
     * partial accumulated scores are *lower bounds* on final scores (every
       term contribution is ≥ 0), so the running kth-largest partial score
       is a valid lower bound on the range's kth-best final score;
-    * θ is refreshed both after each term AND every ``_THETA_REFRESH``
-      blocks within a term, so single-/hot-term queries prune too (a
+    * θ starts at the caller-provided global seed ``theta0`` (a lower
+      bound on the corpus kth-best final score, see ``_seed_theta0``;
+      0.0 = unseeded), so at 10^12 scale every range prunes from its
+      first block instead of warming up per range;
+    * θ is refreshed after each term AND within a term on a geometric
+      schedule (after blocks 1, 2, 4, 8, then every ``_THETA_REFRESH``) —
+      blocks arrive in descending upper-bound order, so the first block
+      usually establishes a near-final θ and the early refreshes capture
+      it at negligible cost; single-/hot-term queries prune too (a
       per-term-only θ never skips anything on a one-term query);
     * blocks are visited in descending block-upper-bound order within each
       term, so once the span-independent bound fails for one block it fails
@@ -332,8 +431,9 @@ def _make_range_scorer(
 
         total = np.zeros(range_size, dtype=np.float64)
         per_term: dict[str, np.ndarray] = {}
-        theta = 0.0
+        theta = theta0
         skipped = 0
+        decoded = 0  # blocks decoded so far in this range (refresh schedule)
 
         def kth_partial(extra: np.ndarray | None) -> float:
             combined = total if extra is None else total + extra
@@ -372,7 +472,11 @@ def _make_range_scorer(
                             continue
                 arr[ids - base] += idf * codec.tf_norm(tfs, dls, avgdl)
                 since_refresh += 1
-                if since_refresh >= _THETA_REFRESH:
+                decoded += 1
+                # geometric early refresh (1,2,4,8 decoded blocks), then
+                # every _THETA_REFRESH: ub-desc order means the first
+                # block usually sets a near-final θ
+                if since_refresh >= _THETA_REFRESH or decoded in (1, 2, 4, 8):
                     since_refresh = 0
                     new_theta = kth_partial(arr)
                     if new_theta > theta:

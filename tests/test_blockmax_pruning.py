@@ -74,6 +74,52 @@ def test_theta_is_tombstone_free(spark, skewed_index):
     assert _top(s_df.topk_blockmax("hot", 10).collect()) == ref
 
 
+def test_theta0_probe_seeds_pruning_and_stays_exact(spark, skewed_index):
+    """probe_min_blocks=1 forces the global-θ₀ seed probe: results must be
+    identical to the reference scorer and at least as many blocks must be
+    pruned as without the seed (the seed can only raise θ)."""
+    built = skewed_index
+    seeded = Searcher(
+        spark, built.postings, built.dictionary, built.n_docs, built.avgdl,
+        probe_min_blocks=1,
+    )
+    unseeded = Searcher(
+        spark, built.postings, built.dictionary, built.n_docs, built.avgdl,
+    )
+    # the multi-term query's pad docs are 1,980 exact ties — nothing is
+    # provably sub-θ there, so skips are only asserted for the skewed
+    # single-term query; exactness is asserted for both
+    for q, expect_skips in (("hot", True), ("hot pad0 pad29", False)):
+        acc_s = spark.sparkContext.accumulator(0)
+        acc_u = spark.sparkContext.accumulator(0)
+        fast = _top(seeded.topk_blockmax(q, 10, skip_acc=acc_s).collect())
+        base = _top(unseeded.topk_blockmax(q, 10, skip_acc=acc_u).collect())
+        ref = _top(seeded.topk_dataframe(q, 10).collect())
+        assert fast == ref == base
+        assert acc_s.value >= acc_u.value
+        if expect_skips:
+            assert acc_u.value > 0
+    # the probe itself computed a positive lower bound on the kth score
+    plan = seeded._plan("hot")
+    idfs, blocks, meta = plan
+    theta0 = seeded._seed_theta0(idfs, meta, blocks, 10)
+    assert theta0 > 0.0
+
+
+def test_theta0_probe_masks_driver_side_tombstones(spark, skewed_index):
+    """Tombstoning the hot docs must flow into the probe: θ₀ from dead
+    docs would over-prune and drop live results."""
+    built = skewed_index
+    dead = set(range(N_HOT))
+    s = Searcher(
+        spark, built.postings, built.dictionary, built.n_docs, built.avgdl,
+        deleted=dead, probe_min_blocks=1,
+    )
+    ref = _top(s.topk_dataframe("hot", 10).collect())
+    assert len(ref) == 10 and not {d for d, _ in ref} & dead
+    assert _top(s.topk_blockmax("hot", 10).collect()) == ref
+
+
 def test_multi_term_pruned_equals_reference(spark, skewed_index):
     built = skewed_index
     s = Searcher(spark, built.postings, built.dictionary, built.n_docs, built.avgdl)
