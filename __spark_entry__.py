@@ -327,6 +327,24 @@ def _q_a12_content_id(spark, sf_dir):
     )
 
 
+def _q_a13_text_scrub(spark, sf_dir):
+    """Reference A13 content scrub (get_readme's decode-replace /
+    encode-ignore round-trip, /root/reference/rabbit_indexer/utils/
+    path_tools.py:221-235; golden behavior tests/test_path_tools.py:
+    117-125): U+FFFD replacement chars and non-tab/newline control chars
+    are stripped. Control chars + U+FFFD are injected deterministically
+    around each document's text so the scrub has real work to do, and the
+    DuckDB RE2 twin must produce byte-identical output."""
+    from rabbit_index_ingest_spark.functions.text import scrub_text_expr
+
+    dirty = F.concat(
+        F.lit("\x02"), F.col("text"), F.lit("�\x07ok\x0b\t tail\x9c")
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", scrub_text_expr(dirty).alias("scrubbed")
+    )
+
+
 def _q_d1_exact_dedup(spark, sf_dir):
     from rabbit_index_ingest_spark.operators.dedup import exact_dedup_groups
 
@@ -543,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_lookup_join": _q_a9_lookup_join,
         "a11_path_metadata": _q_a11_path_metadata,
         "a12_content_id": _q_a12_content_id,
+        "a13_text_scrub": _q_a13_text_scrub,
         "d1_exact_dedup": _q_d1_exact_dedup,
         "d2_minhash": _q_d2_minhash,
         "d3_lsh_pairs": _q_d3_lsh_pairs,
@@ -776,6 +795,18 @@ FROM p
 """
 
     sql["a12_content_id"] = "SELECT doc_id, md5(text) AS content_id FROM documents"
+
+    # a13: same dirty-text construction, scrub via RE2 (the explicit
+    # char ranges are exactly Java's \p{Cc} minus \n\t, plus U+FFFD)
+    sql["a13_text_scrub"] = """
+SELECT doc_id,
+       regexp_replace(
+         chr(2) || text || chr(65533) || chr(7) || 'ok' || chr(11)
+           || chr(9) || ' tail' || chr(156),
+         '[\\x{FFFD}\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}-\\x{9F}]',
+         '', 'g') AS scrubbed
+FROM documents
+"""
 
     sql["d1_exact_dedup"] = """
 WITH dup AS (
