@@ -90,3 +90,37 @@ def start_incremental_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_enriched_ingest(
+    stream: DataFrame,
+    dim_loader: Callable[[SparkSession], DataFrame],
+    out_dir: str,
+    checkpoint_dir: str,
+    join_key: str = "conv_id",
+):
+    """Periodic dimension refresh (reference A18: if the catalogue mapping
+    is older than refresh_interval, re-download it —
+    index_updaters/base.py:64-81, path_tools.py:237-247).
+
+    Structured Streaming analogue: ``dim_loader`` runs INSIDE foreachBatch,
+    so the dimension is re-resolved on every micro-batch — a changed
+    dimension file/table is picked up at the next trigger and the
+    broadcast hash left-join re-plans with fresh data. The refresh
+    interval is the trigger interval; no timer state to manage and no
+    stale broadcast can outlive one batch."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dim = dim_loader(batch_df.sparkSession)
+        batch_df.join(F.broadcast(dim), join_key, "left").write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

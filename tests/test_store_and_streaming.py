@@ -159,6 +159,56 @@ def test_streaming_incremental_index(spark, tmp_path):
     assert IndexStore(spark, root).segments() == segs_before
 
 
+def test_streaming_dimension_refresh_picks_up_changes(spark, tmp_path):
+    """A18 contract: the dimension is re-resolved per micro-batch, so rows
+    arriving AFTER the dimension changes are enriched with the NEW values
+    (the reference re-downloads its mapping after refresh_interval —
+    base.py:64-81; here the trigger is the interval)."""
+    from rabbit_index_ingest_spark.streaming.ingest import (
+        read_transcript_stream,
+        start_enriched_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    dim_path = str(tmp_path / "dim")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    t = transcripts_df(spark, n_conv=5)
+    conv_ids = [r["conv_id"] for r in t.select("conv_id").distinct().collect()]
+
+    def write_dim(label):
+        spark.createDataFrame(
+            [(c, f"{label}:{c}") for c in conv_ids], "conv_id string, title string"
+        ).write.mode("overwrite").parquet(dim_path)
+
+    def dim_loader(s):
+        return s.read.parquet(dim_path)
+
+    # batch 1 under dimension v1
+    write_dim("v1")
+    t.write.mode("overwrite").parquet(src)
+    start_enriched_ingest(
+        read_transcript_stream(spark, src, max_files_per_trigger=100),
+        dim_loader, out, ckpt,
+    ).awaitTermination(120)
+    got1 = {r["title"] for r in spark.read.parquet(out).select("title").collect()}
+    assert got1 == {f"v1:{c}" for c in conv_ids}
+
+    # mutate the dimension, drop a second batch into the SAME stream
+    write_dim("v2")
+    t.withColumn("turn_idx", F.col("turn_idx") + 1000).write.mode(
+        "append"
+    ).parquet(src)
+    start_enriched_ingest(
+        read_transcript_stream(spark, src, max_files_per_trigger=100),
+        dim_loader, out, ckpt,
+    ).awaitTermination(120)
+    new_rows = spark.read.parquet(out).where(F.col("turn_idx") >= 1000)
+    got2 = {r["title"] for r in new_rows.select("title").collect()}
+    assert got2 == {f"v2:{c}" for c in conv_ids}, "stale dimension was reused"
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """A17 contract: with a watermark, rows older than (max event time −
     delay) arriving in a later batch are DROPPED from append-mode windows —
