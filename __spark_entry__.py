@@ -471,6 +471,27 @@ def _q_m1_media_features(spark, sf_dir):
     )
 
 
+def _q_m2_resize(spark, sf_dir):
+    """Multimodal resize stage with a checkable oracle: ASCII-sanitized
+    document text becomes the binary payload (byte==char), the stub decode
+    takes its first 64 zero-padded bytes as an 8×8 thumbnail, and the
+    nearest-neighbor resize gathers a fixed index grid — which the DuckDB
+    twin recomputes as character codes at those string positions."""
+    from rabbit_index_ingest_spark.operators.multimodal import resize_thumbnails
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.regexp_replace("text", r"[^\x20-\x7e]", ""), "utf-8"
+        ).alias("payload"),
+    )
+    # long format (one row per pixel position): scalar columns hash
+    # robustly in the driver's sorted-column compare
+    return resize_thumbnails(media).select(
+        "media_id", F.posexplode("pixels").alias("pos", "pixel")
+    )
+
+
 def _q_s3_ivf_topk(spark, sf_dir):
     """[rows-only] IVF approximate NN: probes the 4 nearest of 8 centroid
     buckets (driver k-means is deterministic seed=42 but iterative —
@@ -572,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_embedding_neardup_lsh": _q_s4_embedding_neardup_lsh,
         "s3_ivf_topk": _q_s3_ivf_topk,
         "m1_media_features": _q_m1_media_features,
+        "m2_resize": _q_m2_resize,
         "t1_token_counts": _q_t1_token_counts,
         "t5_bpe_tokens": _q_t5_bpe_tokens,
         "t2_quality": _q_t2_quality,
@@ -991,6 +1013,22 @@ SELECT s.media_id,
        length(s.t)::BIGINT AS n_bytes,
        round(coalesce(ent.e, 0.0), 6) AS byte_entropy
 FROM s LEFT JOIN ent USING (media_id)
+"""
+
+    # m2: the stub decode reads the first 64 zero-padded payload bytes as
+    # an 8x8 thumbnail; 4x4 nearest-neighbor gathers rows/cols {0,2,4,6}
+    # → byte positions y*8+x. Over the ASCII-sanitized payload (byte ==
+    # char), each gathered byte is just the char code at that position.
+    resize_idx = [y * 8 + x for y in (0, 2, 4, 6) for x in (0, 2, 4, 6)]
+    idx_values = ", ".join(f"({p}, {i})" for p, i in enumerate(resize_idx))
+    sql["m2_resize"] = rf"""
+SELECT doc_id AS media_id, m.pos::INTEGER AS pos,
+       (CASE WHEN length(t) > m.src_idx
+             THEN ascii(substr(t, m.src_idx + 1, 1)) ELSE 0 END)::INTEGER
+         AS pixel
+FROM (SELECT doc_id, regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t
+      FROM documents),
+     (VALUES {idx_values}) AS m(pos, src_idx)
 """
 
     sql["t1_token_counts"] = f"""

@@ -97,6 +97,39 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("pixels", T.ArrayType(T.IntegerType()), False),
+    ]
+)
+
+
+def resize_thumbnails(
+    media: DataFrame, out_w: int = 4, out_h: int = 4, src: int = 8
+) -> DataFrame:
+    """Resize stage over stub-decoded thumbnails: nearest-neighbor
+    downsample of the ``src×src`` decode to ``out_h×out_w`` via a single
+    vectorized index gather per batch (``np.ix_`` over precomputed row/col
+    maps — a real PIL/vips resize drops into the same slot). Output one
+    flattened pixel row per image; deterministic, so the m2 oracle can
+    recompute the exact gathered byte positions in SQL."""
+    ys = (np.arange(out_h) * src) // out_h
+    xs = (np.arange(out_w) * src) // out_w
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, px = [], []
+            for row in batch.itertuples(index=False):
+                payload = bytes(row.payload) if row.payload is not None else b""
+                thumb = _decode_image_stub(payload)
+                px.append(thumb[np.ix_(ys, xs)].ravel().astype(np.int32))
+                ids.append(row.media_id)
+            yield pd.DataFrame({"media_id": ids, "pixels": px})
+
+    return media.select("media_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Frame-sampling plan for video rows: one output row per sampled
     timestamp (pure built-ins — sequence + explode; the decode of each

@@ -136,6 +136,21 @@ def test_multimodal_plumbing(spark):
         assert r["count"] == len(range(0, durations[r["media_id"]], 500))
 
 
+def test_multimodal_resize_gathers_expected_bytes(spark):
+    from rabbit_index_ingest_spark.operators.multimodal import (
+        resize_thumbnails,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=12)
+    out = {r["media_id"]: r["pixels"] for r in resize_thumbnails(media).collect()}
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid, pixels in out.items():
+        padded = payloads[mid][:64].ljust(64, b"\0")
+        expect = [padded[y * 8 + x] for y in (0, 2, 4, 6) for x in (0, 2, 4, 6)]
+        assert pixels == expect
+
+
 def test_quality_and_lang_functions(spark):
     from rabbit_index_ingest_spark.functions.text import (
         lang_id_expr,
