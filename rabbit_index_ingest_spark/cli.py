@@ -8,7 +8,7 @@ Run via spark-submit on a cluster:
 
 or locally: ``python -m rabbit_index_ingest_spark.cli <cmd> ...``.
 
-Subcommands: build | resume | upsert | query | compact | bench-corpus.
+Subcommands: build [--resume] | upsert | query | compact | gen-corpus.
 """
 
 from __future__ import annotations

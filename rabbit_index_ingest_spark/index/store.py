@@ -190,6 +190,13 @@ class IndexStore:
         """
         from .build import dictionary_from_blocks
 
+        if built.n_docs == 0:
+            # zero-row tables write no parquet part files (schema lost on
+            # read-back) — fail loud instead of corrupting the root
+            raise ValueError(
+                "refusing to save an empty index (0 docs); "
+                "filter empty batches before save/upsert"
+            )
         # Write order is load-bearing: postings before the dictionary,
         # which is a column-pruned rollup of the WRITTEN blocks (no
         # pipeline re-run).
@@ -409,6 +416,12 @@ class IndexStore:
             self.spark, new_turns, id_col, order_col, text_col,
             id_base=existing.next_doc_id,
         )
+        if built.n_docs == 0:
+            # empty batch (reference: no messages → no bulk actions). An
+            # empty segment would be unreadable parquet (zero part files).
+            built.release()
+            self.log_manifest(f"seg{seg}/upsert", "done", new_tombstones=0)
+            return -1
         # superseded: old doc_ids whose key reappears in the new batch
         new_keys = built.doc_stats.select(
             F.col("conv_id").alias("k1"), F.col("turn_idx").alias("k2")
@@ -444,5 +457,11 @@ class IndexStore:
         for s in self.segments():
             shutil.rmtree(os.path.join(self.root, f"seg={s:05d}"))
         shutil.rmtree(os.path.join(self.root, "_tombstones"), ignore_errors=True)
+        if built.n_docs == 0:
+            # every doc was tombstoned: a valid end state — leave an empty
+            # root (load() then raises its clear no-segments error)
+            built.release()
+            self.log_manifest("compact", "done", n_docs=0)
+            return
         self.save(built, segment=0)
         self.log_manifest("compact", "done", n_docs=built.n_docs)

@@ -341,6 +341,45 @@ def test_upsert_tombstones_never_hit_driver_at_1e5(spark, root):
     assert all(r["doc_id"] >= n for r in top)  # only v2 docs are live
 
 
+def test_empty_upsert_batch_is_a_noop(spark, root):
+    """An upsert whose batch is empty (reference: no messages → no bulk
+    actions) must not write an unreadable zero-file segment."""
+    t = transcripts_df(spark, n_conv=10)
+    store = IndexStore(spark, root)
+    store.save(build_index(spark, t), segment=0)
+    before = store.segments()
+    seg = store.upsert(t.where(F.lit(False)))
+    assert seg == -1
+    assert store.segments() == before
+    L, s = _searcher(spark, store)
+    assert s.topk_blockmax("karo", 3).count() == 3
+
+
+def test_save_empty_index_fails_loud(spark, root):
+    t = transcripts_df(spark, n_conv=5).where(F.lit(False))
+    built = build_index(spark, t)
+    with pytest.raises(ValueError, match="empty index"):
+        IndexStore(spark, root).save(built)
+
+
+def test_compact_after_deleting_everything_leaves_empty_root(spark, root):
+    t = transcripts_df(spark, n_conv=8)
+    store = IndexStore(spark, root)
+    store.save(build_index(spark, t), segment=0)
+    # re-upsert every key → all original docs tombstoned; then tombstone
+    # the replacements too by upserting again and compacting the union
+    store.upsert(t)
+    L = store.load()
+    # delete every live doc by writing a full tombstone table
+    L.docs.select("doc_id").write.mode("overwrite").parquet(
+        os.path.join(root, "_tombstones", "seg=99999")
+    )
+    store.compact()
+    assert store.segments() == []
+    with pytest.raises(FileNotFoundError):
+        store.load()
+
+
 def test_load_on_missing_root_raises_clear_error(spark, tmp_path):
     store = IndexStore(spark, str(tmp_path / "nope"))
     with pytest.raises(FileNotFoundError, match="no index segments"):
