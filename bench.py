@@ -143,10 +143,13 @@ def run_suite(cpus: int, quick: bool = False) -> dict:
     # one untimed warmup (Python-worker + Arrow cold start)
     searcher.topk_blockmax(next(iter(queries.values())), 10).collect()
     q_times = []
+    prune: dict[str, int] = {}
     for name, q in queries.items():
+        acc = spark.sparkContext.accumulator(0)
         t0 = time.time()
-        searcher.topk_blockmax(q, 10).collect()
+        searcher.topk_blockmax(q, 10, skip_acc=acc).collect()
         timings[name] = time.time() - t0
+        prune[name] = acc.value
         q_times.append(timings[name])
     # repeat the batch twice more for a stable p95 (full mode only)
     for _ in range(0 if quick else 2):
@@ -167,6 +170,20 @@ def run_suite(cpus: int, quick: bool = False) -> dict:
         }
         spark.stop()
         return result
+
+    # the same hot query with the global-θ₀ seed probe FORCED on
+    # (probe_min_blocks=1): at this corpus size the gate normally keeps the
+    # probe off (extra driver job ≳ decode savings); measuring both sides
+    # documents the gate's tradeoff and the skip-count delta
+    seeded = Searcher(
+        spark, loaded.postings, loaded.dictionary, loaded.n_docs, loaded.avgdl,
+        probe_min_blocks=1,
+    )
+    acc = spark.sparkContext.accumulator(0)
+    t0 = time.time()
+    seeded.topk_blockmax(queries["q_bmw_hot"], 10, skip_acc=acc).collect()
+    timings["q_bmw_hot_seeded"] = time.time() - t0
+    prune["q_bmw_hot_seeded"] = acc.value
 
     t0 = time.time()
     searcher.topk_dataframe("karo tenro solda", 10).collect()
@@ -201,6 +218,7 @@ def run_suite(cpus: int, quick: bool = False) -> dict:
         "n_turns": n_turns,
         "n_blocks": n_blocks,
         "timings": timings,
+        "blocks_skipped": prune,
         "turns_per_sec": round(n_turns / timings["build"], 1),
     }
     spark.stop()
@@ -294,6 +312,7 @@ def main() -> None:
                 "value": round(sum(res["timings"].values()), 3),
                 "unit": "sec",
                 "queries": {k: round(v, 3) for k, v in res["timings"].items()},
+                "blocks_skipped": res.get("blocks_skipped", {}),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "turns_per_sec": res["turns_per_sec"],
                 "n_turns": res["n_turns"],
