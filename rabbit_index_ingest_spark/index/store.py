@@ -188,6 +188,8 @@ class IndexStore:
         * no per-stage re-read count jobs — row-level lineage lives in the
           ``metrics`` table (A21), not the manifest.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         from .build import dictionary_from_blocks
 
         if built.n_docs == 0:
@@ -197,32 +199,74 @@ class IndexStore:
                 "refusing to save an empty index (0 docs); "
                 "filter empty batches before save/upsert"
             )
-        # Write order is load-bearing: postings before the dictionary,
-        # which is a column-pruned rollup of the WRITTEN blocks (no
-        # pipeline re-run).
-        stages = [
-            ("docs", lambda: built.docs, ()),
-            ("corpus_stats", None, ()),  # driver-side pyarrow write
-            ("postings", lambda: built.postings, ("bucket",)),
-            (
-                "dictionary",
-                lambda: dictionary_from_blocks(
-                    self.spark.read.parquet(self._path("postings", segment))
-                ),
-                ("bucket",),
-            ),
-            ("metrics", lambda: self._build_metrics(segment), ()),
-        ]
-        for name, df_fn, pcols in stages:
+
+        def run_stage(name, df_fn, pcols) -> None:
             stage_key = f"seg{segment}/{name}"
             if resume and self.stage_done(stage_key):
-                continue
+                return
             self.log_manifest(stage_key, "started")
             if name == "corpus_stats":
                 self._write_corpus_stats(built, segment)
             else:
                 self._write(df_fn(), name, segment, pcols)
             self.log_manifest(stage_key, "done", segment=segment)
+
+        # Independent writes run CONCURRENTLY (Spark schedules jobs from
+        # multiple driver threads): by save-time the build frames are
+        # materialized in the executor cache (build_index's corpus-stats
+        # collect forced them), so docs (IO-heavy) and postings
+        # (shuffle+IO) overlap instead of queueing — serial driver stages
+        # are exactly the fixed cost that caps N→4N scaling efficiency.
+        #
+        # The dictionary is a column-pruned rollup of the blocks and the
+        # metrics roll up blocks + doc stats: when the build frames are
+        # still CACHED (the normal save-right-after-build path) both read
+        # the cache — same rows as the written tables, no parquet re-read,
+        # and every stage runs concurrently. When postings were built with
+        # persist_postings=False (extreme scale) or on a resume whose
+        # caches are gone, they read the WRITTEN postings back instead, so
+        # postings must land first — the sequential fallback.
+        postings_cached = built.postings.storageLevel.useMemory
+
+        def dictionary_src() -> DataFrame:
+            src = (
+                built.postings
+                if postings_cached
+                else self.spark.read.parquet(self._path("postings", segment))
+            )
+            return dictionary_from_blocks(src)
+
+        def metrics_src() -> DataFrame:
+            if postings_cached:
+                return self._build_metrics(
+                    segment, postings=built.postings, doc_stats=built.doc_stats
+                )
+            return self._build_metrics(segment)
+
+        with ThreadPoolExecutor(max_workers=5) as ex:
+            if postings_cached:
+                futures = [
+                    ex.submit(run_stage, "docs", lambda: built.docs, ()),
+                    ex.submit(run_stage, "postings", lambda: built.postings, ("bucket",)),
+                    ex.submit(run_stage, "dictionary", dictionary_src, ("bucket",)),
+                    ex.submit(run_stage, "corpus_stats", None, ()),
+                    ex.submit(run_stage, "metrics", metrics_src, ()),
+                ]
+                for f in futures:
+                    f.result()  # re-raise the first stage failure
+            else:
+                def postings_then_derived() -> None:
+                    run_stage("postings", lambda: built.postings, ("bucket",))
+                    run_stage("dictionary", dictionary_src, ("bucket",))
+
+                futures = [
+                    ex.submit(run_stage, "docs", lambda: built.docs, ()),
+                    ex.submit(postings_then_derived),
+                    ex.submit(run_stage, "corpus_stats", None, ()),
+                ]
+                for f in futures:
+                    f.result()
+                run_stage("metrics", metrics_src, ())
         # everything is on disk now — drop the build-time executor caches
         built.release()
 
@@ -244,13 +288,21 @@ class IndexStore:
         os.makedirs(path, exist_ok=True)
         pq.write_table(table, os.path.join(path, "part-00000.parquet"))
 
-    def _build_metrics(self, segment: int) -> DataFrame:
+    def _build_metrics(
+        self,
+        segment: int,
+        postings: DataFrame | None = None,
+        doc_stats: DataFrame | None = None,
+    ) -> DataFrame:
         """Per-partition build lineage metrics (north rule / reference A21):
         for every postings storage partition (term bucket): blocks written,
         postings emitted, compressed bytes; for every doc range: turns
         tokenized and token totals. Long format: (dimension, key, metric,
-        value)."""
-        postings = self.spark.read.parquet(self._path("postings", segment))
+        value). ``postings``/``doc_stats`` may be passed as the build-time
+        cached frames (identical rows to the written tables, no re-read);
+        default is reading the written segment back."""
+        if postings is None:
+            postings = self.spark.read.parquet(self._path("postings", segment))
         per_bucket = postings.groupBy("bucket").agg(
             F.count("*").alias("n_blocks"),
             F.sum("n_docs").alias("postings_emitted"),
@@ -265,9 +317,9 @@ class IndexStore:
             " 'bytes_compressed', bytes_compressed) as (metric, value)",
             "bucket as key",
         ).select(F.lit("term_bucket").alias("dimension"), "key", "metric", "value")
-        doc_stats = self.spark.read.parquet(self._path("docs", segment)).select(
-            "doc_id", "dl"
-        )
+        if doc_stats is None:
+            doc_stats = self.spark.read.parquet(self._path("docs", segment))
+        doc_stats = doc_stats.select("doc_id", "dl")
         range_long = (
             doc_stats.groupBy(F.shiftright("doc_id", 16).alias("key"))
             .agg(
