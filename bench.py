@@ -98,7 +98,12 @@ def run_suite(cpus: int, quick: bool = False) -> dict:
 
     # shuffle partitions sized for the DATA (constant across parallelism
     # levels — scaling compares the identical plan at different core
-    # counts, and per-partition sorts must not spill)
+    # counts). Two sizing constraints, both data-driven: per-partition
+    # sorts must not spill, AND per-task work must be small enough that
+    # stage TAILS stay short at the high core count — with 64 partitions
+    # on 252M occurrences the largest sort+pack tasks bounded the stage
+    # (2→8-core efficiency 0.72); ~1M occurrence rows per task restored
+    # balance (measured 0.84). occurrences ≈ 30 tokens/turn × 7 turns/conv.
     #
     # In quick/scaling mode the JVM is additionally told it HAS cpus cores
     # (-XX:ActiveProcessorCount): a bare local[2] JVM on this 32-core host
@@ -114,12 +119,14 @@ def run_suite(cpus: int, quick: bool = False) -> dict:
             # is the one resource a single box cannot scale with cores
             "spark.local.dir": f"{_scratch_base(True)}/local-{cpus}",
         }
+    n_conv = SCALING_N_CONV if quick else N_CONV.get(_sf_name(), 3000)
+    est_occurrences = n_conv * 7 * 30
+    shuffle_parts = max(64, min(1024, 1 << (est_occurrences // 1_000_000).bit_length()))
     spark = get_spark(
-        app_name=f"bench-{cpus}", cores=cpus, shuffle_partitions=64, extra_conf=extra
+        app_name=f"bench-{cpus}", cores=cpus,
+        shuffle_partitions=shuffle_parts, extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
-
-    n_conv = SCALING_N_CONV if quick else N_CONV.get(_sf_name(), 3000)
     t0 = time.time()
     corpus = _corpus_parquet(spark, n_conv, quick=quick)
     transcripts = spark.read.parquet(corpus)
