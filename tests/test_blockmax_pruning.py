@@ -120,6 +120,25 @@ def test_theta0_probe_masks_driver_side_tombstones(spark, skewed_index):
     assert _top(s.topk_blockmax("hot", 10).collect()) == ref
 
 
+def test_theta0_probe_with_fewer_than_k_live_probed_docs(spark, skewed_index):
+    """Tombstone nearly every doc the probe would decode (its ⌈k/128⌉+1 =
+    2 highest-ub blocks ≈ docs 0..255): with < k live partials the probe
+    must fall back to θ₀ = 0 and results must still match the reference."""
+    built = skewed_index
+    dead = set(range(250))
+    s = Searcher(
+        spark, built.postings, built.dictionary, built.n_docs, built.avgdl,
+        deleted=dead, probe_min_blocks=1,
+    )
+    plan = s._plan("hot")
+    idfs, blocks, meta = plan
+    # probe sees ≤ 6 live docs among the two decoded blocks → no valid kth
+    assert s._seed_theta0(idfs, meta, blocks, 10) == 0.0
+    ref = _top(s.topk_dataframe("hot", 10).collect())
+    assert len(ref) == 10 and not {d for d, _ in ref} & dead
+    assert _top(s.topk_blockmax("hot", 10).collect()) == ref
+
+
 def test_multi_term_pruned_equals_reference(spark, skewed_index):
     built = skewed_index
     s = Searcher(spark, built.postings, built.dictionary, built.n_docs, built.avgdl)

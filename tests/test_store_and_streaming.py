@@ -341,6 +341,37 @@ def test_upsert_tombstones_never_hit_driver_at_1e5(spark, root):
     assert all(r["doc_id"] >= n for r in top)  # only v2 docs are live
 
 
+def test_multi_segment_upsert_all_query_paths_agree(spark, root):
+    """Upsert creates a second segment whose doc ids can share a 2^16 doc
+    range with the first (id_base starts at max+1, mid-range): the
+    cogrouped tombstone scorer, the broadcast-set scorer WITH the θ₀
+    probe forced on, and the DataFrame reference must all agree."""
+    t = transcripts_df(spark, n_conv=60)
+    store = IndexStore(spark, root)
+    store.save(build_index(spark, t), segment=0)
+    upd = t.where(F.col("conv_id") < "conv-00000030").withColumn(
+        "text", F.concat(F.col("text"), F.lit(" karo karo"))
+    )
+    store.upsert(upd)
+    L = store.load()
+    s_df = Searcher(
+        spark, L.postings, L.dictionary, L.n_docs, L.avgdl,
+        deleted_df=L.deleted_df, probe_min_blocks=1,
+    )
+    s_set = Searcher(
+        spark, L.postings, L.dictionary, L.n_docs, L.avgdl,
+        deleted=L.deleted, probe_min_blocks=1,
+    )
+    for q in ("karo", "karo tenro", "zephyr quantum lattice"):
+        a = [(r["doc_id"], round(r["score"], 6))
+             for r in s_df.topk_blockmax(q, 10).collect()]
+        b = [(r["doc_id"], round(r["score"], 6))
+             for r in s_set.topk_blockmax(q, 10).collect()]
+        c = [(r["doc_id"], round(r["score"], 6))
+             for r in s_df.topk_dataframe(q, 10).collect()]
+        assert a == b == c, (q, a[:3], b[:3], c[:3])
+
+
 def test_empty_upsert_batch_is_a_noop(spark, root):
     """An upsert whose batch is empty (reference: no messages → no bulk
     actions) must not write an unreadable zero-file segment."""
