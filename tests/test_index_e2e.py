@@ -91,6 +91,22 @@ def test_rank_identical_both_paths(corpus, qspec):
         assert got == want, f"{path} mismatch for {q!r}"
 
 
+def test_theta0_seeded_parity_over_full_query_set(spark, corpus):
+    """The ENTIRE fixture query set, scored with the global-θ₀ probe
+    FORCED on (probe_min_blocks=1): rank- and score-identical to the
+    pure-Python oracle — the seed may only skip provably-sub-kth work."""
+    _, built, _, oracle, id_map = corpus
+    seeded = Searcher(
+        spark, built.postings, built.dictionary, built.n_docs, built.avgdl,
+        probe_min_blocks=1,
+    )
+    for qspec in QUERY_SET:
+        q, k = qspec["query_text"], qspec["k"]
+        rows = seeded.topk_blockmax(q, k).collect()
+        got, want = _rank_lists(rows, oracle.topk(q, k), id_map)
+        assert got == want, f"seeded blockmax mismatch for {q!r}"
+
+
 def test_text_equality_invariant(spark, corpus):
     """input_hint invariant: top-k fetch-back returns the exact original
     per-turn text under stable (conv_id, turn_idx) ordering."""
