@@ -112,6 +112,20 @@ def test_ivf_recall_vs_brute_force(spark, vectors):
     assert 7 in approx4
 
 
+def test_assign_buckets_arrow_matches_expression_path(spark, vectors):
+    """The large-codebook Arrow matmul assignment must agree bucket-for-
+    bucket with the column-expression path (same centroids, same ties)."""
+    from rabbit_index_ingest_spark.operators.similarity import assign_buckets_arrow
+
+    cents = train_centroids(vectors, n_centroids=8)
+    expr = {r["vec_id"]: r["bucket"] for r in assign_buckets(vectors, cents).collect()}
+    arrow = {
+        r["vec_id"]: r["bucket"]
+        for r in assign_buckets_arrow(vectors, cents).collect()
+    }
+    assert arrow == expr
+
+
 def test_multimodal_plumbing(spark):
     from rabbit_index_ingest_spark.operators.multimodal import (
         extract_features,
