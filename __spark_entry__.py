@@ -331,14 +331,19 @@ def _q_a13_text_scrub(spark, sf_dir):
     """Reference A13 content scrub (get_readme's decode-replace /
     encode-ignore round-trip, /root/reference/rabbit_indexer/utils/
     path_tools.py:221-235; golden behavior tests/test_path_tools.py:
-    117-125): U+FFFD replacement chars and non-tab/newline control chars
-    are stripped. Control chars + U+FFFD are injected deterministically
-    around each document's text so the scrub has real work to do, and the
-    DuckDB RE2 twin must produce byte-identical output."""
+    117-125): non-tab/newline control chars (including \\r) are stripped.
+    The U+FFFD strip is a deliberate generalization beyond the reference
+    round-trip — in Python 3 ``content.encode(errors="ignore")`` to UTF-8
+    never drops U+FFFD (the reference golden value retains its �
+    chars), so stripping the replacement char is this engine's stricter
+    normalization, not reference-golden behavior. Control chars (incl.
+    \\r) + U+FFFD are injected deterministically around each document's
+    text so the scrub has real work to do, and the DuckDB RE2 twin must
+    produce byte-identical output."""
     from rabbit_index_ingest_spark.functions.text import scrub_text_expr
 
     dirty = F.concat(
-        F.lit("\x02"), F.col("text"), F.lit("�\x07ok\x0b\t tail\x9c")
+        F.lit("\x02"), F.col("text"), F.lit("�\x07ok\x0b\r\t tail\x9c")
     )
     return _docs(spark, sf_dir).select(
         "doc_id", scrub_text_expr(dirty).alias("scrubbed")
@@ -818,14 +823,15 @@ FROM p
 
     sql["a12_content_id"] = "SELECT doc_id, md5(text) AS content_id FROM documents"
 
-    # a13: same dirty-text construction, scrub via RE2 (the explicit
-    # char ranges are exactly Java's \p{Cc} minus \n\t, plus U+FFFD)
+    # a13: same dirty-text construction, scrub via RE2. The explicit char
+    # ranges are Java's \p{Cc} (U+0000-U+001F, U+007F-U+009F) minus \n\t —
+    # i.e. 00-08, 0B-1F (including \r = 0D), 7F-9F — plus U+FFFD.
     sql["a13_text_scrub"] = """
 SELECT doc_id,
        regexp_replace(
          chr(2) || text || chr(65533) || chr(7) || 'ok' || chr(11)
-           || chr(9) || ' tail' || chr(156),
-         '[\\x{FFFD}\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}-\\x{9F}]',
+           || chr(13) || chr(9) || ' tail' || chr(156),
+         '[\\x{FFFD}\\x{00}-\\x{08}\\x{0B}-\\x{1F}\\x{7F}-\\x{9F}]',
          '', 'g') AS scrubbed
 FROM documents
 """

@@ -15,9 +15,11 @@ Phases:
   ann_cosine   — brute-force cosine top-10 over the embeddings table
 
 `python bench.py --scaling` additionally re-runs the build+query suite in
-subprocesses at local[8] and local[32] on the SAME input and reports
-throughput at both plus scaling efficiency (N vs 4N evidence for the
-north rule — sandbox stand-in for executor counts).
+subprocesses at local[2] and local[8] on the SAME input (each JVM
+CPU-pinned via -XX:ActiveProcessorCount so the 2-core run can't borrow
+the idle socket) and reports throughput at both plus scaling efficiency
+(N vs 4N evidence for the north rule — sandbox stand-in for executor
+counts; protocol details in BENCH/BASELINE.md).
 """
 
 from __future__ import annotations

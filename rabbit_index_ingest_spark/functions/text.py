@@ -108,11 +108,13 @@ def lang_id_expr(text: Column | str) -> Column:
 def scrub_text_expr(text: Column | str) -> Column:
     """Content scrub (reference A13 — get_readme, path_tools.py:221-235):
     the reference decodes file bytes with errors='replace' then re-encodes
-    with errors='ignore', i.e. *invalid byte sequences become U+FFFD
-    replacement chars and are then dropped*; golden behavior at
-    tests/test_path_tools.py:117-125. Spark strings are already valid
-    UTF-8, so the transferable part of the contract is: strip replacement
-    chars and non-newline control characters."""
+    with errors='ignore'. Note the re-encode is a near no-op in Python 3 —
+    U+FFFD is valid UTF-8, so the reference golden value
+    (tests/test_path_tools.py:117-125) *retains* its replacement chars.
+    This engine's scrub deliberately generalizes beyond that round-trip:
+    strip U+FFFD (the visible residue of invalid bytes) and all control
+    characters except newline/tab — stricter normalization appropriate
+    for an index over transcript text."""
     c = F.col(text) if isinstance(text, str) else text
     return F.regexp_replace(c, "[�\\p{Cc}&&[^\n\t]]", "")
 

@@ -109,12 +109,15 @@ def _minhash_fast(
 ) -> DataFrame:
     """Vectorized numpy minhash (see minhash_signatures docstring).
 
-    Base hash: first 8 bytes of md5 per shingle (one hashlib call per
-    shingle — the only per-element Python; everything else is numpy).
-    Families: odd-multiplier affine maps in native uint64 wraparound
-    arithmetic (multiply-shift universal hashing). Per-doc minima via a
-    single ``np.minimum.reduceat`` per family. Signatures stored as the
-    int64 bit-pattern (sign is irrelevant for equality-based LSH bands).
+    Base hash: first 8 bytes of md5, computed once per DISTINCT shingle in
+    the Arrow batch (``np.unique`` + inverse scatter — the simhash trick
+    at ``simhash()``: shingles repeat heavily across near-dup corpora, so
+    vocabulary ≪ occurrences and the per-element Python md5 loop shrinks
+    by the duplication factor). Families: odd-multiplier affine maps in
+    native uint64 wraparound arithmetic (multiply-shift universal
+    hashing). Per-doc minima via a single ``np.minimum.reduceat`` per
+    family. Signatures stored as the int64 bit-pattern (sign is
+    irrelevant for equality-based LSH bands).
     """
     import hashlib
 
@@ -132,7 +135,7 @@ def _minhash_fast(
         old_err = np.seterr(over="ignore")
         for batch in batches:
             keys = batch[key_col].tolist()
-            base_hashes: list[np.ndarray] = []
+            sh_lists: list[list[str]] = []
             bounds = [0]
             for text in batch[text_col].tolist():
                 toks = py_tokenize(text)
@@ -140,22 +143,24 @@ def _minhash_fast(
                     " ".join(toks[i : i + shingle_k])
                     for i in range(len(toks) - shingle_k + 1)
                 ]
-                base_hashes.append(
-                    np.fromiter(
-                        (
-                            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-                            for s in sh
-                        ),
-                        dtype=np.uint64,
-                        count=len(sh),
-                    )
-                )
+                sh_lists.append(sh)
                 bounds.append(bounds[-1] + len(sh))
-            flat = (
-                np.concatenate(base_hashes)
-                if bounds[-1]
-                else np.empty(0, dtype=np.uint64)
-            )
+            if bounds[-1]:
+                flat_sh = np.array(
+                    [s for lst in sh_lists for s in lst], dtype=object
+                )
+                uniq, inv = np.unique(flat_sh, return_inverse=True)
+                uh = np.fromiter(
+                    (
+                        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+                        for s in uniq
+                    ),
+                    dtype=np.uint64,
+                    count=len(uniq),
+                )
+                flat = uh[inv]
+            else:
+                flat = np.empty(0, dtype=np.uint64)
             starts = np.array(bounds[:-1])
             nonempty = np.diff(bounds) > 0
             out = {key_col: keys}
@@ -195,7 +200,28 @@ def _bucketed_pairs(
     ≤ max_bucket² pairs. Replication factor s per side is bounded by the
     pair output itself. Small buckets take s=1 (zero overhead rows beyond
     the size join).
+
+    Fast path: ONE cheap aggregate (map-side-combined count per bucket,
+    max over ~|buckets| rows) decides whether any bucket exceeds the cap;
+    when none does — the common, non-adversarial case — the salt
+    machinery (sizes join + explode) is skipped entirely and the pair
+    join is a plain bucket-keyed self-join. Callers persist ``tagged``,
+    so the extra probe job reads the cache.
     """
+    max_bn = (
+        tagged.groupBy(bucket_col)
+        .agg(F.count("*").alias("_bn"))
+        .agg(F.max("_bn"))
+        .collect()[0][0]
+    )
+    if max_bn is None or max_bn <= max_bucket:
+        left = tagged.select(F.col(bucket_col), F.col(key_col).alias("a"))
+        right = tagged.select(F.col(bucket_col), F.col(key_col).alias("b"))
+        return (
+            left.join(right, [bucket_col])
+            .where(F.col("a") < F.col("b"))
+            .select(bucket_col, "a", "b")
+        )
     sizes = tagged.groupBy(bucket_col).agg(F.count("*").alias("_bn"))
     sized = tagged.join(sizes, bucket_col).withColumn(
         "_s", F.ceil(F.col("_bn") / F.lit(max_bucket)).cast("int")

@@ -120,6 +120,43 @@ def test_theta0_probe_masks_driver_side_tombstones(spark, skewed_index):
     assert _top(s.topk_blockmax("hot", 10).collect()) == ref
 
 
+def test_theta0_probe_seeds_with_distributed_tombstone_table(spark, skewed_index):
+    """The CLI-default query path passes tombstones as a DataFrame
+    (deleted_df); the θ₀ probe must still seed — liveness of the probed
+    docs is checked with one tiny semi-join instead of giving up (round-2
+    verdict item 1: without this, a 10^12-doc index with one tombstone
+    loses global seeding entirely)."""
+    built = skewed_index
+    dead = set(range(5))  # tombstone a few hot docs — probe must drop them
+    dead_df = spark.createDataFrame([(i,) for i in sorted(dead)], "doc_id long")
+    seeded = Searcher(
+        spark, built.postings, built.dictionary, built.n_docs, built.avgdl,
+        deleted_df=dead_df, probe_min_blocks=1,
+    )
+    unseeded = Searcher(
+        spark, built.postings, built.dictionary, built.n_docs, built.avgdl,
+        deleted_df=dead_df,
+    )
+    idfs, blocks, meta = seeded._plan("hot")
+    theta0 = seeded._seed_theta0(idfs, meta, blocks, 10)
+    assert theta0 > 0.0
+    # the seed must equal the driver-side-set seed (same live probed docs)
+    s_set = Searcher(
+        spark, built.postings, built.dictionary, built.n_docs, built.avgdl,
+        deleted=dead, probe_min_blocks=1,
+    )
+    assert theta0 == s_set._seed_theta0(idfs, meta, blocks, 10)
+    acc_s = spark.sparkContext.accumulator(0)
+    acc_u = spark.sparkContext.accumulator(0)
+    fast = _top(seeded.topk_blockmax("hot", 10, skip_acc=acc_s).collect())
+    base = _top(unseeded.topk_blockmax("hot", 10, skip_acc=acc_u).collect())
+    ref = _top(seeded.topk_dataframe("hot", 10).collect())
+    assert fast == ref == base
+    assert len(ref) == 10 and not {d for d, _ in ref} & dead
+    assert acc_s.value >= acc_u.value
+    assert acc_s.value > 0
+
+
 def test_theta0_probe_with_fewer_than_k_live_probed_docs(spark, skewed_index):
     """Tombstone nearly every doc the probe would decode (its ⌈k/128⌉+1 =
     2 highest-ub blocks ≈ docs 0..255): with < k live partials the probe

@@ -100,3 +100,35 @@ def test_prefix_filter_pushed_to_scan(spark, tmp_path):
     plan = _plan(df)
     pushed = plan[plan.index("PushedFilters") :][:300]
     assert "StringStartsWith" in pushed or "EqualTo" in pushed, pushed
+
+
+def test_upsert_superseded_join_not_forced_broadcast(spark):
+    """B7 at scale: the superseded-keys semi-join must NOT force-broadcast
+    the new batch's keys — a bulk re-ingestion carries 10^8+ keys and a
+    forced broadcast is a driver OOM. Small batches still broadcast via
+    AQE; a large batch must degrade to a shuffled join (round-2 verdict
+    item 2)."""
+    from rabbit_index_ingest_spark.index.store import superseded_doc_ids
+
+    doc_stats = spark.range(0, 3_000_000).select(
+        F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
+        (F.col("id") % 5).cast("int").alias("turn_idx"),
+        F.col("id").alias("doc_id"),
+    )
+    big_keys = spark.range(0, 3_000_000).select(
+        F.concat(F.lit("c"), F.col("id")).alias("k1"),
+        (F.col("id") % 5).cast("int").alias("k2"),
+    )
+    joined = superseded_doc_ids(doc_stats, big_keys)
+    joined.count()  # materialize so AQE finalizes the plan
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" not in plan, plan
+
+    # and a tiny batch still broadcasts (AQE runtime decision, no hint)
+    small_keys = spark.range(0, 100).select(
+        F.concat(F.lit("c"), F.col("id")).alias("k1"),
+        (F.col("id") % 5).cast("int").alias("k2"),
+    )
+    small = superseded_doc_ids(doc_stats, small_keys)
+    small.count()
+    assert "BroadcastHashJoin" in _plan(small)
