@@ -155,6 +155,12 @@ def _q_b6_bm25_topk(spark, sf_dir):
 
 B7_CORPUS_PARQUET = "/tmp/rii_b7_transcripts.parquet"
 B7_QUERY = "zephyr quantum lattice"
+# s3 IVF codebook snapshot (long format: bucket, pos, val) — written by
+# BOTH _q_s3_ivf_topk (knows sf_dir) and oracle_sql() (env override /
+# driver-default sf0.01), so the DuckDB twin can read it regardless of
+# which side the driver runs first. Contents are deterministic (seed-42
+# k-means; numpy twin == Spark trainer asserted in test_training_ops).
+S3_CENTROIDS_PARQUET = "/tmp/rii_s3_ivf_centroids.parquet"
 
 
 def _write_b7_corpus() -> None:
@@ -497,16 +503,53 @@ def _q_m2_resize(spark, sf_dir):
     )
 
 
+def _write_s3_centroids(sf_dir: str) -> None:
+    """Materialize the deterministic seed-42 IVF codebook where the DuckDB
+    twin can read_parquet it. Trains with the pure-numpy twin
+    (train_centroids_local — NO Spark, callable from oracle_sql());
+    exact equality with the distributed trainer is test-asserted, so the
+    file is byte-stable no matter which side writes it."""
+    import pandas as pd_
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rabbit_index_ingest_spark.operators.similarity import (
+        train_centroids_local,
+    )
+
+    emb = pd_.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    cents = train_centroids_local(emb, n_centroids=8)
+    k, dim = cents.shape
+    table = pa.table(
+        {
+            "bucket": pa.array(
+                [b for b in range(k) for _ in range(dim)], pa.int32()
+            ),
+            "pos": pa.array(list(range(dim)) * k, pa.int32()),
+            "val": pa.array(cents.reshape(-1), pa.float64()),
+        }
+    )
+    pq.write_table(table, S3_CENTROIDS_PARQUET)
+
+
 def _q_s3_ivf_topk(spark, sf_dir):
-    """[rows-only] IVF approximate NN: probes the 4 nearest of 8 centroid
-    buckets (driver k-means is deterministic seed=42 but iterative —
-    not SQL-expressible)."""
+    """IVF approximate NN: probes the 4 nearest of 8 centroid buckets.
+    Training runs DISTRIBUTED (train_centroids — hash-predicate sample,
+    k×dim driver aggregates only); the DuckDB twin recomputes bucket
+    assignment + probe selection + cosine ranking in SQL from a parquet
+    snapshot of the (deterministic) codebook, verifying everything except
+    Lloyd's iterations themselves — those are pinned by
+    test_centroids_local_twin_matches_spark (exact numpy-twin equality)
+    and test_ivf_recall_vs_brute_force."""
     from rabbit_index_ingest_spark.operators.similarity import (
         assign_buckets,
         ivf_topk,
         train_centroids,
     )
 
+    _write_s3_centroids(sf_dir)
     emb = _emb(spark, sf_dir)
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
     cents = train_centroids(emb, n_centroids=8)
@@ -677,6 +720,11 @@ def oracle_sql() -> dict[str, str]:
     # corpus; write it here too (pure pandas) so the twin works no matter
     # whether the driver runs queries() or oracle_sql() first
     _write_b7_corpus()
+    # same for the s3 IVF codebook (pure numpy — no Spark needed); the
+    # driver's correctness gate runs at sf0.01
+    _write_s3_centroids(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    )
     tok = _TOK
     sh = _SHINGLES.format(t="toks")
     sql: dict[str, str] = {}
@@ -998,6 +1046,61 @@ dots AS (
 )
 SELECT a, b, round(dot / (nx * ny), 6) AS cosine
 FROM dots WHERE round(dot / (nx * ny), 6) >= 0.9
+"""
+
+    # s3: the engine trains DISTRIBUTED k-means and probes 4 of 8 IVF
+    # buckets; the twin recomputes assignment + probe choice + cosine
+    # ranking in SQL from the codebook parquet (written above — identical
+    # to the Spark-trained centroids, asserted in test_training_ops).
+    # Tie discipline mirrors the engine: assignment tie → HIGHER bucket
+    # (F.greatest struct semantics); probe-order tie → lower bucket
+    # (np.argsort stability).
+    sql["s3_ivf_topk"] = f"""
+WITH cents AS (
+  SELECT bucket, pos, val FROM read_parquet('{S3_CENTROIDS_PARQUET}')
+),
+expl AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+dists AS (
+  SELECT e.vec_id, c.bucket, sum((e.x - c.val) * (e.x - c.val)) AS dist
+  FROM expl e JOIN cents c ON c.pos = e.pos
+  WHERE e.vec_id != 0
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, bucket FROM (
+    SELECT vec_id, bucket,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, bucket DESC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+qdist AS (
+  SELECT c.bucket, sum((e.x - c.val) * (e.x - c.val)) AS dist
+  FROM expl e JOIN cents c ON c.pos = e.pos
+  WHERE e.vec_id = 0
+  GROUP BY 1
+),
+probes AS (SELECT bucket FROM qdist ORDER BY dist ASC, bucket ASC LIMIT 4),
+cand AS (
+  SELECT a.vec_id FROM assign a JOIN probes p ON a.bucket = p.bucket
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id IN (SELECT vec_id FROM cand)
+),
+dots AS (
+  SELECT vec_id, sum(x * y) AS dot,
+         sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
+  FROM pairs GROUP BY 1
+)
+SELECT vec_id, round(dot / (nx * ny), 6) AS cosine
+FROM dots ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
     sql["m1_media_features"] = r"""

@@ -84,3 +84,21 @@ def xxhash64(data: bytes, seed: int = SPARK_XXHASH64_SEED) -> int:
 def term_bucket(term: str, n_buckets: int) -> int:
     """Python twin of build.term_bucket_expr: pmod(xxhash64(term), N)."""
     return xxhash64(term.encode("utf-8")) % n_buckets
+
+
+def xxhash64_long(value: int, seed: int = SPARK_XXHASH64_SEED) -> int:
+    """Twin of Spark's ``xxhash64`` over one LongType column (8-byte LE)."""
+    return xxhash64(int(value).to_bytes(8, "little", signed=True), seed)
+
+
+def xxhash64_int(value: int, seed: int = SPARK_XXHASH64_SEED) -> int:
+    """Twin of Spark's ``xxhash64`` over one IntegerType column (4-byte LE)."""
+    return xxhash64(int(value).to_bytes(4, "little", signed=True), seed)
+
+
+def xxhash64_long_with_int_salt(key: int, salt: int) -> int:
+    """Twin of ``F.xxhash64(F.col(long_key), F.lit(int_salt))``: Spark folds
+    multi-column xxhash64 left-to-right, each column hashed with the running
+    value as seed (empirically verified against the JVM expression in
+    tests/test_hashing.py)."""
+    return xxhash64_int(salt, xxhash64_long(key))

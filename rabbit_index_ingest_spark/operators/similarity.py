@@ -248,6 +248,53 @@ def train_centroids(
     return np.round(cents, 9)
 
 
+def train_centroids_local(
+    pdf: pd.DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    n_iter: int = 5,
+    seed: int = 42,
+    sample_target: int = 100_000,
+    key_col: str = "vec_id",
+) -> np.ndarray:
+    """Pure-numpy twin of ``train_centroids`` — identical centroids from a
+    pandas frame, NO Spark. Exists so the s3 DuckDB oracle can obtain the
+    (deterministic) codebook without a SparkSession: the sampling
+    predicate and the init ordering reuse the driver-side xxhash64 twin
+    (functions/hashing.py), and every float step mirrors the distributed
+    trainer (same c_sq − 2·X@Cᵀ assignment, same per-iteration 9-dp
+    rounding that absorbs summation-order differences). Exact equality
+    with the Spark trainer is asserted in
+    tests/test_training_ops.py::test_centroids_local_twin_matches_spark."""
+    from ..functions.hashing import xxhash64_long_with_int_salt
+
+    n = len(pdf)
+    mod = max(1, n // sample_target)
+    keys = pdf[key_col].to_numpy()
+    h = np.array(
+        [xxhash64_long_with_int_salt(int(kk), seed) for kk in keys],
+        dtype=np.int64,
+    )
+    sel = np.ones(n, dtype=bool) if mod == 1 else (h % mod == 0)
+    Xs = np.array(pdf.loc[sel, vec_col].tolist(), dtype=np.float64)
+    hs, ks = h[sel], keys[sel]
+    order = np.lexsort((ks, hs))[:n_centroids]
+    cents = Xs[order].copy()
+    k = len(cents)
+    dim = cents.shape[1]
+    for _ in range(n_iter):
+        C = np.round(cents, 9)
+        c_sq = (C**2).sum(axis=1)
+        d = c_sq[None, :] - 2.0 * (Xs @ C.T)
+        b = d.argmin(axis=1)
+        sums = np.zeros((k, dim))
+        np.add.at(sums, b, Xs)
+        counts = np.bincount(b, minlength=k).astype(np.float64)
+        live = counts > 0
+        cents[live] = sums[live] / counts[live, None]
+    return np.round(cents, 9)
+
+
 def assign_buckets(
     vectors: DataFrame,
     centroids: np.ndarray,

@@ -27,3 +27,32 @@ def test_xxhash64_matches_spark(spark):
     for i, s in enumerate(strings):
         assert got[i][0] == xxhash64(s.encode("utf-8")), repr(s)
         assert got[i][1] == term_bucket(s, N_TERM_BUCKETS), repr(s)
+
+
+def test_long_and_chained_xxhash64_parity(spark):
+    """The long-column and (long, int-literal) chained twins — used by the
+    k-means trainer's deterministic sampling/init (train_centroids_local)
+    — must match the JVM expression over edge-case and random longs."""
+    import random
+
+    from rabbit_index_ingest_spark.functions.hashing import (
+        xxhash64_long,
+        xxhash64_long_with_int_salt,
+    )
+
+    rng = random.Random(7)
+    vals = [0, 1, -1, 42, -42, 2**31, -(2**31), 2**63 - 1, -(2**63)] + [
+        rng.randint(-(2**63), 2**63 - 1) for _ in range(50)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r["v"]: (r["h"], r["hc"])
+        for r in df.select(
+            "v",
+            F.xxhash64("v").alias("h"),
+            F.xxhash64("v", F.lit(42)).alias("hc"),
+        ).collect()
+    }
+    for v in vals:
+        assert got[v][0] == xxhash64_long(v), v
+        assert got[v][1] == xxhash64_long_with_int_salt(v, 42), v

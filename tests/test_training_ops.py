@@ -284,3 +284,23 @@ def test_train_centroids_deterministic_across_partitioning(spark, vectors):
     a = train_centroids(vectors.repartition(3), n_centroids=8, sample_target=10**6)
     b = train_centroids(vectors.repartition(17), n_centroids=8, sample_target=10**6)
     assert np.array_equal(a, b)
+
+
+def test_centroids_local_twin_matches_spark(spark, vectors):
+    """The pure-numpy trainer (the s3 oracle's codebook source) must
+    produce EXACTLY the Spark trainer's centroids — same hash-predicate
+    sample, same init order, same 9-dp-rounded Lloyd iterations. Also
+    exercised with a sampling modulus > 1 so the xxhash64 twin's
+    predicate is actually used."""
+    from rabbit_index_ingest_spark.operators.similarity import (
+        train_centroids_local,
+    )
+
+    pdf = vectors.toPandas()
+    a = train_centroids(vectors, n_centroids=8)
+    b = train_centroids_local(pdf, n_centroids=8)
+    assert np.array_equal(a, b)
+    # force mod > 1: sample_target=50 over 200 rows -> mod=4
+    a2 = train_centroids(vectors, n_centroids=4, sample_target=50)
+    b2 = train_centroids_local(pdf, n_centroids=4, sample_target=50)
+    assert np.array_equal(a2, b2)

@@ -39,6 +39,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # oracle-side artifacts (s3 IVF codebook) must come from the same sf
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark(cores=8, shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
