@@ -195,6 +195,58 @@ def _q_b7_transcripts_topk(spark, sf_dir):
     )
 
 
+B7_UPSERT_QUERY = "karo zephyr quantum"
+B7_UPSERT_STORE = "/tmp/rii_b7_upsert_store"
+
+
+def _q_b7_upsert_topk(spark, sf_dir):
+    """B7 (doc_as_upsert) composed with B6 (block-max top-k) — the
+    post-upsert query path the reference exercises continuously: save a
+    60-conv index, upsert a deterministic batch (6 modified first turns +
+    one brand-new key), then query through the CLI-default machinery —
+    distributed tombstone table (deleted_df) AND the global θ₀ seed probe
+    forced on (probe_min_blocks=1). The DuckDB twin recomputes BM25 over
+    the post-upsert corpus with Lucene/ES segment semantics: corpus stats
+    (n_docs, avgdl) and df include the superseded (not-yet-compacted) doc
+    versions; ranking covers live docs only."""
+    import shutil
+
+    from rabbit_index_ingest_spark.datagen import transcripts_df
+    from rabbit_index_ingest_spark.index.build import build_index
+    from rabbit_index_ingest_spark.index.query import Searcher
+    from rabbit_index_ingest_spark.index.store import IndexStore
+
+    _write_b7_corpus()
+    shutil.rmtree(B7_UPSERT_STORE, ignore_errors=True)
+    t = transcripts_df(spark, n_conv=60)
+    store = IndexStore(spark, B7_UPSERT_STORE)
+    store.save(build_index(spark, t), segment=0)
+    batch = (
+        t.where((F.col("turn_idx") == 0) & F.col("conv_id").endswith("0"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.concat(F.lit("karo karo "), "text").alias("text"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("zzz-new", 0, "karo zephyr karo quantum lattice")],
+                "conv_id string, turn_idx int, text string",
+            )
+        )
+    )
+    store.upsert(batch)
+    L = store.load()
+    s = Searcher(
+        spark, L.postings, L.dictionary, L.n_docs, L.avgdl,
+        deleted_df=L.deleted_df, probe_min_blocks=1,
+    )
+    top = s.topk_blockmax(B7_UPSERT_QUERY, 10)
+    return top.join(L.doc_stats, "doc_id").select(
+        "conv_id", "turn_idx", F.round("score", 4).alias("score")
+    )
+
+
 def _q_a2_decode_messages(spark, sf_dir):
     from rabbit_index_ingest_spark.operators.messages import decode_messages
 
@@ -623,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b5_bm25_scores": _q_b5_bm25_scores,
         "b6_bm25_topk": _q_b6_bm25_topk,
         "b7_transcripts_topk": _q_b7_transcripts_topk,
+        "b7_upsert_topk": _q_b7_upsert_topk,
         "a2_decode_messages": _q_a2_decode_messages,
         "a4_routing": _q_a4_routing,
         "a5_prefix_filter": _q_a5_prefix_filter,
@@ -748,6 +801,77 @@ dft AS (
   SELECT term, count(*)::DOUBLE AS df FROM tf
   WHERE term IN (SELECT term FROM qterms) GROUP BY 1
 ),
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx,
+         sum(
+           ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf
+  JOIN dft USING (term)
+  JOIN dl USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  GROUP BY 1, 2
+)
+SELECT conv_id, turn_idx, round(score, 4) AS score FROM scored
+ORDER BY score DESC, conv_id, turn_idx LIMIT 10
+"""
+
+    # b7_upsert: post-upsert BM25 with Lucene/ES segment semantics — the
+    # stats side (n, avgdl, df) ranges over ALL doc versions ever indexed
+    # (superseded docs count until compaction, exactly like the engine's
+    # summed per-segment corpus_stats/dictionary); the ranking side
+    # ranges over live docs only (tombstones masked at decode time).
+    sql["b7_upsert_topk"] = f"""
+WITH docs0 AS (
+  SELECT conv_id, turn_idx, text FROM read_parquet('{B7_CORPUS_PARQUET}')
+),
+batch AS (
+  SELECT conv_id, turn_idx, 'karo karo ' || text AS text
+  FROM docs0 WHERE turn_idx = 0 AND conv_id LIKE '%0'
+  UNION ALL
+  SELECT 'zzz-new' AS conv_id, 0 AS turn_idx,
+         'karo zephyr karo quantum lattice' AS text
+),
+full_docs AS (
+  SELECT conv_id, turn_idx, text, 0 AS gen FROM docs0
+  UNION ALL
+  SELECT conv_id, turn_idx, text, 1 AS gen FROM batch
+),
+live AS (
+  SELECT conv_id, turn_idx, text FROM batch
+  UNION ALL
+  SELECT d.conv_id, d.turn_idx, d.text FROM docs0 d
+  WHERE NOT EXISTS (
+    SELECT 1 FROM batch b
+    WHERE b.conv_id = d.conv_id AND b.turn_idx = d.turn_idx
+  )
+),
+tok_full AS (
+  SELECT conv_id, turn_idx, gen, unnest({tok}) AS term FROM full_docs
+),
+tf_full AS (
+  SELECT conv_id, turn_idx, gen, term, count(*)::DOUBLE AS tf
+  FROM tok_full GROUP BY 1, 2, 3, 4
+),
+dl_full AS (
+  SELECT conv_id, turn_idx, gen, count(*)::DOUBLE AS dl
+  FROM tok_full GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT (SELECT count(*) FROM full_docs)::DOUBLE AS n,
+         (SELECT coalesce(sum(dl), 0) FROM dl_full)
+           / (SELECT count(*) FROM full_docs)::DOUBLE AS avgdl
+),
+qterms AS (SELECT DISTINCT unnest({TOKEN_SQL.format(c=f"'{B7_UPSERT_QUERY}'")}) AS term),
+dft AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf_full
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+tok AS (SELECT conv_id, turn_idx, unnest({tok}) AS term FROM live),
+tf AS (SELECT conv_id, turn_idx, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2, 3),
+dl AS (SELECT conv_id, turn_idx, count(*)::DOUBLE AS dl FROM tok GROUP BY 1, 2),
 scored AS (
   SELECT tf.conv_id, tf.turn_idx,
          sum(

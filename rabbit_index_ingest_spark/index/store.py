@@ -138,30 +138,83 @@ class IndexStore:
         return f"{self.iceberg_catalog}.{table}_seg{segment:05d}"
 
     # ------------- manifest / checkpoint (A15/A21) -------------
+    #
+    # The manifest is a parquet TABLE (one single-row file per stage,
+    # uniform schema: stage/status/ts/metrics-json), not a directory of
+    # ad-hoc JSON: ``manifest_df()`` reads it as one distributed scan, so
+    # a 10^5-segment index never needs a driver-side listing loop, and on
+    # a real lake the same layout becomes an Iceberg table unchanged.
+    # Each stage writes its OWN file atomically (temp + os.replace) and
+    # ``stage_done`` reads ONLY its own file — concurrent save threads
+    # never observe each other's partial writes (the JSON version could
+    # raise JSONDecodeError when a resume raced a sibling stage's
+    # truncate-and-rewrite).
+
+    def _stage_file(self, stage: str) -> str:
+        return os.path.join(
+            _manifest_path(self.root), f"{stage.replace('/', '_')}.parquet"
+        )
 
     def log_manifest(self, stage: str, status: str, **metrics) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         os.makedirs(_manifest_path(self.root), exist_ok=True)
-        row = {"stage": stage, "status": status, "ts": time.time(), **metrics}
-        fname = os.path.join(
-            _manifest_path(self.root), f"{stage.replace('/', '_')}.json"
+        table = pa.table(
+            {
+                "stage": pa.array([stage], pa.string()),
+                "status": pa.array([status], pa.string()),
+                "ts": pa.array([time.time()], pa.float64()),
+                "metrics": pa.array([json.dumps(metrics)], pa.string()),
+            }
         )
-        with open(fname, "w") as f:
-            json.dump(row, f)
+        fname = self._stage_file(stage)
+        tmp = f"{fname}.tmp-{os.getpid()}-{id(table)}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, fname)
+
+    def manifest_df(self) -> DataFrame | None:
+        """The manifest as a DataFrame (stage, status, ts, metrics JSON) —
+        the scale path: resume/audit logic over 10^5 stages is a
+        distributed scan + join, never a per-file driver loop. None if no
+        stage has ever been logged."""
+        mdir = _manifest_path(self.root)
+        if not os.path.isdir(mdir):
+            return None
+        return self.spark.read.parquet(mdir)
 
     def manifest(self) -> dict[str, dict]:
-        out = {}
+        """Driver-side dict view (tests / small indexes); pyarrow dataset
+        read of the same table ``manifest_df`` scans distributed."""
+        import pyarrow.dataset as ds
+
+        out: dict[str, dict] = {}
         mdir = _manifest_path(self.root)
         if os.path.isdir(mdir):
-            for fn in sorted(os.listdir(mdir)):
-                if fn.endswith(".json"):
-                    with open(os.path.join(mdir, fn)) as f:
-                        row = json.load(f)
-                    out[row["stage"]] = row
+            files = sorted(
+                os.path.join(mdir, fn)
+                for fn in os.listdir(mdir)
+                if fn.endswith(".parquet")
+            )
+            if files:
+                for row in ds.dataset(files).to_table().to_pylist():
+                    out[row["stage"]] = {
+                        "stage": row["stage"],
+                        "status": row["status"],
+                        "ts": row["ts"],
+                        **json.loads(row["metrics"]),
+                    }
         return out
 
     def stage_done(self, stage: str) -> bool:
-        row = self.manifest().get(stage)
-        return bool(row and row["status"] == "done")
+        """Reads ONLY this stage's file — safe under concurrent saves."""
+        import pyarrow.parquet as pq
+
+        fname = self._stage_file(stage)
+        if not os.path.exists(fname):
+            return False
+        row = pq.read_table(fname).to_pylist()[0]
+        return row["status"] == "done"
 
     # ------------- write / read -------------
 

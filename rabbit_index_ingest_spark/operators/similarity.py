@@ -331,10 +331,20 @@ def assign_buckets_arrow(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Arrow-batched nearest-centroid assignment: one ``X @ C.T`` matmul +
-    argmin per batch. Same output as ``assign_buckets`` (asserted in
-    tests); use it for large codebooks — the column-expression path
-    builds C struct comparisons per row, which stops scaling past C≈64,
-    while the matmul is flat in C up to thousands of centroids."""
+    argmin per batch. Same output as ``assign_buckets`` on tie-free
+    inputs (asserted in tests over the fixture corpus); use it for large
+    codebooks — the column-expression path builds C struct comparisons
+    per row, which stops scaling past C≈64, while the matmul is flat in C
+    up to thousands of centroids.
+
+    Tie/rounding caveat: this path compares ``c_sq − 2·x·c`` (the
+    ``x_sq`` term cancels in argmin) while the expression path sums full
+    ``(x−c)²`` — algebraically equal, but under float rounding a vector
+    *near-equidistant* (within ~1 ulp) from two centroids can be assigned
+    different buckets, and exact ties break differently (argmin → lowest
+    bucket; F.greatest → highest). Don't rely on cross-path bucket
+    equality for adversarial inputs; for IVF recall both assignments are
+    equally valid."""
     C = np.asarray(centroids, dtype=np.float64)
     c_sq = (C ** 2).sum(axis=1)
     out_schema = T.StructType(

@@ -108,15 +108,29 @@ def start_enriched_ingest(
     dimension file/table is picked up at the next trigger and the
     broadcast hash left-join re-plans with fresh data. The refresh
     interval is the trigger interval; no timer state to manage and no
-    stale broadcast can outlive one batch."""
+    stale broadcast can outlive one batch.
+
+    Sink idempotence (the module-header exactly-once contract): the
+    output is partitioned by ``batch_id`` and each micro-batch
+    dynamically OVERWRITES its own partition — if a failure lands
+    between the write and the checkpoint commit, the replayed batch
+    rewrites the same partition instead of appending duplicate rows
+    (a bare ``mode("append")`` would double every row on replay)."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        dim = dim_loader(batch_df.sparkSession)
-        batch_df.join(F.broadcast(dim), join_key, "left").write.mode(
-            "append"
-        ).parquet(out_dir)
+        spark = batch_df.sparkSession
+        dim = dim_loader(spark)
+        out = batch_df.join(F.broadcast(dim), join_key, "left").withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy("batch_id").parquet(out_dir)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     return (
         stream.writeStream.foreachBatch(handle)

@@ -49,7 +49,7 @@ def test_resume_skips_done_stages(spark, root):
     done_ts = {k: v["ts"] for k, v in store.manifest().items()}
     # simulate a crash after partial completion: postings stage lost
     shutil.rmtree(os.path.join(root, "seg=00000", "postings"))
-    os.remove(os.path.join(root, "_manifest", "seg0_postings.json"))
+    os.remove(os.path.join(root, "_manifest", "seg0_postings.parquet"))
     store.save(built, segment=0, resume=True)
     m = store.manifest()
     # unfinished stage re-ran; finished stages were not touched
@@ -59,6 +59,30 @@ def test_resume_skips_done_stages(spark, root):
             assert m[k]["ts"] == ts, f"{k} was re-run on resume"
     _, s = _searcher(spark, store)
     assert s.topk_blockmax("karo", 3).count() == 3
+
+
+def test_manifest_is_a_table_at_1e3_stages(spark, tmp_path):
+    """The manifest must behave as a TABLE: 10^3 logged stages read back
+    as one DataFrame scan (manifest_df) with uniform schema, per-stage
+    done-checks stay O(1) file reads, and re-logging a stage atomically
+    replaces its row (no partial-file reads for concurrent savers)."""
+    store = IndexStore(spark, str(tmp_path / "m"))
+    for i in range(1000):
+        store.log_manifest(f"seg{i}/postings", "done", segment=i, n=i * 2)
+    df = store.manifest_df()
+    assert df.count() == 1000
+    assert set(df.columns) == {"stage", "status", "ts", "metrics"}
+    assert df.where(F.col("status") == "done").count() == 1000
+    # O(1) per-stage check reads only its own file
+    assert store.stage_done("seg123/postings")
+    assert not store.stage_done("seg123/nope")
+    # re-log overwrites that stage's row only
+    store.log_manifest("seg123/postings", "started")
+    assert not store.stage_done("seg123/postings")
+    assert store.manifest_df().count() == 1000
+    m = store.manifest()
+    assert m["seg7/postings"]["n"] == 14
+    assert m["seg123/postings"]["status"] == "started"
 
 
 def test_upsert_doc_as_upsert_semantics(spark, root):
@@ -207,6 +231,45 @@ def test_streaming_dimension_refresh_picks_up_changes(spark, tmp_path):
     new_rows = spark.read.parquet(out).where(F.col("turn_idx") >= 1000)
     got2 = {r["title"] for r in new_rows.select("title").collect()}
     assert got2 == {f"v2:{c}" for c in conv_ids}, "stale dimension was reused"
+
+
+def test_enriched_ingest_replay_is_idempotent(spark, tmp_path):
+    """A15/A16 contract for the enriched sink: a replayed micro-batch
+    (checkpoint lost between write and commit) must NOT duplicate output
+    rows — each batch_id dynamically overwrites its own partition."""
+    from rabbit_index_ingest_spark.streaming.ingest import (
+        read_transcript_stream,
+        start_enriched_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    dim_path = str(tmp_path / "dim")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t = transcripts_df(spark, n_conv=4)
+    conv_ids = [r["conv_id"] for r in t.select("conv_id").distinct().collect()]
+    spark.createDataFrame(
+        [(c, f"t:{c}") for c in conv_ids], "conv_id string, title string"
+    ).write.mode("overwrite").parquet(dim_path)
+
+    def dim_loader(s):
+        return s.read.parquet(dim_path)
+
+    t.write.mode("overwrite").parquet(src)
+    start_enriched_ingest(
+        read_transcript_stream(spark, src, max_files_per_trigger=100),
+        dim_loader, out, ckpt,
+    ).awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == t.count()
+    # simulate the crash-before-commit: lose the checkpoint, replay the
+    # same source — the batch re-runs with the same batch_id
+    shutil.rmtree(ckpt)
+    start_enriched_ingest(
+        read_transcript_stream(spark, src, max_files_per_trigger=100),
+        dim_loader, out, str(tmp_path / "ckpt2"),
+    ).awaitTermination(120)
+    assert spark.read.parquet(out).count() == n1, "replay duplicated rows"
 
 
 def test_watermark_drops_late_rows(spark, tmp_path):

@@ -304,3 +304,20 @@ def test_centroids_local_twin_matches_spark(spark, vectors):
     a2 = train_centroids(vectors, n_centroids=4, sample_target=50)
     b2 = train_centroids_local(pdf, n_centroids=4, sample_target=50)
     assert np.array_equal(a2, b2)
+
+
+def test_decode_thumbs_batch_matches_per_payload_stub():
+    """The vectorized batch decode (the hot path) must agree byte-for-byte
+    with the per-payload stub across lengths 0, <64, =64, >64."""
+    from rabbit_index_ingest_spark.operators.multimodal import (
+        _decode_image_stub,
+        _decode_thumbs_batch,
+        _flatten_payloads,
+    )
+
+    rs = np.random.RandomState(3)
+    payloads = [b"", rs.bytes(10), rs.bytes(64), rs.bytes(200), rs.bytes(63)]
+    flat, starts, lens = _flatten_payloads(payloads)
+    batch = _decode_thumbs_batch(flat, starts, lens)
+    for i, p in enumerate(payloads):
+        assert np.array_equal(batch[i], _decode_image_stub(p)), i
