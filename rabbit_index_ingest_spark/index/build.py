@@ -365,9 +365,13 @@ def build_index(
     if ranged_cache is not None:
         ranged_cache.unpersist()
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
+    # next_doc_id: this segment's ids are contiguous [id_base,
+    # id_base+n_docs) — carrying the high-water mark in the 1-row stats
+    # table lets IndexStore.load() avoid a max(doc_id) scan of the docs
+    # table (at 10^12 docs that scan is a real job; this is a constant)
     corpus_stats = spark.createDataFrame(
-        [(n_docs, avgdl, total_tokens)],
-        "n_docs long, avgdl double, total_tokens long",
+        [(n_docs, avgdl, total_tokens, id_base + n_docs)],
+        "n_docs long, avgdl double, total_tokens long, next_doc_id long",
     )
 
     return BuiltIndex(

@@ -352,6 +352,7 @@ class IndexStore:
                 "n_docs": pa.array([row["n_docs"]], pa.int64()),
                 "avgdl": pa.array([row["avgdl"]], pa.float64()),
                 "total_tokens": pa.array([row["total_tokens"]], pa.int64()),
+                "next_doc_id": pa.array([row["next_doc_id"]], pa.int64()),
             }
         )
         path = self._path("corpus_stats", segment)

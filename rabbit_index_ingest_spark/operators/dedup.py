@@ -65,7 +65,7 @@ def minhash_signatures(
     null signatures (excluded from LSH).
 
     ``method="fast"`` (default — the 100 TB path): Arrow-batched
-    ``mapInPandas``: one md5 base hash per distinct shingle, then all
+    ``mapInPandas``: one md5 base hash per shingle, then all
     n_hashes families derived as vectorized affine maps
     ``(a_i·h + b_i) mod 2^61−1`` with per-doc minima via
     ``np.minimum.reduceat`` — no per-family pass over the data at all.
@@ -109,15 +109,17 @@ def _minhash_fast(
 ) -> DataFrame:
     """Vectorized numpy minhash (see minhash_signatures docstring).
 
-    Base hash: first 8 bytes of md5, computed once per DISTINCT shingle in
-    the Arrow batch (``np.unique`` + inverse scatter — the simhash trick
-    at ``simhash()``: shingles repeat heavily across near-dup corpora, so
-    vocabulary ≪ occurrences and the per-element Python md5 loop shrinks
-    by the duplication factor). Families: odd-multiplier affine maps in
-    native uint64 wraparound arithmetic (multiply-shift universal
-    hashing). Per-doc minima via a single ``np.minimum.reduceat`` per
-    family. Signatures stored as the int64 bit-pattern (sign is
-    irrelevant for equality-based LSH bands).
+    Base hash: first 8 bytes of md5 per shingle occurrence (one fromiter
+    pass — the only per-element Python; everything else is numpy).
+    Measured note: the simhash distinct-value trick (``np.unique`` then
+    hash per distinct) does NOT pay here — k-gram shingle vocabulary is
+    ~70 % of occurrences on transcript corpora (vs token vocabulary ≪
+    occurrences), and ``np.unique`` over object strings costs ~2× the
+    md5 loop it saves. Families: odd-multiplier affine maps in native
+    uint64 wraparound arithmetic (multiply-shift universal hashing).
+    Per-doc minima via a single ``np.minimum.reduceat`` per family.
+    Signatures stored as the int64 bit-pattern (sign is irrelevant for
+    equality-based LSH bands).
     """
     import hashlib
 
@@ -146,19 +148,15 @@ def _minhash_fast(
                 sh_lists.append(sh)
                 bounds.append(bounds[-1] + len(sh))
             if bounds[-1]:
-                flat_sh = np.array(
-                    [s for lst in sh_lists for s in lst], dtype=object
-                )
-                uniq, inv = np.unique(flat_sh, return_inverse=True)
-                uh = np.fromiter(
+                flat = np.fromiter(
                     (
                         int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-                        for s in uniq
+                        for lst in sh_lists
+                        for s in lst
                     ),
                     dtype=np.uint64,
-                    count=len(uniq),
+                    count=bounds[-1],
                 )
-                flat = uh[inv]
             else:
                 flat = np.empty(0, dtype=np.uint64)
             starts = np.array(bounds[:-1])
@@ -180,6 +178,10 @@ def _minhash_fast(
     return df.select(key_col, text_col).mapInPandas(run, out_schema)
 
 
+_PAIR_MIX = 0x9E3779B97F4A7C15  # odd multiplier for the grid residue mix
+_PAIR_FLUSH = 4_000_000  # pairs buffered per yielded Arrow frame
+
+
 def _bucketed_pairs(
     tagged: DataFrame,
     bucket_col: str,
@@ -187,64 +189,115 @@ def _bucketed_pairs(
     max_bucket: int = 5000,
 ) -> DataFrame:
     """All (a, b) pairs with a < b sharing a bucket value, emitted EXACTLY
-    ONCE per shared bucket — with **hot buckets salted into a 2-D grid** so
-    no single task ever materializes a whole m² pair block.
+    ONCE per shared bucket (duplicate keys within a bucket are ignored) —
+    in ONE wide shuffle, with **hot buckets split into a 2-D grid** so no
+    single task ever materializes a whole m² pair block.
+
+    Shape: ``groupBy(bucket).collect_list(key)`` (one shuffle of the
+    tagged rows — half the join-based formulation's shuffle volume, and
+    no second scan for a sizes probe), then vectorized in-bucket pair
+    generation (``np.triu_indices`` over the sorted member array) in
+    ``mapInPandas``. This replaced a bucket-keyed self-join + separate
+    max-bucket-size probe action that together cost ~2× the wall clock.
 
     The skew problem: a bucket shared by a near-duplicate *cluster* of m
-    docs (1,000 identical docs → every band bucket identical) puts m² pair
-    generation into ONE join task. Salting: buckets larger than
-    ``max_bucket`` get s = ⌈m/max_bucket⌉ salt groups; the left side keys
-    on (bucket, h(a) mod s, gr) for every gr, the right on (bucket, gl,
-    h(b) mod s) for every gl — pair (a, b) meets in exactly the one cell
-    (h(a) mod s, h(b) mod s), and each of the s² join cells holds
-    ≤ max_bucket² pairs. Replication factor s per side is bounded by the
-    pair output itself. Small buckets take s=1 (zero overhead rows beyond
-    the size join).
-
-    Fast path: ONE cheap aggregate (map-side-combined count per bucket,
-    max over ~|buckets| rows) decides whether any bucket exceeds the cap;
-    when none does — the common, non-adversarial case — the salt
-    machinery (sizes join + explode) is skipped entirely and the pair
-    join is a plain bucket-keyed self-join. Callers persist ``tagged``,
-    so the extra probe job reads the cache.
+    docs (1,000 identical docs → every band bucket identical) would put
+    m²/2 pair generation into ONE task. Buckets larger than
+    ``max_bucket`` are exploded into s² grid cells (s = ⌈m/max_bucket⌉)
+    and repartitioned so each cell is its own task: cell (gl, gr) emits
+    pairs {x < y : mix(x) mod s = gl, mix(y) mod s = gr} — every pair
+    lands in exactly one cell, each cell holds ≤ ~max_bucket² pairs, and
+    the s²-way list replication is bounded by the pair output itself.
+    The collect_list buffer for a hot bucket is 8 bytes per member — at
+    any m where the m²/2 pair OUTPUT is survivable, the buffer is noise.
     """
-    max_bn = (
-        tagged.groupBy(bucket_col)
-        .agg(F.count("*").alias("_bn"))
-        .agg(F.max("_bn"))
-        .collect()[0][0]
+    bucket_type = tagged.schema[bucket_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(bucket_col, bucket_type, True),
+            T.StructField("a", T.LongType(), False),
+            T.StructField("b", T.LongType(), False),
+        ]
     )
-    if max_bn is None or max_bn <= max_bucket:
-        left = tagged.select(F.col(bucket_col), F.col(key_col).alias("a"))
-        right = tagged.select(F.col(bucket_col), F.col(key_col).alias("b"))
-        return (
-            left.join(right, [bucket_col])
-            .where(F.col("a") < F.col("b"))
-            .select(bucket_col, "a", "b")
+
+    groups = (
+        tagged.groupBy(bucket_col)
+        .agg(F.collect_list(key_col).alias("_ids"), F.count("*").alias("_bn"))
+        .where(F.col("_bn") > 1)
+        .persist()  # scanned twice: the small/hot split below
+    )
+
+    def _flush(bk, av, bv):
+        return pd.DataFrame(
+            {
+                bucket_col: bk,
+                "a": np.concatenate(av) if av else np.empty(0, np.int64),
+                "b": np.concatenate(bv) if bv else np.empty(0, np.int64),
+            }
         )
-    sizes = tagged.groupBy(bucket_col).agg(F.count("*").alias("_bn"))
-    sized = tagged.join(sizes, bucket_col).withColumn(
+
+    def gen_small(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bk: list = []
+        av: list = []
+        bv: list = []
+        n_buf = 0
+        for batch in batches:
+            for bucket, ids in zip(batch[bucket_col], batch["_ids"]):
+                arr = np.unique(np.asarray(ids, dtype=np.int64))
+                m = len(arr)
+                if m < 2:
+                    continue
+                iu, ju = np.triu_indices(m, k=1)
+                av.append(arr[iu])
+                bv.append(arr[ju])
+                bk.extend([bucket] * len(iu))
+                n_buf += len(iu)
+                if n_buf >= _PAIR_FLUSH:
+                    yield _flush(bk, av, bv)
+                    bk, av, bv, n_buf = [], [], [], 0
+        if n_buf:
+            yield _flush(bk, av, bv)
+
+    def gen_cell(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mix = np.uint64(_PAIR_MIX)
+        for batch in batches:
+            bk: list = []
+            av: list = []
+            bv: list = []
+            for bucket, ids, s, cell in zip(
+                batch[bucket_col], batch["_ids"], batch["_s"], batch["_cell"]
+            ):
+                arr = np.unique(np.asarray(ids, dtype=np.int64))
+                r = ((arr.view(np.uint64) * mix) >> np.uint64(32)) % np.uint64(s)
+                gl, gr = divmod(int(cell), int(s))
+                L = arr[r == gl]
+                R = arr[r == gr]
+                if not len(L) or not len(R):
+                    continue
+                ii, jj = np.nonzero(L[:, None] < R[None, :])
+                av.append(L[ii])
+                bv.append(R[jj])
+                bk.extend([bucket] * len(ii))
+            if bk:
+                yield _flush(bk, av, bv)
+
+    small = groups.where(F.col("_bn") <= max_bucket).select(bucket_col, "_ids")
+    pairs_small = small.mapInPandas(gen_small, out_schema)
+
+    hot = groups.where(F.col("_bn") > max_bucket).withColumn(
         "_s", F.ceil(F.col("_bn") / F.lit(max_bucket)).cast("int")
     )
-    own = F.pmod(F.xxhash64(F.col(key_col)), F.col("_s")).cast("int")
-    salts = F.sequence(F.lit(0), F.col("_s") - 1)
-    left = sized.select(
-        F.col(bucket_col),
-        F.col(key_col).alias("a"),
-        own.alias("_gl"),
-        F.explode(salts).alias("_gr"),
-    )
-    right = sized.select(
-        F.col(bucket_col),
-        F.col(key_col).alias("b"),
-        F.explode(salts).alias("_gl"),
-        own.alias("_gr"),
-    )
-    return (
-        left.join(right, [bucket_col, "_gl", "_gr"])
-        .where(F.col("a") < F.col("b"))
-        .select(bucket_col, "a", "b")
-    )
+    cells = hot.select(
+        bucket_col,
+        "_ids",
+        "_s",
+        F.explode(
+            F.sequence(F.lit(0), F.col("_s") * F.col("_s") - 1)
+        ).alias("_cell"),
+    ).repartition(F.col(bucket_col), F.col("_cell"))
+    pairs_hot = cells.mapInPandas(gen_cell, out_schema)
+
+    return pairs_small.unionByName(pairs_hot)
 
 
 def lsh_candidate_pairs(
@@ -257,16 +310,18 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become a candidate pair.
 
-    Self-join happens *within band buckets only* (shuffle-join keyed on
-    band_key), so the join never goes quadratic in corpus size — the
-    classic scale-out shape — and hot band buckets (near-dup clusters) are
-    salted into bounded tasks by ``_bucketed_pairs``. Returns distinct
-    (a, b) with a < b.
+    Pair generation happens *within band buckets only* (one
+    groupBy(band_key) shuffle + vectorized in-bucket pair enumeration in
+    ``_bucketed_pairs``), so the pipeline never goes quadratic in corpus
+    size — and hot band buckets (near-dup clusters) are split into
+    bounded grid-cell tasks. Returns distinct (a, b) with a < b.
 
     The banded projection is built with one explode (not an N-way union —
-    that would recompute the signature pipeline once per band) and, with
-    ``cache=True``, persisted so the self-join's two scans don't recompute
-    the minhashes (16 md5 passes over every shingle) twice.
+    that would recompute the signature pipeline once per band). The
+    signature pipeline feeds exactly ONE shuffle, so nothing needs
+    caching on the common path (``cache`` is accepted for API stability;
+    the post-aggregation groups frame is persisted inside
+    ``_bucketed_pairs`` for its small/hot split).
     """
     band_structs = F.array(
         *[
@@ -284,8 +339,6 @@ def lsh_candidate_pairs(
         signatures.where(F.col("mh_0").isNotNull())
         .select(F.col(key_col), F.explode(band_structs).alias("band_key"))
     )
-    if cache:
-        tagged = tagged.persist()
     return (
         _bucketed_pairs(tagged, "band_key", key_col, max_bucket)
         .select("a", "b")
@@ -316,7 +369,8 @@ def ngram_jaccard_pairs(
         F.explode(F.array_distinct(shingles_expr(text_col, shingle_k))).alias("s"),
     )
     if cache:
-        # scanned three times (both join sides + sizes) — don't re-shingle
+        # scanned twice (per-doc sizes + the pair-group shuffle) — don't
+        # re-shingle
         sh = sh.persist()
     sizes = sh.groupBy(key_col).agg(F.count("*").alias("n_sh"))
     inter = (
