@@ -7,12 +7,15 @@ from content-derived SHA-1 ids (path_tools.py:249-258) plus manual-ack
 at-least-once delivery (queue_handler.py:167-194). This module re-creates
 that contract on a data lake:
 
-* **Layout** — one directory per index table. ``postings`` and
+* **Layout** — Hive-style, one directory per index table:
+  ``<root>/<table>/seg=NNNNN[/bucket=NN]``. ``postings`` and
   ``dictionary`` are written partitioned by the term-hash ``bucket`` column
   so query-term scans are partition-pruned at the storage level (the Spark
-  analogue of ES routing). When an Iceberg catalog is configured the same
-  writes go through ``writeTo(...)``; in this sandbox (no Iceberg jars) the
-  parquet path is used — the layout and semantics are identical.
+  analogue of ES routing), and every segment of a table reads back as ONE
+  partition-discovered scan (no per-segment unions). When an Iceberg
+  catalog is configured the same writes go through ``writeTo(...)``; in
+  this sandbox (no Iceberg jars) the parquet path is used — the layout and
+  semantics are identical.
 
 * **Upsert (B7, doc_as_upsert)** — re-ingesting turns with an existing
   (conv_id, turn_idx) key appends a new *segment* (Lucene-style: immutable
@@ -219,7 +222,12 @@ class IndexStore:
     # ------------- write / read -------------
 
     def _path(self, table: str, segment: int = 0) -> str:
-        return os.path.join(self.root, f"seg={segment:05d}", table)
+        # Hive-style layout: <root>/<table>/seg=NNNNN[/bucket=NN/]… —
+        # table first, then partition key=value dirs all the way down, so
+        # ONE ``spark.read.parquet(<root>/<table>)`` scans every segment
+        # (seg becomes an inferred partition column, pruned or dropped at
+        # read time) instead of a per-segment union
+        return os.path.join(self.root, table, f"seg={segment:05d}")
 
     def _write(self, df: DataFrame, table: str, segment: int, partition_cols=()) -> None:
         w = df
@@ -407,31 +415,32 @@ class IndexStore:
         return bucket_long.unionByName(range_long)
 
     def segments(self) -> list[int]:
-        if not os.path.isdir(self.root):
+        # the docs table is written by every save; its seg= children are
+        # the segment list (one listdir — no recursive walk)
+        ddir = os.path.join(self.root, "docs")
+        if not os.path.isdir(ddir):
             return []
         return sorted(
             int(d.split("=")[1])
-            for d in os.listdir(self.root)
+            for d in os.listdir(ddir)
             if d.startswith("seg=")
         )
 
     def _read_all(self, table: str) -> DataFrame:
-        # read segments separately and union: the seg=NNNNN dirs would
-        # otherwise be mis-inferred as partition columns of one dataset
-        dfs = [
-            self.spark.read.parquet(self._path(table, s))
-            for s in self.segments()
-            if os.path.isdir(self._path(table, s))
-        ]
-        if not dfs:
+        # ONE scan of <root>/<table>: Spark's partition discovery turns
+        # the seg=NNNNN (and bucket=NN) children into partition columns —
+        # a 10^5-segment index plans as a single relation instead of a
+        # 10^5-deep Union, and seg would even be prunable. The inferred
+        # seg column is dropped to keep the logical schema segment-free.
+        tdir = os.path.join(self.root, table)
+        if not os.path.isdir(tdir) or not any(
+            d.startswith("seg=") for d in os.listdir(tdir)
+        ):
             raise FileNotFoundError(
                 f"no index segments under {self.root!r} (table {table!r}) — "
                 "run `build` first, or point --index at an existing root"
             )
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.unionByName(d)
-        return out
+        return self.spark.read.parquet(tdir).drop("seg")
 
     # ------------- tombstones (a TABLE, never a driver-side set) ---------
 
@@ -467,7 +476,9 @@ class IndexStore:
             "doc_id", "conv_id", "turn_idx", "dl"
         )
         corpus = self._read_all("corpus_stats").agg(
-            F.sum("n_docs").alias("n_docs"), F.sum("total_tokens").alias("tt")
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_tokens").alias("tt"),
+            F.max("next_doc_id").alias("next_id"),
         ).collect()[0]
         n_docs = int(corpus["n_docs"])
         avgdl = (int(corpus["tt"]) / n_docs) if n_docs else 0.0
@@ -483,10 +494,9 @@ class IndexStore:
             n_docs=n_docs,
             avgdl=avgdl,
             deleted_df=self.tombstones_df(),
-            next_doc_id=int(
-                doc_stats.agg(F.max("doc_id")).collect()[0][0] or -1
-            )
-            + 1,
+            # high-water mark carried in the 1-row-per-segment stats table
+            # (build.py corpus_stats) — no max(doc_id) scan of docs
+            next_doc_id=int(corpus["next_id"]),
         )
 
     def _merged_dictionary(self) -> DataFrame:
@@ -573,8 +583,8 @@ class IndexStore:
         built = build_index(self.spark, latest)
         import shutil
 
-        for s in self.segments():
-            shutil.rmtree(os.path.join(self.root, f"seg={s:05d}"))
+        for t in (*TABLES, "metrics"):
+            shutil.rmtree(os.path.join(self.root, t), ignore_errors=True)
         shutil.rmtree(os.path.join(self.root, "_tombstones"), ignore_errors=True)
         if built.n_docs == 0:
             # every doc was tombstoned: a valid end state — leave an empty

@@ -48,7 +48,7 @@ def test_resume_skips_done_stages(spark, root):
     store.save(built, segment=0)
     done_ts = {k: v["ts"] for k, v in store.manifest().items()}
     # simulate a crash after partial completion: postings stage lost
-    shutil.rmtree(os.path.join(root, "seg=00000", "postings"))
+    shutil.rmtree(os.path.join(root, "postings", "seg=00000"))
     os.remove(os.path.join(root, "_manifest", "seg0_postings.parquet"))
     store.save(built, segment=0, resume=True)
     m = store.manifest()
