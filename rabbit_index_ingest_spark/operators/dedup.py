@@ -180,6 +180,7 @@ def _minhash_fast(
 
 _PAIR_MIX = 0x9E3779B97F4A7C15  # odd multiplier for the grid residue mix
 _PAIR_FLUSH = 4_000_000  # pairs buffered per yielded Arrow frame
+_GRID_MAX_S = 8  # grid-cell explode tier cap; above this, salted join
 
 
 def _bucketed_pairs(
@@ -202,12 +203,20 @@ def _bucketed_pairs(
 
     The skew problem: a bucket shared by a near-duplicate *cluster* of m
     docs (1,000 identical docs → every band bucket identical) would put
-    m²/2 pair generation into ONE task. Buckets larger than
-    ``max_bucket`` are exploded into s² grid cells (s = ⌈m/max_bucket⌉)
-    and repartitioned so each cell is its own task: cell (gl, gr) emits
-    pairs {x < y : mix(x) mod s = gl, mix(y) mod s = gr} — every pair
-    lands in exactly one cell, each cell holds ≤ ~max_bucket² pairs, and
-    the s²-way list replication is bounded by the pair output itself.
+    m²/2 pair generation into ONE task. Three tiers by s = ⌈m/max_bucket⌉:
+
+    * **s = 1** (common): pairs generated directly from the list.
+    * **2 ≤ s ≤ 8**: the bucket explodes into s² grid cells, each
+      repartitioned to its own task; cell (gl, gr) emits pairs
+      {x < y : mix(x) mod s = gl, mix(y) mod s = gr} — every pair lands
+      in exactly one cell and each cell holds ≤ ~max_bucket² pairs. The
+      member list rides along ≤ 64×, cheaper than any join at this tier.
+    * **s > 8** (extreme — a cluster > 8·cap members): list shipping
+      would grow quadratically in s, so the members re-explode into the
+      salted 2-D grid JOIN (per-member replication s — linear; same
+      exactly-once cell contract), with the size carried from the
+      aggregation, so no separate sizes join is ever needed.
+
     The collect_list buffer for a hot bucket is 8 bytes per member — at
     any m where the m²/2 pair OUTPUT is survivable, the buffer is noise.
     """
@@ -284,9 +293,14 @@ def _bucketed_pairs(
     small = groups.where(F.col("_bn") <= max_bucket).select(bucket_col, "_ids")
     pairs_small = small.mapInPandas(gen_small, out_schema)
 
-    hot = groups.where(F.col("_bn") > max_bucket).withColumn(
+    sized = groups.where(F.col("_bn") > max_bucket).withColumn(
         "_s", F.ceil(F.col("_bn") / F.lit(max_bucket)).cast("int")
     )
+
+    # moderately hot (s ≤ _GRID_MAX_S): explode into s² grid cells, each
+    # repartitioned to its own task. The member list rides along s² times
+    # (≤ 64×), which beats a join at this tier.
+    hot = sized.where(F.col("_s") <= _GRID_MAX_S)
     cells = hot.select(
         bucket_col,
         "_ids",
@@ -297,7 +311,36 @@ def _bucketed_pairs(
     ).repartition(F.col(bucket_col), F.col("_cell"))
     pairs_hot = cells.mapInPandas(gen_cell, out_schema)
 
-    return pairs_small.unionByName(pairs_hot)
+    # extreme skew (s > _GRID_MAX_S, i.e. a cluster > 8·cap members):
+    # shipping the whole list s² times would scale QUADRATICALLY in s, so
+    # fall back to the salted 2-D grid JOIN — per-member replication is
+    # only s (linear), each join cell holds ≤ ~cap² pairs, and the sizes
+    # are already carried on the aggregated row (no extra sizes join).
+    extreme = sized.where(F.col("_s") > _GRID_MAX_S)
+    members = extreme.select(
+        bucket_col, "_s", F.explode(F.array_distinct("_ids")).alias("_k")
+    )
+    own = F.pmod(F.xxhash64(F.col("_k")), F.col("_s")).cast("int")
+    salts = F.sequence(F.lit(0), F.col("_s") - 1)
+    left = members.select(
+        F.col(bucket_col),
+        F.col("_k").alias("a"),
+        own.alias("_gl"),
+        F.explode(salts).alias("_gr"),
+    )
+    right = members.select(
+        F.col(bucket_col),
+        F.col("_k").alias("b"),
+        F.explode(salts).alias("_gl"),
+        own.alias("_gr"),
+    )
+    pairs_extreme = (
+        left.join(right, [bucket_col, "_gl", "_gr"])
+        .where(F.col("a") < F.col("b"))
+        .select(bucket_col, "a", "b")
+    )
+
+    return pairs_small.unionByName(pairs_hot).unionByName(pairs_extreme)
 
 
 def lsh_candidate_pairs(

@@ -217,6 +217,13 @@ def test_lsh_hot_bucket_salting_preserves_pairs(spark):
     }
     assert salted == plain
     assert len(salted) >= 300 * 299 // 2  # the full clique is present
+    # extreme tier: cap 20 over a 300-doc cluster gives s = 15 > 8, which
+    # routes through the salted-join fallback — identical pair set again
+    extreme = {
+        (r["a"], r["b"])
+        for r in lsh_candidate_pairs(sigs, max_bucket=20, cache=False).collect()
+    }
+    assert extreme == plain
     sigs.unpersist()
 
 
