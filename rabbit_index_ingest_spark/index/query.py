@@ -247,14 +247,19 @@ class Searcher:
             dead = np.fromiter(self.deleted, dtype=np.int64)
         elif self.deleted_df is not None and decoded:
             # one tiny job: which of the ≤ nprobe·BLOCK_SIZE probed docs
-            # are tombstoned? (semi-join collects only the dead subset)
+            # are tombstoned? The PROBE side is broadcast (a few hundred
+            # rows) and the tombstone table streams past it — never the
+            # other way around, which at 10^9 tombstones would shuffle
+            # the whole table to semi-join ~300 rows.
             probed = np.unique(np.concatenate([d[0] for d in decoded]))
             probe_df = self.spark.createDataFrame(
                 [(int(i),) for i in probed], "doc_id long"
             )
-            dead_rows = probe_df.join(
-                self.deleted_df.select("doc_id"), "doc_id", "left_semi"
-            ).collect()
+            dead_rows = (
+                self.deleted_df.select("doc_id")
+                .join(F.broadcast(probe_df), "doc_id", "left_semi")
+                .collect()
+            )
             if dead_rows:
                 dead = np.fromiter(
                     (r["doc_id"] for r in dead_rows), dtype=np.int64
