@@ -44,6 +44,9 @@ def _parser() -> argparse.ArgumentParser:
     q.add_argument("--q", required=True)
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--path", choices=["blockmax", "dataframe"], default="blockmax")
+    q.add_argument("--probe-min-blocks", type=int, default=2048,
+                   help="estimated-decode-volume gate for the global "
+                        "theta0 seed probe (lower = seed more queries)")
 
     c = sub.add_parser("compact", help="merge segments, drop tombstones")
     c.add_argument("--index", required=True)
@@ -90,6 +93,7 @@ def main(argv: list[str] | None = None) -> int:
         s = Searcher(
             spark, L.postings, L.dictionary, L.n_docs, L.avgdl,
             deleted_df=L.deleted_df,
+            probe_min_blocks=args.probe_min_blocks,
         )
         fn = s.topk_blockmax if args.path == "blockmax" else s.topk_dataframe
         rows = (
