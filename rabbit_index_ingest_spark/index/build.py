@@ -60,6 +60,10 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("doc_bytes", T.BinaryType(), False),
         T.StructField("tf_bytes", T.BinaryType(), False),
         T.StructField("dl_bytes", T.BinaryType(), False),
+        # within-doc token positions (phrase/proximity queries) — empty
+        # bytes when the index is built with positions=False; queries that
+        # don't need positions never read the column (parquet pruning)
+        T.StructField("pos_bytes", T.BinaryType(), False),
         # Lucene-style *impacts*: the block's max tf and min dl give an
         # upper bound idf·tf_norm(max_tf, min_dl, avgdl) on any doc's
         # contribution that stays valid when avgdl/df drift under
@@ -199,10 +203,12 @@ def assign_doc_ids_with_count(
 _BLOCK_COLS = [f.name for f in BLOCKS_SCHEMA.fields]
 
 
-def _pack_stream_fn(block_size: int, range_bits: int = RANGE_BITS):
+def _pack_stream_fn(
+    block_size: int, range_bits: int = RANGE_BITS, positions: bool = False
+):
     """Streaming mapInPandas packer: consumes Arrow batches of raw token
-    occurrences (term, doc_id, dl) sorted by (term, doc_id) within the
-    partition, carrying the (possibly batch-spanning) trailing
+    occurrences (term, doc_id, dl[, pos]) sorted by (term, doc_id[, pos])
+    within the partition, carrying the (possibly batch-spanning) trailing
     (term, range) group over to the next batch.
 
     tf is computed by run-length encoding the sorted doc_ids (replaces a
@@ -214,15 +220,20 @@ def _pack_stream_fn(block_size: int, range_bits: int = RANGE_BITS):
     BATCH instead of one per GROUP (a 210k-turn corpus has ~60k groups)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+        carry: tuple[np.ndarray, ...] | None = None
         for batch in batches:
             terms = batch["term"].to_numpy()
             ids = batch["doc_id"].to_numpy(dtype=np.int64)
             dls = batch["dl"].to_numpy(dtype=np.int64)
+            poss = (
+                batch["pos"].to_numpy(dtype=np.int64) if positions else None
+            )
             if carry is not None:
                 terms = np.concatenate((carry[0], terms))
                 ids = np.concatenate((carry[1], ids))
                 dls = np.concatenate((carry[2], dls))
+                if positions:
+                    poss = np.concatenate((carry[3], poss))
             if not len(ids):
                 carry = None
                 continue
@@ -234,18 +245,23 @@ def _pack_stream_fn(block_size: int, range_bits: int = RANGE_BITS):
                 + 1
             )
             if len(change) == 0:
-                carry = (terms, ids, dls)  # single (possibly continuing) group
+                # single (possibly continuing) group
+                carry = (terms, ids, dls) + ((poss,) if positions else ())
                 continue
             last = int(change[-1])
-            carry = (terms[last:], ids[last:], dls[last:])
+            carry = (terms[last:], ids[last:], dls[last:]) + (
+                (poss[last:],) if positions else ()
+            )
             cols = codec.pack_batch(
-                terms[:last], ranges[:last], ids[:last], dls[:last], block_size
+                terms[:last], ranges[:last], ids[:last], dls[:last],
+                block_size, pos=poss[:last] if positions else None,
             )
             yield pd.DataFrame(cols, columns=_BLOCK_COLS)
         if carry is not None and len(carry[0]):
-            terms, ids, dls = carry
+            terms, ids, dls = carry[:3]
             cols = codec.pack_batch(
-                terms, ids >> range_bits, ids, dls, block_size
+                terms, ids >> range_bits, ids, dls, block_size,
+                pos=carry[3] if positions else None,
             )
             yield pd.DataFrame(cols, columns=_BLOCK_COLS)
 
@@ -284,11 +300,21 @@ def build_index(
     range_bits: int = RANGE_BITS,
     id_base: int = 0,
     persist_postings: bool = True,
+    positions: bool = True,
 ) -> BuiltIndex:
     """Build all four index tables from a transcript DataFrame.
 
     ``id_base`` offsets doc_ids (segment appends start above the existing
     max doc_id, SURVEY.md B7).
+
+    ``positions=True`` (default — matching Elasticsearch, which indexes
+    positions unless ``index_options`` lowers them) additionally stores
+    per-occurrence within-doc token positions (``pos_bytes``, codec
+    position stream) enabling phrase queries (``Searcher.topk_phrase``).
+    Cost: one int column more on THE shuffle (~1-2 B/occurrence after
+    compression) and one more varbyte stream in pack; BM25-only pipelines
+    can pass False — the schema is identical (empty ``pos_bytes``) and
+    non-phrase queries never read the column (parquet column pruning).
 
     Exactly ONE heavy pipeline pass runs over the corpus: tokenize →
     explode → tf groupBy → pack. n_docs falls out of the doc-id
@@ -331,9 +357,16 @@ def build_index(
     # range_id deliberately does NOT ride the shuffle: it is a pure
     # function of doc_id, re-derived inside the packer (8 B/row saved),
     # and sorting by (term, doc_id) already sorts by (term, range, doc).
-    occurrences = toks.select(
-        "doc_id", F.size("tokens").alias("dl"), F.explode("tokens").alias("term")
-    )
+    if positions:
+        occurrences = toks.select(
+            "doc_id",
+            F.size("tokens").alias("dl"),
+            F.posexplode("tokens").alias("pos", "term"),
+        )
+    else:
+        occurrences = toks.select(
+            "doc_id", F.size("tokens").alias("dl"), F.explode("tokens").alias("term")
+        )
 
     # ONE shuffle for the whole postings build: repartition on
     # (term, doc_range) + in-partition sort + streaming mapInPandas packer
@@ -343,12 +376,15 @@ def build_index(
     # ~2^range_bits postings per term. Partition count = shuffle conf
     # (data-size knob).
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sort_cols = ["term", "doc_id"] + (["pos"] if positions else [])
     postings = (
         occurrences.repartition(
             nparts, F.col("term"), F.shiftright("doc_id", range_bits)
         )
-        .sortWithinPartitions("term", "doc_id")
-        .mapInPandas(_pack_stream_fn(block_size, range_bits), BLOCKS_SCHEMA)
+        .sortWithinPartitions(*sort_cols)
+        .mapInPandas(
+            _pack_stream_fn(block_size, range_bits, positions), BLOCKS_SCHEMA
+        )
         .withColumn("bucket", term_bucket_expr(F.col("term")))
     )
     if persist_postings:

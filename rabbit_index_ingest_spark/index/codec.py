@@ -132,12 +132,36 @@ def unpack_block(doc_bytes: bytes, tf_bytes: bytes) -> tuple[np.ndarray, np.ndar
     )
 
 
+def unpack_positions(
+    pos_bytes: bytes, tfs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a block's position stream → (flat int64 positions, per-doc
+    start offsets). Doc i of the block owns ``flat[starts[i] : starts[i] +
+    tfs[i]]`` — ascending within-doc token positions.
+
+    The stream stores within-doc deltas with each doc's first position
+    absolute, so reconstruction is one global cumsum corrected at doc
+    boundaries (vectorized segment-cumsum; no per-doc Python loop).
+    """
+    deltas = varbyte_decode(pos_bytes).astype(np.int64)
+    counts = np.asarray(tfs, dtype=np.int64)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    if not len(deltas):
+        return deltas, starts
+    out = np.cumsum(deltas)
+    corr = out[starts] - deltas[starts]
+    out -= np.repeat(corr, counts)
+    return out, starts
+
+
 def pack_batch(
     terms: np.ndarray,
     ranges: np.ndarray,
     ids: np.ndarray,
     dls: np.ndarray,
     block_size: int = BLOCK_SIZE,
+    pos: np.ndarray | None = None,
 ) -> dict[str, np.ndarray | list]:
     """Pack a WHOLE Arrow batch of raw token occurrences — sorted by
     (term, range_id, doc_id) and holding only complete (term, range)
@@ -147,11 +171,18 @@ def pack_batch(
     * tf by run-length over the sorted occurrences (batch-wide);
     * per-block metadata via ``ufunc.reduceat`` (block starts tile the
       batch exactly, so one reduceat call covers every block);
-    * each of the three byte streams is varbyte-encoded ONCE for the whole
+    * each byte stream is varbyte-encoded ONCE for the whole
       batch and sliced per block via the exact per-value length table
       (block-leading gaps patched to absolute doc ids so blocks decode
       standalone — group boundaries are always block starts, which also
-      makes the batch-wide gap stream safe across groups).
+      makes the batch-wide gap stream safe across groups);
+    * with ``pos`` (per-occurrence within-doc token position, ascending
+      inside each (term, doc) run — guaranteed by the build's
+      sortWithinPartitions(term, doc_id, pos)), a fourth stream
+      ``pos_bytes`` stores within-doc position deltas (doc-leading entry
+      absolute) for phrase/proximity queries — the positional-postings
+      analogue of Lucene's .prx; decode with ``unpack_positions``.
+      Without ``pos``, ``pos_bytes`` is empty per block (same schema).
 
     Returns a column dict in BLOCKS_SCHEMA order (build.py). This is the
     vectorized successor of per-group ``pack_group_blocks`` (kept for
@@ -168,6 +199,7 @@ def pack_batch(
         "doc_bytes": [],
         "tf_bytes": [],
         "dl_bytes": [],
+        "pos_bytes": [],
         "max_tf": np.empty(0, dtype=np.int64),
         "min_dl": np.empty(0, dtype=np.int64),
         "tf_sum": np.empty(0, dtype=np.int64),
@@ -223,6 +255,28 @@ def pack_batch(
         np.cumsum(_vb_lengths(arr), out=offs[1:])
         lo, hi = offs[starts].tolist(), offs[ends].tolist()
         byte_cols[name] = [enc[a:b] for a, b in zip(lo, hi)]
+
+    if pos is None:
+        byte_cols["pos_bytes"] = [b""] * len(starts)
+    else:
+        # position stream is OCCURRENCE-level (n values, vs m postings):
+        # within-doc deltas, run-leading entry patched absolute. A block's
+        # slice spans the occurrences of its postings — bounds come from
+        # run_starts (with the n sentinel) indexed by the block's posting
+        # range, then mapped through the byte-offset table.
+        p = np.asarray(pos, dtype=np.int64)
+        pgaps = np.empty(n, dtype=np.int64)
+        pgaps[0] = p[0]
+        np.subtract(p[1:], p[:-1], out=pgaps[1:])
+        pgaps[run_starts] = p[run_starts]
+        parr = pgaps.astype(np.uint64)
+        enc = varbyte_encode(parr)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(_vb_lengths(parr), out=offs[1:])
+        occ_bounds = np.concatenate((run_starts, [n]))
+        lo = offs[occ_bounds[starts]].tolist()
+        hi = offs[occ_bounds[ends]].tolist()
+        byte_cols["pos_bytes"] = [enc[a:b] for a, b in zip(lo, hi)]
 
     return {
         "term": u_terms[starts],

@@ -48,12 +48,30 @@ FLAT_SCHEMA = T.StructType(
     ]
 )
 
+FLAT_POS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.LongType(), False),
+        T.StructField("dl", T.LongType(), False),
+        T.StructField("positions", T.ArrayType(T.LongType(), False), False),
+    ]
+)
+
 TOPK_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("score", T.DoubleType(), False),
     ]
 )
+
+# columns the BM25 scorers actually consume — selected before every
+# mapInPandas/applyInPandas so the (phrase-only) pos_bytes stream never
+# rides the Arrow transfer of a non-phrase query
+_SCORE_COLS = [
+    "term", "range_id", "first_doc", "last_doc",
+    "doc_bytes", "tf_bytes", "dl_bytes", "max_tf", "min_dl",
+]
 
 
 def lucene_idf(n_docs: int, df: int) -> float:
@@ -84,7 +102,52 @@ def flat_postings(blocks: DataFrame) -> DataFrame:
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    return blocks.mapInPandas(decode, FLAT_SCHEMA)
+    # explicit projection: mapInPandas ships every input column through
+    # Arrow, so without this a positional index would pay pos_bytes
+    # transfer on every BM25 query
+    return blocks.select(
+        "term", "doc_bytes", "tf_bytes", "dl_bytes"
+    ).mapInPandas(decode, FLAT_SCHEMA)
+
+
+def flat_postings_positional(blocks: DataFrame) -> DataFrame:
+    """Decode posting blocks to (term, doc_id, tf, dl, positions) rows —
+    ``positions`` is the doc's ascending within-doc token positions of
+    ``term`` (phrase/proximity queries). Raises inside the task if the
+    index was built with ``positions=False`` (empty pos stream)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            frames = []
+            for row in batch.itertuples(index=False):
+                ids, tfs = codec.unpack_block(row.doc_bytes, row.tf_bytes)
+                dls = codec.varbyte_decode(row.dl_bytes).astype(np.int64)
+                if len(row.pos_bytes) == 0 and tfs.sum() > 0:
+                    raise ValueError(
+                        "posting block has no position stream — the index "
+                        "was built with positions=False; rebuild with "
+                        "build_index(..., positions=True) for phrase queries"
+                    )
+                flat, starts = codec.unpack_positions(row.pos_bytes, tfs)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "term": row.term,
+                            "doc_id": ids,
+                            "tf": tfs,
+                            "dl": dls,
+                            "positions": pd.Series(
+                                np.split(flat, starts[1:]), dtype=object
+                            ),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return blocks.select(
+        "term", "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes"
+    ).mapInPandas(decode, FLAT_POS_SCHEMA)
 
 
 def _term_buckets(spark: SparkSession, terms: list[str]) -> list[int]:
@@ -337,7 +400,8 @@ class Searcher:
                 F.shiftright("doc_id", self.range_bits).alias("range_id"),
             )
             local = (
-                blocks.groupBy("range_id")
+                blocks.select(*_SCORE_COLS)
+                .groupBy("range_id")
                 .cogroup(tombs.groupBy("range_id"))
                 .applyInPandas(scorer, TOPK_SCHEMA)
             )
@@ -346,8 +410,216 @@ class Searcher:
                 idfs, self.avgdl, k, self.range_bits, self.deleted,
                 skip_acc=skip_acc, theta0=theta0,
             )
-            local = blocks.groupBy("range_id").applyInPandas(scorer, TOPK_SCHEMA)
+            local = (
+                blocks.select(*_SCORE_COLS)
+                .groupBy("range_id")
+                .applyInPandas(scorer, TOPK_SCHEMA)
+            )
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    # ---------------- boolean / filtered / phrase retrieval ----------------
+
+    def _mask_deleted(self, flat: DataFrame) -> DataFrame:
+        """Remove tombstoned docs from a flat-posting frame (either
+        tombstone representation)."""
+        if self.deleted_df is not None:
+            return flat.join(
+                self.deleted_df.select("doc_id"), "doc_id", "left_anti"
+            )
+        if self.deleted:
+            return flat.where(~F.col("doc_id").isin(list(self.deleted)))
+        return flat
+
+    def topk_and(self, query_text: str, k: int = 10) -> DataFrame:
+        """Conjunctive (ES ``match`` with ``operator: and``) BM25 top-k:
+        only docs containing EVERY query term rank; scores are the same
+        full BM25 sums as the disjunctive paths. A query term absent from
+        the corpus (df = 0) makes the result empty — exactly ES's
+        operator-and contract.
+
+        Shape at scale: after the per-(term, doc) fold a doc holds one row
+        per distinct matched term, so the match-all predicate is a
+        ``count(*) = n_terms`` HAVING on the same single aggregation the
+        disjunctive scorer runs — no extra shuffle, and Catalyst plans the
+        same term-pruned bucket scan."""
+        terms = sorted(set(py_tokenize(query_text)))
+        if not terms:
+            return _empty_topk(self.spark)
+        meta = self._term_meta(terms)
+        if any(m[0] == 0 for m in meta.values()):
+            return _empty_topk(self.spark)  # a required term matches nothing
+        plan = self._plan(query_text)
+        assert plan is not None
+        idfs, blocks, _ = plan
+        idf_df = F.broadcast(
+            self.spark.createDataFrame(
+                sorted(idfs.items()), "term string, idf double"
+            )
+        )
+        flat = self._mask_deleted(flat_postings(blocks))
+        scored = (
+            flat.join(idf_df, "term")
+            .withColumn(
+                "contrib",
+                F.col("idf")
+                * F.col("tf")
+                * (codec.K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + codec.K1
+                    * (1.0 - codec.B + codec.B * F.col("dl") / F.lit(self.avgdl))
+                ),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("score"), F.count("*").alias("n_terms"))
+            .where(F.col("n_terms") == len(terms))
+            .drop("n_terms")
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def topk_filtered(
+        self, query_text: str, allowed: DataFrame, k: int = 10
+    ) -> DataFrame:
+        """BM25 top-k restricted to an allow-list of doc_ids (``allowed``
+        must carry a ``doc_id`` column) — the ES filtered-query analogue
+        (bool { must: match, filter: term }): the filter constrains the
+        candidate set but never contributes to the score.
+
+        Shape at scale: the allow-list left-semi-joins the decoded
+        postings on doc_id BEFORE aggregation, so filtered-out docs never
+        enter the groupBy; a selective predicate yields a small build side
+        that AQE broadcasts. Derive ``allowed`` from the docs table with an
+        ordinary pushed-down predicate (e.g.
+        ``store.load().docs.where("role = 'user'").select("doc_id")``)."""
+        plan = self._plan(query_text)
+        if plan is None:
+            return _empty_topk(self.spark)
+        idfs, blocks, _ = plan
+        idf_df = F.broadcast(
+            self.spark.createDataFrame(
+                sorted(idfs.items()), "term string, idf double"
+            )
+        )
+        flat = self._mask_deleted(flat_postings(blocks)).join(
+            allowed.select("doc_id"), "doc_id", "left_semi"
+        )
+        scored = (
+            flat.join(idf_df, "term")
+            .withColumn(
+                "contrib",
+                F.col("idf")
+                * F.col("tf")
+                * (codec.K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + codec.K1
+                    * (1.0 - codec.B + codec.B * F.col("dl") / F.lit(self.avgdl))
+                ),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("score"))
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def topk_phrase(self, query_text: str, k: int = 10) -> DataFrame:
+        """Exact phrase top-k (ES ``match_phrase``) over the positional
+        postings (``pos_bytes``; requires ``build_index(positions=True)``,
+        the default).
+
+        Semantics (Lucene PhraseQuery): a doc matches when the query's
+        analyzed terms occur at consecutive positions; ``phrase_tf`` is the
+        number of such occurrences (sliding — overlapping matches count)
+        and the score treats the phrase as one pseudo-term:
+
+            score = (Σ_i idf(term_i)) · tf_norm(phrase_tf, dl, avgdl)
+
+        (idf summed over query POSITIONS, duplicates included — Lucene
+        sums a SimScorer idf per phrase term.)
+
+        Plan: phrase positions are ∩_i (positions(term_i) − i), computed
+        with JVM built-ins only — per unique term, a decoded frame
+        (doc_id, dl, S_t) where S_t is the term's position array shifted
+        by its query offsets (``transform``; a term occurring at several
+        query offsets intersects its own shifts first); the frames UNION
+        and ONE ``groupBy(doc_id)`` folds them — match-all is a
+        ``count = n_terms`` predicate and the phrase position set is an
+        ``aggregate``/``array_intersect`` fold over the collected arrays.
+        Exactly one shuffle, keyed on doc_id (vs an n-way join chain —
+        which Spark also mis-resolves under self-join lineage); every
+        term's candidate decode is term+bucket-pruned at the parquet scan.
+        No Python touches the intersection math; the only Python is block
+        decode.
+        """
+        qterms = py_tokenize(query_text)
+        if not qterms:
+            return _empty_topk(self.spark)
+        uniq = sorted(set(qterms))
+        meta = self._term_meta(uniq)
+        if any(meta[t][0] == 0 for t in uniq):
+            return _empty_topk(self.spark)  # a phrase term matches nothing
+        idf_phrase = sum(lucene_idf(self.n_docs, meta[t][0]) for t in qterms)
+        # query offsets per unique term ("a b a" → {"a": [0, 2], "b": [1]})
+        offsets: dict[str, list[int]] = {}
+        for i, t in enumerate(qterms):
+            offsets.setdefault(t, []).append(i)
+        # one frame per unique term — each decodes ONLY its own blocks
+        # (term+bucket predicates sit below the decode, so they reach the
+        # parquet scan; a single shared decode would re-decode every
+        # phrase term's blocks once per term)
+        def _shift(off: int):
+            # NB: the transform lambda must take exactly ONE parameter — a
+            # second parameter would be bound to the ARRAY INDEX by Spark's
+            # (element, index) lambda convention, not to a closure default
+            return F.transform("positions", lambda x: x - F.lit(off))
+
+        parts: list[DataFrame] = []
+        for t in uniq:
+            blocks_t = self.postings.where(
+                F.col("bucket").isin(_term_buckets(self.spark, [t]))
+            ).where(F.col("term") == t)
+            flat_t = flat_postings_positional(blocks_t)
+            shifted = [_shift(i) for i in offsets[t]]
+            s = shifted[0]
+            for sh in shifted[1:]:
+                s = F.array_intersect(s, sh)
+            parts.append(flat_t.select("doc_id", "dl", s.alias("_s")))
+        unioned = parts[0]
+        for p in parts[1:]:
+            unioned = unioned.unionByName(p)
+        acc = (
+            self._mask_deleted(unioned)
+            .groupBy("doc_id")
+            .agg(
+                F.first("dl").alias("dl"),
+                F.count("*").alias("_nt"),
+                F.collect_list("_s").alias("_ss"),
+            )
+            .where(F.col("_nt") == len(uniq))
+            .withColumn(
+                "_s0",
+                F.aggregate(
+                    F.slice("_ss", 2, len(uniq) - 1) if len(uniq) > 1
+                    else F.array().cast("array<array<long>>"),
+                    F.col("_ss")[0],
+                    lambda a, x: F.array_intersect(a, x),
+                ),
+            )
+        )
+        ptf = F.size("_s0")
+        scored = acc.where(ptf > 0).select(
+            "doc_id",
+            (
+                F.lit(idf_phrase)
+                * ptf.cast("double")
+                * (codec.K1 + 1.0)
+                / (
+                    ptf.cast("double")
+                    + codec.K1
+                    * (1.0 - codec.B + codec.B * F.col("dl") / F.lit(self.avgdl))
+                )
+            ).alias("score"),
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def fetch_topk(
         self, query_text: str, k: int, docs: DataFrame, fast: bool = True

@@ -114,6 +114,9 @@ def test_pack_batch_equals_per_group_packing():
     dls_a = np.array([o[3] for o in occ], dtype=np.int64)
 
     got = pd.DataFrame(codec.pack_batch(terms, ranges, ids_a, dls_a, block_size=128))
+    # positionless packing: the pos stream is empty per block by contract
+    assert set(got["pos_bytes"]) == {b""}
+    got = got.drop(columns=["pos_bytes"])
 
     # expected: per-group run-length + pack_group_blocks
     exp_rows = []
@@ -132,3 +135,68 @@ def test_pack_batch_equals_per_group_packing():
     assert len(got) == len(exp)
     for c in got.columns:
         assert list(got[c]) == list(exp[c]), c
+
+
+def _random_positional_stream(seed: int, n_terms: int = 4, max_docs: int = 300):
+    """Occurrence stream (term, range, doc, dl, pos) sorted the way the
+    build does (term, doc_id, pos), plus the per-(term, doc) ground truth."""
+    rng = np.random.RandomState(seed)
+    terms_l, ranges_l, ids_l, dls_l, pos_l = [], [], [], [], []
+    truth = {}
+    for t in [f"t{i:02d}" for i in range(n_terms)]:
+        for range_id in (0, 3):
+            base = range_id << 16
+            n_docs = rng.randint(1, max_docs)
+            ids = np.sort(rng.choice(4000, size=n_docs, replace=False)) + base
+            for d in ids:
+                dl = int(rng.randint(5, 200))
+                tf = int(rng.randint(1, 6))
+                positions = np.sort(
+                    rng.choice(dl, size=min(tf, dl), replace=False)
+                ).astype(np.int64)
+                truth[(t, int(d))] = (dl, positions)
+                for p in positions:
+                    terms_l.append(t)
+                    ranges_l.append(range_id)
+                    ids_l.append(int(d))
+                    dls_l.append(dl)
+                    pos_l.append(int(p))
+    return (
+        np.array(terms_l, dtype=object),
+        np.array(ranges_l, dtype=np.int64),
+        np.array(ids_l, dtype=np.int64),
+        np.array(dls_l, dtype=np.int64),
+        np.array(pos_l, dtype=np.int64),
+        truth,
+    )
+
+
+def test_pack_batch_positions_roundtrip():
+    """pos_bytes must decode back to each doc's exact ascending position
+    list — across multi-block groups, multiple terms and doc ranges."""
+    terms, ranges, ids, dls, pos, truth = _random_positional_stream(11)
+    cols = codec.pack_batch(terms, ranges, ids, dls, block_size=128, pos=pos)
+    seen = set()
+    for bi in range(len(cols["term"])):
+        d_ids, d_tfs = codec.unpack_block(
+            cols["doc_bytes"][bi], cols["tf_bytes"][bi]
+        )
+        flat, starts = codec.unpack_positions(cols["pos_bytes"][bi], d_tfs)
+        assert len(flat) == d_tfs.sum()
+        for j, (doc, tf) in enumerate(zip(d_ids, d_tfs)):
+            got = flat[starts[j] : starts[j] + tf]
+            dl, want = truth[(cols["term"][bi], int(doc))]
+            np.testing.assert_array_equal(got, want)
+            seen.add((cols["term"][bi], int(doc)))
+    assert seen == set(truth)  # every posting decoded exactly once
+
+
+def test_pack_batch_positions_absent_by_default():
+    terms, ranges, ids, dls, pos, _ = _random_positional_stream(13)
+    cols = codec.pack_batch(terms, ranges, ids, dls, block_size=128)
+    assert set(cols["pos_bytes"]) == {b""}
+
+
+def test_unpack_positions_empty():
+    flat, starts = codec.unpack_positions(b"", np.array([], dtype=np.int64))
+    assert len(flat) == 0 and len(starts) == 0

@@ -1,0 +1,322 @@
+"""Positional index + phrase / conjunctive / filtered retrieval.
+
+The reference delegates these query shapes to Elasticsearch (match_phrase,
+match with operator:and, bool filter — ES 7.9.1 / Lucene 8.6); the engine
+owns them natively over the positional posting stream (codec pos_bytes).
+Every test checks against an independent pure-Python oracle over the raw
+corpus, never against the engine itself.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rabbit_index_ingest_spark.analysis import py_tokenize
+from rabbit_index_ingest_spark.datagen import transcripts_pandas
+from rabbit_index_ingest_spark.index import codec
+from rabbit_index_ingest_spark.index.build import build_index
+from rabbit_index_ingest_spark.index.query import (
+    Searcher,
+    flat_postings_positional,
+    lucene_idf,
+)
+
+
+# ---------------- pure-Python oracles ----------------
+
+
+def _corpus_pdf(n_conv: int = 40):
+    pdf = transcripts_pandas(n_conv=n_conv)[["conv_id", "turn_idx", "text"]]
+    return pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def _py_phrase_topk(pdf, query: str, k: int):
+    """Oracle: sliding-window phrase count + pseudo-term BM25."""
+    qterms = py_tokenize(query)
+    toks = [py_tokenize(t) for t in pdf["text"]]
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks) / n_docs
+    dfs = {
+        t: sum(1 for d in toks if t in set(d)) for t in set(qterms)
+    }
+    if any(dfs[t] == 0 for t in qterms):
+        return []
+    idf = sum(lucene_idf(n_docs, dfs[t]) for t in qterms)
+    out = []
+    for doc_id, d in enumerate(toks):
+        n = len(qterms)
+        ptf = sum(
+            1
+            for i in range(len(d) - n + 1)
+            if d[i : i + n] == qterms
+        )
+        if ptf:
+            dl = len(d)
+            score = idf * ptf * (codec.K1 + 1) / (
+                ptf + codec.K1 * (1 - codec.B + codec.B * dl / avgdl)
+            )
+            out.append((doc_id, score))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+def _py_bm25(pdf, query: str, require_all: bool = False, allowed=None):
+    """Oracle: full BM25 scores; optionally conjunctive / allow-listed."""
+    qterms = sorted(set(py_tokenize(query)))
+    toks = [py_tokenize(t) for t in pdf["text"]]
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks) / n_docs
+    dfs = {t: sum(1 for d in toks if t in set(d)) for t in qterms}
+    if require_all and any(dfs[t] == 0 for t in qterms):
+        return []
+    out = []
+    for doc_id, d in enumerate(toks):
+        if allowed is not None and doc_id not in allowed:
+            continue
+        matched = [t for t in qterms if t in d]
+        if not matched or (require_all and len(matched) < len(qterms)):
+            continue
+        dl = len(d)
+        score = 0.0
+        for t in sorted(matched):
+            if dfs[t] == 0:
+                continue
+            tf = d.count(t)
+            score += lucene_idf(n_docs, dfs[t]) * tf * (codec.K1 + 1) / (
+                tf + codec.K1 * (1 - codec.B + codec.B * dl / avgdl)
+            )
+        out.append((doc_id, score))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+# ---------------- fixtures ----------------
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = _corpus_pdf()
+    df = spark.createDataFrame(pdf)
+    built = build_index(spark, df)
+    built.postings = built.postings.persist()
+    built.postings.count()
+    searcher = Searcher(
+        spark, built.postings, built.dictionary, built.n_docs, built.avgdl
+    )
+    yield pdf, built, searcher
+    built.release()
+    built.postings.unpersist()
+
+
+def _assert_topk_equal(got_rows, want, k):
+    got = [(r["doc_id"], r["score"]) for r in got_rows]
+    assert len(got) == min(k, len(want))
+    for (gd, gs), (wd, ws) in zip(got, want[:k]):
+        assert gd == wd
+        assert gs == pytest.approx(ws, rel=1e-12)
+
+
+# ---------------- positional stream through the real build ----------------
+
+
+def test_flat_positional_matches_posexplode(spark, corpus):
+    """Decoded (term, doc_id, positions) must equal a direct posexplode of
+    the tokenized corpus — the codec round-trips through the full
+    repartition/sort/pack pipeline."""
+    pdf, built, _ = corpus
+    want: dict[tuple[str, int], list[int]] = {}
+    for doc_id, text in enumerate(pdf["text"]):
+        for i, t in enumerate(py_tokenize(text)):
+            want.setdefault((t, doc_id), []).append(i)
+    got_rows = flat_postings_positional(built.postings).collect()
+    got = {(r["term"], r["doc_id"]): list(r["positions"]) for r in got_rows}
+    assert got == want
+
+
+def test_positions_default_on_and_prunable(spark, corpus, tmp_path):
+    _, built, _ = corpus
+    sizes = built.postings.select(
+        F.sum(F.octet_length("pos_bytes")).alias("pos"),
+        F.sum(F.octet_length("doc_bytes")).alias("doc"),
+    ).collect()[0]
+    assert sizes["pos"] > 0  # positions stored by default
+    # ...and the BM25 fast path never READS them: on a parquet-backed
+    # store the postings FileScan's ReadSchema must include doc_bytes but
+    # prune pos_bytes (the _SCORE_COLS projection sits below groupBy)
+    from rabbit_index_ingest_spark.index.store import IndexStore
+
+    pdf = _corpus_pdf(n_conv=10)
+    store = IndexStore(spark, str(tmp_path / "idx"))
+    store.save(build_index(spark, spark.createDataFrame(pdf)), segment=0)
+    loaded = store.load()
+    s = Searcher(
+        spark, loaded.postings, loaded.dictionary, loaded.n_docs, loaded.avgdl
+    )
+    plan = (
+        s.topk_blockmax("zephyr quantum", 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    postings_scans = [l for l in scans if "doc_bytes" in l]
+    assert postings_scans, plan
+    for line in postings_scans:
+        assert "pos_bytes" not in line, line
+    # the phrase path DOES read the position stream
+    pplan = (
+        s.topk_phrase("zephyr quantum", 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "pos_bytes" in pplan
+
+
+# ---------------- phrase queries ----------------
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        "zephyr quantum",  # common bigram in the synthetic vocab
+        "quantum lattice drift",
+        "the quantum",
+    ],
+)
+def test_phrase_topk_matches_oracle(spark, corpus, query):
+    pdf, built, searcher = corpus
+    want = _py_phrase_topk(pdf, query, 10)
+    got = searcher.topk_phrase(query, 10).collect()
+    _assert_topk_equal(got, want, 10)
+
+
+def test_phrase_repeated_term_overlap(spark):
+    """'a a' in 'a a a' must count 2 sliding (overlapping) occurrences —
+    the Lucene PhraseQuery sliding-window semantic."""
+    rows = [("c1", 0, "a a a b"), ("c2", 0, "a b a b"), ("c3", 0, "b b")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    built = build_index(spark, df)
+    s = Searcher(spark, built.postings, built.dictionary, built.n_docs, built.avgdl)
+    got = {r["doc_id"]: r["score"] for r in s.topk_phrase("a a", 10).collect()}
+    assert set(got) == {0}
+    idf = 2 * lucene_idf(3, 2)
+    dl, ptf, avgdl = 4, 2, 10 / 3
+    want = idf * ptf * (codec.K1 + 1) / (
+        ptf + codec.K1 * (1 - codec.B + codec.B * dl / avgdl)
+    )
+    assert got[0] == pytest.approx(want, rel=1e-12)
+    built.release()
+
+
+def test_phrase_absent_term_is_empty(spark, corpus):
+    _, _, searcher = corpus
+    assert searcher.topk_phrase("zephyr nosuchterm", 10).count() == 0
+    assert searcher.topk_phrase("", 10).count() == 0
+
+
+def test_phrase_respects_tombstones(spark, corpus):
+    pdf, built, searcher = corpus
+    query = "zephyr quantum"
+    want = _py_phrase_topk(pdf, query, 10)
+    assert want, "fixture phrase must match at least one doc"
+    dead = want[0][0]
+    want_after = [w for w in want if w[0] != dead]
+    # small driver-side set path
+    s_set = Searcher(
+        spark, built.postings, built.dictionary, built.n_docs, built.avgdl,
+        deleted={dead},
+    )
+    _assert_topk_equal(s_set.topk_phrase(query, 10).collect(), want_after, 10)
+    # distributed tombstone-table path (the CLI default after upserts)
+    s_df = Searcher(
+        spark, built.postings, built.dictionary, built.n_docs, built.avgdl,
+        deleted_df=spark.createDataFrame([(dead,)], "doc_id long"),
+    )
+    _assert_topk_equal(s_df.topk_phrase(query, 10).collect(), want_after, 10)
+
+
+def test_phrase_requires_positions(spark):
+    rows = [("c1", 0, "alpha beta gamma")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    built = build_index(spark, df, positions=False)
+    s = Searcher(spark, built.postings, built.dictionary, built.n_docs, built.avgdl)
+    with pytest.raises(Exception, match="positions=False|no position stream"):
+        s.topk_phrase("alpha beta", 5).collect()
+    built.release()
+
+
+# ---------------- conjunctive (operator: and) ----------------
+
+
+@pytest.mark.parametrize("query", ["zephyr quantum", "the of lattice"])
+def test_topk_and_matches_oracle(spark, corpus, query):
+    pdf, _, searcher = corpus
+    want = _py_bm25(pdf, query, require_all=True)[:10]
+    got = searcher.topk_and(query, 10).collect()
+    _assert_topk_equal(got, want, 10)
+
+
+def test_topk_and_absent_term_empty(spark, corpus):
+    _, _, searcher = corpus
+    # disjunctive finds docs; conjunctive must find none
+    assert searcher.topk_dataframe("zephyr nosuchterm", 10).count() > 0
+    assert searcher.topk_and("zephyr nosuchterm", 10).count() == 0
+
+
+def test_topk_and_is_subset_of_disjunctive(spark, corpus):
+    pdf, _, searcher = corpus
+    q = "zephyr quantum drift"
+    and_rows = {r["doc_id"]: r["score"] for r in searcher.topk_and(q, 1000).collect()}
+    or_rows = {
+        r["doc_id"]: r["score"]
+        for r in searcher.topk_dataframe(q, 1000).collect()
+    }
+    assert set(and_rows) <= set(or_rows)
+    for d, s in and_rows.items():
+        assert s == pytest.approx(or_rows[d], rel=1e-12)
+
+
+# ---------------- filtered retrieval ----------------
+
+
+def test_topk_filtered_matches_oracle(spark, corpus):
+    pdf, built, searcher = corpus
+    # allow-list: turn 0 of every conversation (a metadata predicate over
+    # the docs table, the ES bool-filter analogue)
+    allowed_keys = set(
+        pdf.index[pdf["turn_idx"] == 0]
+    )  # positional == doc_id (corpus pre-sorted by (conv_id, turn_idx))
+    want = _py_bm25(pdf, "zephyr quantum", allowed=allowed_keys)[:10]
+    allowed_df = built.doc_stats.where(F.col("turn_idx") == 0).select("doc_id")
+    got = searcher.topk_filtered("zephyr quantum", allowed_df, 10).collect()
+    _assert_topk_equal(got, want, 10)
+
+
+def test_topk_filtered_empty_allowlist(spark, corpus):
+    _, built, searcher = corpus
+    allowed = built.doc_stats.where(F.lit(False)).select("doc_id")
+    assert searcher.topk_filtered("zephyr", allowed, 10).count() == 0
+
+
+# ---------------- persistence round-trip ----------------
+
+
+def test_positions_survive_store_roundtrip(spark, tmp_path):
+    from rabbit_index_ingest_spark.index.store import IndexStore
+
+    pdf = _corpus_pdf(n_conv=15)
+    df = spark.createDataFrame(pdf)
+    store = IndexStore(spark, str(tmp_path / "idx"))
+    store.save(build_index(spark, df), segment=0)
+    loaded = store.load()
+    s = Searcher(
+        spark, loaded.postings, loaded.dictionary, loaded.n_docs, loaded.avgdl
+    )
+    want = _py_phrase_topk(pdf, "zephyr quantum", 10)
+    got = s.topk_phrase("zephyr quantum", 10).collect()
+    _assert_topk_equal(got, want, 10)
