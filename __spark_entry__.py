@@ -666,6 +666,64 @@ def _q_t4_fingerprint(spark, sf_dir):
     )
 
 
+# =====================================================================
+# positional / boolean / filtered retrieval (round 3 — the ES query
+# shapes beyond disjunctive BM25: match_phrase, operator:and, bool filter)
+# =====================================================================
+
+P1_PHRASE = "table hash"  # common bigram in the synthetic corpus
+P2_PHRASE = "fast customer join"  # 3-term phrase (deeper intersection)
+F1_SOURCES = ("src3", "src7")  # documents.source allow-list
+C1_QUERY = "table hash value"  # conjunction with real matches at every sf
+
+
+def _q_p1_phrase_topk(spark, sf_dir):
+    """match_phrase top-10 over the positional postings (Searcher.
+    topk_phrase): Lucene sliding-window phrase_tf, pseudo-term BM25
+    (idf summed over query positions). Twin: DuckDB position self-joins."""
+    built, searcher = _searcher(spark, sf_dir)
+    top = searcher.topk_phrase(P1_PHRASE, 10)
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_p2_phrase3_topk(spark, sf_dir):
+    """3-term phrase — exercises the multi-way position intersection."""
+    built, searcher = _searcher(spark, sf_dir)
+    top = searcher.topk_phrase(P2_PHRASE, 10)
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_c1_and_topk(spark, sf_dir):
+    """Conjunctive BM25 (ES match operator:and): only docs containing all
+    three query terms rank; scores are the full BM25 sums."""
+    built, searcher = _searcher(spark, sf_dir)
+    top = searcher.topk_and(C1_QUERY, 10)
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_f1_filtered_topk(spark, sf_dir):
+    """Filtered BM25 (ES bool filter): ranking restricted to docs whose
+    source is in F1_SOURCES; corpus stats / idf stay corpus-wide (the
+    filter constrains candidates, never the score)."""
+    built, searcher = _searcher(spark, sf_dir)
+    allowed_orig = _docs(spark, sf_dir).where(
+        F.col("source").isin(*F1_SOURCES)
+    ).select(F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("conv_id"))
+    allowed = built.doc_stats.join(
+        F.broadcast(allowed_orig), "conv_id", "left_semi"
+    ).select("doc_id")
+    top = searcher.topk_filtered(" ".join(BM25_QUERY_TERMS), allowed, 10)
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "b1_doc_lengths": _q_b1_doc_lengths,
@@ -676,6 +734,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b6_bm25_topk": _q_b6_bm25_topk,
         "b7_transcripts_topk": _q_b7_transcripts_topk,
         "b7_upsert_topk": _q_b7_upsert_topk,
+        "p1_phrase_topk": _q_p1_phrase_topk,
+        "p2_phrase3_topk": _q_p2_phrase3_topk,
+        "c1_and_topk": _q_c1_and_topk,
+        "f1_filtered_topk": _q_f1_filtered_topk,
         "a2_decode_messages": _q_a2_decode_messages,
         "a4_routing": _q_a4_routing,
         "a5_prefix_filter": _q_a5_prefix_filter,
@@ -736,17 +798,96 @@ scored AS (
   JOIN dft USING (term)
   JOIN dl USING (doc_id)
   CROSS JOIN stats
+  __DOC_FILTER__
   GROUP BY tf.doc_id
+  __HAVING__
 )
 """
 
 
-def _bm25_sql(query_text: str, topk: int | None) -> str:
+def _bm25_sql(
+    query_text: str,
+    topk: int | None,
+    require_all: bool = False,
+    doc_filter: str | None = None,
+) -> str:
+    """DuckDB BM25 twin. ``require_all`` adds the conjunctive
+    (operator:and) predicate: a doc must match every DISTINCT query term —
+    dft only holds df>0 terms, so any corpus-absent query term makes the
+    HAVING unreachable (empty result), exactly the engine's contract.
+    ``doc_filter`` is a SQL predicate over ``documents`` restricting the
+    RANKED docs only (stats/idf stay corpus-wide — ES bool filter)."""
     base = _BM25_BASE.replace("__QUERY__", query_text)
+    base = base.replace(
+        "__DOC_FILTER__",
+        f"WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE {doc_filter})"
+        if doc_filter
+        else "",
+    )
+    base = base.replace(
+        "__HAVING__",
+        "HAVING count(*) = (SELECT count(*) FROM qterms)" if require_all else "",
+    )
     tail = "SELECT doc_id, round(score, 4) AS score FROM scored"
     if topk:
         tail += f" ORDER BY score DESC, doc_id LIMIT {topk}"
     return base + tail
+
+
+def _phrase_sql(phrase: str, k: int) -> str:
+    """DuckDB twin of ``Searcher.topk_phrase``: position self-joins count
+    sliding (overlap-inclusive) phrase occurrences; idf is summed per
+    query POSITION (duplicate terms counted once per position); the score
+    is the pseudo-term BM25 Lucene's PhraseQuery uses. Engine-identical
+    by construction — same analyzer regex, float64, round(…, 4)."""
+    from rabbit_index_ingest_spark.analysis import py_tokenize
+
+    qt = py_tokenize(phrase)
+    assert qt and all(t.replace("_", "").isalnum() for t in qt)
+    terms_in = ", ".join(f"'{t}'" for t in sorted(set(qt)))
+    joins = "\n  ".join(
+        f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id"
+        f" AND t{i}.pos = t0.pos + {i} AND t{i}.term = '{qt[i]}'"
+        for i in range(1, len(qt))
+    )
+    idf_sum = " + ".join(f"(SELECT idf FROM idfs WHERE term = '{t}')" for t in qt)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term,
+         generate_subscripts({_TOK}, 1) AS pos
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(dl), 0) FROM dl)
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+  WHERE term IN ({terms_in}) GROUP BY 1
+),
+idfs AS (
+  SELECT term, ln(1 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+  FROM dfs CROSS JOIN stats
+),
+ph AS (
+  SELECT t0.doc_id, count(*)::DOUBLE AS ptf
+  FROM tok t0
+  {joins}
+  WHERE t0.term = '{qt[0]}'
+  GROUP BY 1
+)
+SELECT ph.doc_id,
+       round(({idf_sum}) * ptf * ({K1} + 1.0)
+             / (ptf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)),
+             4) AS score
+FROM ph
+JOIN dl ON dl.doc_id = ph.doc_id
+CROSS JOIN stats
+ORDER BY score DESC, ph.doc_id
+LIMIT {k}
+"""
 
 
 _SHINGLES = (
@@ -913,6 +1054,16 @@ FROM dl
     q = " ".join(BM25_QUERY_TERMS)
     sql["b5_bm25_scores"] = _bm25_sql(q, None)
     sql["b6_bm25_topk"] = _bm25_sql(q, 10)
+    sql["p1_phrase_topk"] = _phrase_sql(P1_PHRASE, 10)
+    sql["p2_phrase3_topk"] = _phrase_sql(P2_PHRASE, 10)
+    sql["c1_and_topk"] = _bm25_sql(C1_QUERY, 10, require_all=True)
+    sql["f1_filtered_topk"] = _bm25_sql(
+        q,
+        10,
+        doc_filter="source IN ({})".format(
+            ", ".join(f"'{s}'" for s in F1_SOURCES)
+        ),
+    )
 
     sql["a2_decode_messages"] = """
 SELECT event_id,

@@ -11,6 +11,11 @@ Phases:
   q_bmw_*      — block-max WAND top-10 latencies (hot term, rare term,
                  3-term mix); p95 over the batch reported as q_p95
   q_dataframe  — reference DataFrame scorer for the mixed query
+  q_phrase_*   — positional phrase top-10 (seeded sentinel trigram; two
+                 hot terms as the decode-everything worst case)
+  q_and_mix    — conjunctive (operator:and) top-10 for the mixed query
+  build_nopos  — the same build+save with positions=False (isolates the
+                 position stream's cost; `build` keeps the default)
   dedup_lsh    — minhash+LSH candidate pairs over the transcript texts
   ann_cosine   — brute-force cosine top-10 over the embeddings table
 
@@ -221,6 +226,34 @@ def run_suite(cpus: int, quick: bool = False) -> dict:
     t0 = time.time()
     searcher.topk_dataframe("karo tenro solda", 10).collect()
     timings["q_dataframe"] = time.time() - t0
+
+    # positional retrieval (round 3): phrase over the seeded sentinel
+    # trigram (real matches) and over two hot terms (worst case — decodes
+    # the hot terms' full position streams), plus conjunctive AND
+    from rabbit_index_ingest_spark.datagen import VOCAB
+
+    for name, q, fn in (
+        ("q_phrase_sentinel", "zephyr quantum lattice", searcher.topk_phrase),
+        ("q_phrase_hot", f"{VOCAB[0]} {VOCAB[1]}", searcher.topk_phrase),
+        ("q_and_mix", f"{VOCAB[0]} {VOCAB[120]} {VOCAB[3500]}", searcher.topk_and),
+    ):
+        t0 = time.time()
+        fn(q, 10).collect()
+        timings[name] = time.time() - t0
+    _log(f"phrase/and done: sentinel={timings['q_phrase_sentinel']:.2f}s "
+         f"hot={timings['q_phrase_hot']:.2f}s and={timings['q_and_mix']:.2f}s")
+
+    # build WITHOUT the position stream — isolates what phrase support
+    # costs the build (extra int on THE shuffle + 4th varbyte stream);
+    # the headline `build` number keeps the feature-complete default
+    nopos_root = tempfile.mkdtemp(prefix="bench_idx_np_", dir=_scratch_base(quick))
+    t0 = time.time()
+    built_np = build_index(spark, transcripts, positions=False)
+    IndexStore(spark, nopos_root).save(built_np, segment=0)
+    timings["build_nopos"] = time.time() - t0
+    built_np.release()
+    shutil.rmtree(nopos_root, ignore_errors=True)
+    _log(f"build_nopos done in {timings['build_nopos']:.1f}s")
 
     # dedup: minhash + LSH candidates over transcript texts
     from rabbit_index_ingest_spark.operators.dedup import (

@@ -39,11 +39,20 @@ def _parser() -> argparse.ArgumentParser:
     u.add_argument("--input", required=True)
     u.add_argument("--index", required=True)
 
-    q = sub.add_parser("query", help="BM25 top-k")
+    q = sub.add_parser("query", help="BM25 / phrase / boolean top-k")
     q.add_argument("--index", required=True)
     q.add_argument("--q", required=True)
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--path", choices=["blockmax", "dataframe"], default="blockmax")
+    q.add_argument("--mode", choices=["or", "and", "phrase"], default="or",
+                   help="or = disjunctive BM25 (default); and = ES "
+                        "operator:and (doc must contain every term); "
+                        "phrase = ES match_phrase over the positional "
+                        "postings")
+    q.add_argument("--filter", default=None,
+                   help="SQL predicate over the docs table (e.g. "
+                        "\"turn_idx = 0\") — ES bool-filter analogue; "
+                        "restricts ranked docs, never the stats")
     q.add_argument("--probe-min-blocks", type=int, default=2048,
                    help="estimated-decode-volume gate for the global "
                         "theta0 seed probe (lower = seed more queries)")
@@ -95,9 +104,20 @@ def main(argv: list[str] | None = None) -> int:
             deleted_df=L.deleted_df,
             probe_min_blocks=args.probe_min_blocks,
         )
-        fn = s.topk_blockmax if args.path == "blockmax" else s.topk_dataframe
+        allowed = None
+        if args.filter:
+            allowed = L.docs.where(args.filter).select("doc_id")
+        if args.mode == "phrase":
+            top = s.topk_phrase(args.q, args.k, allowed=allowed)
+        elif args.mode == "and":
+            top = s.topk_and(args.q, args.k, allowed=allowed)
+        elif allowed is not None:
+            top = s.topk_filtered(args.q, allowed, args.k)
+        else:
+            fn = s.topk_blockmax if args.path == "blockmax" else s.topk_dataframe
+            top = fn(args.q, args.k)
         rows = (
-            fn(args.q, args.k)
+            top
             .join(L.doc_stats.select("doc_id", "conv_id", "turn_idx"), "doc_id")
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .collect()

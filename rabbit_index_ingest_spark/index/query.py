@@ -198,6 +198,11 @@ class Searcher:
         self.deleted_df = deleted_df
         self.range_bits = range_bits
         self.probe_min_blocks = probe_min_blocks
+        # phrase skew guard: broadcast the rarest term's doc set and
+        # semi-filter other terms' positional decodes when its df is below
+        # this (2M doc_ids ≈ 16 MB broadcast — cheap vs shipping a hot
+        # term's full position stream through the shuffle)
+        self._PHRASE_PREFILTER_MAX_DF = 2_000_000
         # term → (df, max_tf, min_dl) cache: repeated query terms skip the
         # dictionary scan (the dictionary is immutable for a Searcher's
         # lifetime; df=0 is cached too so absent terms don't re-scan)
@@ -430,7 +435,9 @@ class Searcher:
             return flat.where(~F.col("doc_id").isin(list(self.deleted)))
         return flat
 
-    def topk_and(self, query_text: str, k: int = 10) -> DataFrame:
+    def topk_and(
+        self, query_text: str, k: int = 10, allowed: DataFrame | None = None
+    ) -> DataFrame:
         """Conjunctive (ES ``match`` with ``operator: and``) BM25 top-k:
         only docs containing EVERY query term rank; scores are the same
         full BM25 sums as the disjunctive paths. A query term absent from
@@ -441,7 +448,8 @@ class Searcher:
         per distinct matched term, so the match-all predicate is a
         ``count(*) = n_terms`` HAVING on the same single aggregation the
         disjunctive scorer runs — no extra shuffle, and Catalyst plans the
-        same term-pruned bucket scan."""
+        same term-pruned bucket scan. ``allowed`` optionally composes the
+        bool-filter (see ``topk_filtered``) with the conjunction."""
         terms = sorted(set(py_tokenize(query_text)))
         if not terms:
             return _empty_topk(self.spark)
@@ -457,6 +465,8 @@ class Searcher:
             )
         )
         flat = self._mask_deleted(flat_postings(blocks))
+        if allowed is not None:
+            flat = flat.join(allowed.select("doc_id"), "doc_id", "left_semi")
         scored = (
             flat.join(idf_df, "term")
             .withColumn(
@@ -521,7 +531,9 @@ class Searcher:
         )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
-    def topk_phrase(self, query_text: str, k: int = 10) -> DataFrame:
+    def topk_phrase(
+        self, query_text: str, k: int = 10, allowed: DataFrame | None = None
+    ) -> DataFrame:
         """Exact phrase top-k (ES ``match_phrase``) over the positional
         postings (``pos_bytes``; requires ``build_index(positions=True)``,
         the default).
@@ -549,6 +561,16 @@ class Searcher:
         term's candidate decode is term+bucket-pruned at the parquet scan.
         No Python touches the intersection math; the only Python is block
         decode.
+
+        Skew guard (the leapfrog-intersection analogue): when the rarest
+        phrase term's df is small (≤ ``_PHRASE_PREFILTER_MAX_DF``), its
+        doc_id set is BROADCAST and every other term's decoded frame is
+        left-semi-filtered by it BEFORE the union/shuffle — a phrase like
+        "the <rare-word>" then ships only the hot term's positions for
+        docs that can possibly match (df_rare rows), not all ~N·f("the")
+        occurrences. Docs removed this way cannot match-all, so results
+        are unchanged; the rare doc set itself comes from the cheap
+        positionless decode (``flat_postings``).
         """
         qterms = py_tokenize(query_text)
         if not qterms:
@@ -572,12 +594,34 @@ class Searcher:
             # (element, index) lambda convention, not to a closure default
             return F.transform("positions", lambda x: x - F.lit(off))
 
+        rarest = min(uniq, key=lambda t: meta[t][0])
+        prefilter = rare_ranges = None
+        if len(uniq) > 1 and meta[rarest][0] <= self._PHRASE_PREFILTER_MAX_DF:
+            rare_blocks = self.postings.where(
+                F.col("bucket").isin(_term_buckets(self.spark, [rarest]))
+            ).where(F.col("term") == rarest)
+            prefilter = F.broadcast(flat_postings(rare_blocks).select("doc_id"))
+            # block-level prune: a hot term's block whose doc RANGE holds
+            # no rare-term doc cannot produce a match — skip it before the
+            # (Python) decode, not just before the shuffle. A rare term
+            # touches ≤ df_rare of the ~N/2^16 ranges, so this cuts the
+            # hot term's decode work by orders of magnitude at scale.
+            rare_ranges = F.broadcast(
+                prefilter.select(
+                    F.shiftright("doc_id", self.range_bits).alias("range_id")
+                ).distinct()
+            )
+
         parts: list[DataFrame] = []
         for t in uniq:
             blocks_t = self.postings.where(
                 F.col("bucket").isin(_term_buckets(self.spark, [t]))
             ).where(F.col("term") == t)
+            if rare_ranges is not None and t != rarest:
+                blocks_t = blocks_t.join(rare_ranges, "range_id", "left_semi")
             flat_t = flat_postings_positional(blocks_t)
+            if prefilter is not None and t != rarest:
+                flat_t = flat_t.join(prefilter, "doc_id", "left_semi")
             shifted = [_shift(i) for i in offsets[t]]
             s = shifted[0]
             for sh in shifted[1:]:
@@ -586,8 +630,13 @@ class Searcher:
         unioned = parts[0]
         for p in parts[1:]:
             unioned = unioned.unionByName(p)
+        unioned = self._mask_deleted(unioned)
+        if allowed is not None:  # bool-filter composition (topk_filtered)
+            unioned = unioned.join(
+                allowed.select("doc_id"), "doc_id", "left_semi"
+            )
         acc = (
-            self._mask_deleted(unioned)
+            unioned
             .groupBy("doc_id")
             .agg(
                 F.first("dl").alias("dl"),

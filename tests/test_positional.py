@@ -167,6 +167,17 @@ def test_positions_default_on_and_prunable(spark, corpus, tmp_path):
     assert postings_scans, plan
     for line in postings_scans:
         assert "pos_bytes" not in line, line
+    # same for the DataFrame reference scorer (flat_postings projection)
+    dplan = (
+        s.topk_dataframe("zephyr quantum", 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    dscans = [l for l in dplan.splitlines() if "ReadSchema" in l and "doc_bytes" in l]
+    assert dscans, dplan
+    for line in dscans:
+        assert "pos_bytes" not in line, line
     # the phrase path DOES read the position stream
     pplan = (
         s.topk_phrase("zephyr quantum", 5)
