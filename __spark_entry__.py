@@ -697,6 +697,22 @@ def _q_p2_phrase3_topk(spark, sf_dir):
     )
 
 
+N1_GAP = 2  # proximity window for the n1 entry
+N1_TERMS = "slow key scan"  # gap=2 matches 9 docs vs 1 exact — non-degenerate
+
+
+def _q_n1_near_topk(spark, sf_dir):
+    """Ordered proximity (span_near in_order) top-10: three terms within
+    gap<=2 of each other in order, scored as a pseudo-term with the exact
+    chain count as tf. Twin: DuckDB inequality self-joins count the same
+    chains."""
+    built, searcher = _searcher(spark, sf_dir)
+    top = searcher.topk_near(N1_TERMS, 10, gap=N1_GAP)
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def _q_c1_and_topk(spark, sf_dir):
     """Conjunctive BM25 (ES match operator:and): only docs containing all
     three query terms rank; scores are the full BM25 sums."""
@@ -736,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b7_upsert_topk": _q_b7_upsert_topk,
         "p1_phrase_topk": _q_p1_phrase_topk,
         "p2_phrase3_topk": _q_p2_phrase3_topk,
+        "n1_near_topk": _q_n1_near_topk,
         "c1_and_topk": _q_c1_and_topk,
         "f1_filtered_topk": _q_f1_filtered_topk,
         "a2_decode_messages": _q_a2_decode_messages,
@@ -834,9 +851,10 @@ def _bm25_sql(
     return base + tail
 
 
-def _phrase_sql(phrase: str, k: int) -> str:
-    """DuckDB twin of ``Searcher.topk_phrase``: position self-joins count
-    sliding (overlap-inclusive) phrase occurrences; idf is summed per
+def _phrase_sql(phrase: str, k: int, gap: int | None = None) -> str:
+    """DuckDB twin of ``Searcher.topk_phrase`` (``gap=None``) or
+    ``Searcher.topk_near`` (``gap=g``): position self-joins count sliding
+    phrase occurrences / ordered proximity chains; idf is summed per
     query POSITION (duplicate terms counted once per position); the score
     is the pseudo-term BM25 Lucene's PhraseQuery uses. Engine-identical
     by construction — same analyzer regex, float64, round(…, 4)."""
@@ -845,9 +863,18 @@ def _phrase_sql(phrase: str, k: int) -> str:
     qt = py_tokenize(phrase)
     assert qt and all(t.replace("_", "").isalnum() for t in qt)
     terms_in = ", ".join(f"'{t}'" for t in sorted(set(qt)))
+    if gap is None:  # exact phrase: every term anchored to t0's position
+        conds = [
+            f"t{i}.pos = t0.pos + {i}" for i in range(1, len(qt))
+        ]
+    else:  # proximity chain: each term within gap of its predecessor
+        conds = [
+            f"t{i}.pos > t{i-1}.pos AND t{i}.pos <= t{i-1}.pos + {gap}"
+            for i in range(1, len(qt))
+        ]
     joins = "\n  ".join(
         f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id"
-        f" AND t{i}.pos = t0.pos + {i} AND t{i}.term = '{qt[i]}'"
+        f" AND {conds[i-1]} AND t{i}.term = '{qt[i]}'"
         for i in range(1, len(qt))
     )
     idf_sum = " + ".join(f"(SELECT idf FROM idfs WHERE term = '{t}')" for t in qt)
@@ -1056,6 +1083,7 @@ FROM dl
     sql["b6_bm25_topk"] = _bm25_sql(q, 10)
     sql["p1_phrase_topk"] = _phrase_sql(P1_PHRASE, 10)
     sql["p2_phrase3_topk"] = _phrase_sql(P2_PHRASE, 10)
+    sql["n1_near_topk"] = _phrase_sql(N1_TERMS, 10, gap=N1_GAP)
     sql["c1_and_topk"] = _bm25_sql(C1_QUERY, 10, require_all=True)
     sql["f1_filtered_topk"] = _bm25_sql(
         q,

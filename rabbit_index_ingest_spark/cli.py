@@ -44,11 +44,15 @@ def _parser() -> argparse.ArgumentParser:
     q.add_argument("--q", required=True)
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--path", choices=["blockmax", "dataframe"], default="blockmax")
-    q.add_argument("--mode", choices=["or", "and", "phrase"], default="or",
+    q.add_argument("--mode", choices=["or", "and", "phrase", "near"], default="or",
                    help="or = disjunctive BM25 (default); and = ES "
                         "operator:and (doc must contain every term); "
                         "phrase = ES match_phrase over the positional "
-                        "postings")
+                        "postings; near = ordered proximity (span_near), "
+                        "see --gap")
+    q.add_argument("--gap", type=int, default=1,
+                   help="near mode: max positions between consecutive "
+                        "terms (1 = adjacent)")
     q.add_argument("--filter", default=None,
                    help="SQL predicate over the docs table (e.g. "
                         "\"turn_idx = 0\") — ES bool-filter analogue; "
@@ -57,8 +61,13 @@ def _parser() -> argparse.ArgumentParser:
                    help="estimated-decode-volume gate for the global "
                         "theta0 seed probe (lower = seed more queries)")
 
-    c = sub.add_parser("compact", help="merge segments, drop tombstones")
+    c = sub.add_parser("compact", help="force-merge to one segment, drop tombstones")
     c.add_argument("--index", required=True)
+
+    m = sub.add_parser("merge", help="tiered merge: fold smallest segments")
+    m.add_argument("--index", required=True)
+    m.add_argument("--max-segments", type=int, default=10,
+                   help="merge the smallest segments down to this count")
 
     g = sub.add_parser("gen-corpus", help="write a synthetic transcript corpus")
     g.add_argument("--out", required=True)
@@ -109,6 +118,8 @@ def main(argv: list[str] | None = None) -> int:
             allowed = L.docs.where(args.filter).select("doc_id")
         if args.mode == "phrase":
             top = s.topk_phrase(args.q, args.k, allowed=allowed)
+        elif args.mode == "near":
+            top = s.topk_near(args.q, args.k, gap=args.gap, allowed=allowed)
         elif args.mode == "and":
             top = s.topk_and(args.q, args.k, allowed=allowed)
         elif allowed is not None:
@@ -138,6 +149,13 @@ def main(argv: list[str] | None = None) -> int:
 
         IndexStore(spark, args.index).compact()
         print(json.dumps({"compacted": True}))
+
+    elif args.cmd == "merge":
+        from .index.store import IndexStore
+
+        store = IndexStore(spark, args.index)
+        new_seg = store.maybe_merge(max_segments=args.max_segments)
+        print(json.dumps({"merged_into": new_seg, "segments": store.segments()}))
 
     elif args.cmd == "gen-corpus":
         from .datagen import transcripts_df

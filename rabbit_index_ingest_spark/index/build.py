@@ -330,16 +330,62 @@ def build_index(
         key_cols=(id_col, order_col),
         id_base=id_base,
     )
-    # ONE tokenize pass over the corpus: the numbered+tokenized frame is
-    # persisted, and docs / doc_stats / occurrences are all projections of
-    # it (before this, docs.dl recomputed the tokenizer — a second full
-    # regexp pass AND a second Arrow numbering round-trip per build).
-    toks = assigned.select(
+    numbered = assigned.select(
         "doc_id",
         F.col(id_col).alias("conv_id"),
         F.col(order_col).alias("turn_idx"),
         F.col(text_col).alias("text"),
-        tokens_expr(text_col).alias("tokens"),
+    )
+    return build_index_prenumbered(
+        spark,
+        numbered,
+        n_docs=n_docs,
+        next_doc_id=id_base + n_docs,
+        block_size=block_size,
+        range_bits=range_bits,
+        persist_postings=persist_postings,
+        positions=positions,
+        _ranged_cache=ranged_cache,
+    )
+
+
+def build_index_prenumbered(
+    spark: SparkSession,
+    numbered: DataFrame,
+    n_docs: int | None = None,
+    next_doc_id: int | None = None,
+    block_size: int = codec.BLOCK_SIZE,
+    range_bits: int = RANGE_BITS,
+    persist_postings: bool = True,
+    positions: bool = True,
+    _ranged_cache: DataFrame | None = None,
+) -> BuiltIndex:
+    """Build the index tables from an ALREADY-NUMBERED corpus —
+    ``numbered`` carries (doc_id, conv_id, turn_idx, text) with unique
+    int64 doc_ids the caller owns. This is the id-preserving core that
+    ``build_index`` wraps (it assigns dense ids first) and that segment
+    merging (IndexStore.merge_segments) calls directly: a merged segment
+    must keep its docs' GLOBAL doc_ids so tombstones, tie-breaks and the
+    other segments' id space stay valid.
+
+    ``n_docs``/``next_doc_id`` are computed with one count / max job when
+    not supplied (callers that already know them — build_index's offset
+    pass, merge's per-segment stats — pass them to skip the jobs)."""
+    if n_docs is None:
+        n_docs = numbered.count()
+    if next_doc_id is None:
+        row = numbered.agg(F.max("doc_id").alias("m")).collect()[0]
+        next_doc_id = (int(row["m"]) + 1) if row["m"] is not None else 0
+    # ONE tokenize pass over the corpus: the numbered+tokenized frame is
+    # persisted, and docs / doc_stats / occurrences are all projections of
+    # it (before this, docs.dl recomputed the tokenizer — a second full
+    # regexp pass AND a second Arrow numbering round-trip per build).
+    toks = numbered.select(
+        "doc_id",
+        "conv_id",
+        "turn_idx",
+        "text",
+        tokens_expr("text").alias("tokens"),
     ).persist()
 
     # docs (the ES _source analogue) carries dl so doc_stats is a pure
@@ -398,15 +444,16 @@ def build_index(
     total_tokens = int(
         dictionary.agg(F.sum("cf").alias("t")).collect()[0]["t"] or 0
     )
-    if ranged_cache is not None:
-        ranged_cache.unpersist()
+    if _ranged_cache is not None:
+        _ranged_cache.unpersist()
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
-    # next_doc_id: this segment's ids are contiguous [id_base,
-    # id_base+n_docs) — carrying the high-water mark in the 1-row stats
-    # table lets IndexStore.load() avoid a max(doc_id) scan of the docs
-    # table (at 10^12 docs that scan is a real job; this is a constant)
+    # next_doc_id: the id-space high-water mark — carrying it in the 1-row
+    # stats table lets IndexStore.load() avoid a max(doc_id) scan of the
+    # docs table (at 10^12 docs that scan is a real job; this is a
+    # constant). For build_index it is id_base + n_docs (contiguous ids);
+    # a merged segment passes the max over the segments it replaces.
     corpus_stats = spark.createDataFrame(
-        [(n_docs, avgdl, total_tokens, id_base + n_docs)],
+        [(n_docs, avgdl, total_tokens, next_doc_id)],
         "n_docs long, avgdl double, total_tokens long, next_doc_id long",
     )
 

@@ -670,6 +670,127 @@ class Searcher:
         )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def topk_near(
+        self,
+        query_text: str,
+        k: int = 10,
+        gap: int = 1,
+        allowed: DataFrame | None = None,
+    ) -> DataFrame:
+        """Ordered proximity top-k (the ES ``span_near(in_order=true)``
+        analogue) over the positional postings: a doc matches when the
+        query's terms occur IN ORDER with each consecutive pair at most
+        ``gap`` positions apart; ``gap=1`` degenerates to the exact
+        phrase. The match count is the number of position chains
+        (p₀ < p₁ ≤ p₀+gap < … ), and scoring treats the span like
+        ``topk_phrase``'s pseudo-term:
+
+            score = (Σ_i idf(term_i)) · tf_norm(chain_count, dl, avgdl)
+
+        Plan: same single-shuffle union/groupBy as the phrase path, but
+        the per-doc combine is a weighted-chain dynamic program in JVM
+        higher-order functions — the collected per-query-position arrays
+        are sorted by query position, the running state is an array of
+        (position, chain-count) structs, and each step is a
+        ``transform``/``filter``/``aggregate`` fold: weight(p) =
+        Σ weights of prior-term positions in [p−gap, p−1]. O(tf·tf′) per
+        doc pair of terms, zero Python. A term repeated in the query is
+        decoded ONCE and exploded per query position.
+        """
+        qterms = py_tokenize(query_text)
+        if not qterms:
+            return _empty_topk(self.spark)
+        uniq = sorted(set(qterms))
+        meta = self._term_meta(uniq)
+        if any(meta[t][0] == 0 for t in uniq):
+            return _empty_topk(self.spark)
+        idf_q = sum(lucene_idf(self.n_docs, meta[t][0]) for t in qterms)
+        offsets: dict[str, list[int]] = {}
+        for i, t in enumerate(qterms):
+            offsets.setdefault(t, []).append(i)
+
+        parts: list[DataFrame] = []
+        for t in uniq:
+            blocks_t = self.postings.where(
+                F.col("bucket").isin(_term_buckets(self.spark, [t]))
+            ).where(F.col("term") == t)
+            flat_t = flat_postings_positional(blocks_t)
+            # one decode per unique term; one output row per query position
+            parts.append(
+                flat_t.select(
+                    "doc_id",
+                    "dl",
+                    F.explode(
+                        F.array(*[F.lit(i) for i in offsets[t]])
+                    ).alias("_n"),
+                    F.col("positions").alias("_s"),
+                )
+            )
+        unioned = parts[0]
+        for p in parts[1:]:
+            unioned = unioned.unionByName(p)
+        unioned = self._mask_deleted(unioned)
+        if allowed is not None:
+            unioned = unioned.join(
+                allowed.select("doc_id"), "doc_id", "left_semi"
+            )
+        n_pos = len(qterms)
+        grouped = (
+            unioned.groupBy("doc_id")
+            .agg(
+                F.first("dl").alias("dl"),
+                F.count("*").alias("_nt"),
+                F.collect_list(F.struct("_n", "_s")).alias("_parts"),
+            )
+            .where(F.col("_nt") == n_pos)
+        )
+        # query-position-ordered arrays (collect_list order is arbitrary)
+        arrs = F.transform(F.array_sort("_parts"), lambda x: x["_s"])
+        init = F.transform(
+            arrs[0], lambda p: F.struct(p.alias("p"), F.lit(1).cast("long").alias("w"))
+        )
+        glit = F.lit(gap).cast("long")
+
+        def step(state, arr):
+            return F.filter(
+                F.transform(
+                    arr,
+                    lambda p: F.struct(
+                        p.alias("p"),
+                        F.aggregate(
+                            F.filter(
+                                state,
+                                lambda s: (s["p"] < p) & (p <= s["p"] + glit),
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda a, s: a + s["w"],
+                        ).alias("w"),
+                    ),
+                ),
+                lambda x: x["w"] > 0,
+            )
+
+        chain = F.aggregate(F.slice(arrs, 2, n_pos - 1), init, step) if n_pos > 1 else init
+        tf = F.aggregate(
+            chain, F.lit(0).cast("long"), lambda a, x: a + x["w"]
+        )
+        scored = grouped.select("doc_id", "dl", tf.alias("_tf")).where(
+            F.col("_tf") > 0
+        ).select(
+            "doc_id",
+            (
+                F.lit(idf_q)
+                * F.col("_tf").cast("double")
+                * (codec.K1 + 1.0)
+                / (
+                    F.col("_tf").cast("double")
+                    + codec.K1
+                    * (1.0 - codec.B + codec.B * F.col("dl") / F.lit(self.avgdl))
+                )
+            ).alias("score"),
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def fetch_topk(
         self, query_text: str, k: int, docs: DataFrame, fast: bool = True
     ) -> DataFrame:

@@ -566,6 +566,99 @@ class IndexStore:
         self.log_manifest(f"seg{seg}/upsert", "done", new_tombstones=n_new)
         return seg
 
+    def segment_sizes(self) -> dict[int, int]:
+        """seg → live-ish doc count (the per-segment corpus_stats rows —
+        includes not-yet-compacted deletes, like Lucene's segment info).
+        One metadata-sized scan; used by the tiered merge policy."""
+        df = self.spark.read.parquet(os.path.join(self.root, "corpus_stats"))
+        return {
+            int(r["seg"]): int(r["n_docs"])
+            for r in df.select("seg", "n_docs").collect()
+        }
+
+    def merge_segments(self, seg_ids: list[int]) -> int:
+        """Tiered-merge step (Lucene/ES merge-policy analogue, SURVEY B3):
+        rebuild the given segments as ONE new segment, purging their
+        tombstoned docs, WITHOUT touching any other segment.
+
+        doc_ids are PRESERVED (``build_index_prenumbered``): tombstones,
+        (score, doc_id) tie-breaks and every other segment's id space stay
+        valid — only the physical layout changes. Like Lucene, a merge
+        purges deletes, so global corpus stats (n_docs/avgdl/df) shed the
+        merged segments' deleted docs; un-merged segments keep theirs
+        until their own merge (ES 7 scoring behavior).
+
+        The new segment is written BEFORE the old directories are removed;
+        on Iceberg the same sequence is one atomic snapshot commit. The
+        merged segments' tombstone files are dropped afterwards — their
+        deletions are now physical. (Tombstones created by LATER upserts
+        may still list doc_ids that this merge purged; masking a
+        nonexistent id is a no-op.) Returns the new segment id.
+        """
+        from .build import build_index_prenumbered
+
+        segs = sorted(set(seg_ids))
+        have = set(self.segments())
+        missing = [s for s in segs if s not in have]
+        if missing:
+            raise ValueError(f"unknown segments: {missing}")
+        if len(segs) < 2:
+            raise ValueError("merge needs >= 2 segments")
+
+        docs_paths = [self._path("docs", s) for s in segs]
+        docs = self.spark.read.parquet(*docs_paths).select(
+            "doc_id", "conv_id", "turn_idx", "text"
+        )
+        deleted = self.tombstones_df()
+        if deleted is not None:
+            docs = docs.join(deleted.select("doc_id"), "doc_id", "left_anti")
+        # sever lineage from the directories this merge deletes
+        docs = docs.localCheckpoint()
+
+        stats = self.spark.read.parquet(
+            *[self._path("corpus_stats", s) for s in segs]
+        ).agg(F.max("next_doc_id").alias("hi")).collect()[0]
+        new_seg = max(have) + 1
+        built = build_index_prenumbered(
+            self.spark, docs, next_doc_id=int(stats["hi"])
+        )
+        if built.n_docs == 0:
+            # every doc in these segments was tombstoned — nothing to
+            # write; just retire the old directories (and their stats)
+            built.release()
+        else:
+            self.save(built, segment=new_seg)
+        import shutil
+
+        for s in segs:
+            for t in (*TABLES, "metrics"):
+                shutil.rmtree(
+                    os.path.join(self.root, t, f"seg={s:05d}"),
+                    ignore_errors=True,
+                )
+            shutil.rmtree(self._tomb_path(s), ignore_errors=True)
+        self.log_manifest(
+            f"merge/seg{new_seg}", "done",
+            merged=segs, n_docs=built.n_docs,
+        )
+        return new_seg if built.n_docs else -1
+
+    def maybe_merge(self, max_segments: int = 10) -> int:
+        """Tiered merge policy: when the segment count exceeds
+        ``max_segments``, merge the SMALLEST segments (by per-segment doc
+        count) down to the limit — the cheapest merge that restores the
+        invariant, mirroring Lucene's tiered policy preference for many
+        small segments over one big rewrite. No-op (returns -1) when
+        within budget. Call after bursts of upserts; ``compact()`` remains
+        the force-merge-to-one endpoint."""
+        segs = self.segments()
+        if len(segs) <= max_segments:
+            return -1
+        sizes = self.segment_sizes()
+        by_size = sorted(segs, key=lambda s: (sizes.get(s, 0), s))
+        n_to_merge = len(segs) - max_segments + 1
+        return self.merge_segments(by_size[:n_to_merge])
+
     def compact(self) -> None:
         """Lucene force-merge analogue: rebuild a single segment from the
         latest version of every doc, drop tombstones and old segments."""

@@ -331,3 +331,66 @@ def test_positions_survive_store_roundtrip(spark, tmp_path):
     want = _py_phrase_topk(pdf, "zephyr quantum", 10)
     got = s.topk_phrase("zephyr quantum", 10).collect()
     _assert_topk_equal(got, want, 10)
+
+
+# ---------------- ordered proximity (span_near) ----------------
+
+
+def _py_near_topk(pdf, query: str, gap: int, k: int):
+    """Oracle: exact ordered-chain count via DP over token positions."""
+    qterms = py_tokenize(query)
+    toks = [py_tokenize(t) for t in pdf["text"]]
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks) / n_docs
+    dfs = {t: sum(1 for d in toks if t in set(d)) for t in set(qterms)}
+    if any(dfs[t] == 0 for t in qterms):
+        return []
+    idf = sum(lucene_idf(n_docs, dfs[t]) for t in qterms)
+    out = []
+    for doc_id, d in enumerate(toks):
+        pos = {t: [i for i, x in enumerate(d) if x == t] for t in set(qterms)}
+        state = {p: 1 for p in pos[qterms[0]]}
+        for t in qterms[1:]:
+            state = {
+                p: sum(w for q, w in state.items() if q < p <= q + gap)
+                for p in pos[t]
+            }
+            state = {p: w for p, w in state.items() if w > 0}
+        tf = sum(state.values())
+        if tf:
+            dl = len(d)
+            score = idf * tf * (codec.K1 + 1) / (
+                tf + codec.K1 * (1 - codec.B + codec.B * dl / avgdl)
+            )
+            out.append((doc_id, score))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize(
+    "query,gap",
+    [("zephyr quantum", 3), ("quantum lattice drift", 2), ("the quantum", 4)],
+)
+def test_topk_near_matches_oracle(spark, corpus, query, gap):
+    pdf, _, searcher = corpus
+    want = _py_near_topk(pdf, query, gap, 10)
+    got = searcher.topk_near(query, 10, gap=gap).collect()
+    _assert_topk_equal(got, want, 10)
+
+
+def test_topk_near_gap1_equals_phrase(spark, corpus):
+    pdf, _, searcher = corpus
+    q = "zephyr quantum"
+    ph = [(r["doc_id"], r["score"]) for r in searcher.topk_phrase(q, 20).collect()]
+    nr = [(r["doc_id"], r["score"]) for r in searcher.topk_near(q, 20, gap=1).collect()]
+    assert ph == nr and ph
+
+
+def test_topk_near_is_ordered(spark):
+    rows = [("c1", 0, "beta alpha"), ("c2", 0, "alpha beta")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    built = build_index(spark, df)
+    s = Searcher(spark, built.postings, built.dictionary, built.n_docs, built.avgdl)
+    got = {r["doc_id"] for r in s.topk_near("alpha beta", 10, gap=5).collect()}
+    assert got == {1}  # in-order only; c1's reversed pair never matches
+    built.release()
