@@ -713,6 +713,44 @@ def _q_n1_near_topk(spark, sf_dir):
     )
 
 
+G1_FACETS = ["lang", "source"]
+
+
+def _q_g1_facets(spark, sf_dir):
+    """ES terms-aggregation analogue: for each facet column, matching-doc
+    counts of the top-10 values over the full BM25 match set (count desc,
+    value asc). Single stack-unpivot aggregation over the matched set."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("conv_id"),
+        "lang",
+        "source",
+    )
+    attrs = built.doc_stats.select("doc_id", "conv_id").join(
+        F.broadcast(attrs), "conv_id"
+    ).select("doc_id", "lang", "source")
+    return searcher.facet_counts(
+        " ".join(BM25_QUERY_TERMS), attrs, G1_FACETS, top_values=10
+    )
+
+
+H1_WIDTH = 4
+
+
+def _q_h1_highlight(spark, sf_dir):
+    """ES highlight analogue: snippet of 2w+1 analyzer tokens around the
+    first query-term hit, matches wrapped in <em></em>; matching docs
+    only. Pure JVM codegen (functions/text.py::highlight_expr)."""
+    from rabbit_index_ingest_spark.functions.text import highlight_expr
+
+    snip = highlight_expr("text", BM25_QUERY_TERMS, width=H1_WIDTH)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", snip.alias("snippet"))
+        .where(F.col("snippet").isNotNull())
+    )
+
+
 def _q_c1_and_topk(spark, sf_dir):
     """Conjunctive BM25 (ES match operator:and): only docs containing all
     three query terms rank; scores are the full BM25 sums."""
@@ -753,6 +791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_phrase_topk": _q_p1_phrase_topk,
         "p2_phrase3_topk": _q_p2_phrase3_topk,
         "n1_near_topk": _q_n1_near_topk,
+        "g1_facets": _q_g1_facets,
+        "h1_highlight": _q_h1_highlight,
         "c1_and_topk": _q_c1_and_topk,
         "f1_filtered_topk": _q_f1_filtered_topk,
         "a2_decode_messages": _q_a2_decode_messages,
@@ -1084,6 +1124,44 @@ FROM dl
     sql["p1_phrase_topk"] = _phrase_sql(P1_PHRASE, 10)
     sql["p2_phrase3_topk"] = _phrase_sql(P2_PHRASE, 10)
     sql["n1_near_topk"] = _phrase_sql(N1_TERMS, 10, gap=N1_GAP)
+
+    qterms_in = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_TERMS)))
+    sql["g1_facets"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+matched AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ({qterms_in})),
+unpiv AS (
+  SELECT 'lang' AS facet, d.lang AS value FROM documents d JOIN matched USING (doc_id)
+  UNION ALL
+  SELECT 'source' AS facet, d.source AS value FROM documents d JOIN matched USING (doc_id)
+),
+counts AS (
+  SELECT facet, value, count(*) AS doc_count FROM unpiv GROUP BY 1, 2
+)
+SELECT facet, value, doc_count FROM counts
+QUALIFY row_number() OVER (
+  PARTITION BY facet ORDER BY doc_count DESC, value ASC
+) <= 10
+"""
+
+    hl_pos = ", ".join(
+        f"nullif(list_position(toks, '{t}'), 0)"
+        for t in sorted(set(BM25_QUERY_TERMS))
+    )
+    hl_wrap = " OR ".join(f"x = '{t}'" for t in sorted(set(BM25_QUERY_TERMS)))
+    w = H1_WIDTH
+    sql["h1_highlight"] = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+j AS (SELECT doc_id, toks, least({hl_pos}) AS j1 FROM t),
+s AS (
+  SELECT doc_id,
+         list_transform(
+           toks[greatest(1, j1 - {w}) : greatest(1, j1 - {w}) + {2 * w}],
+           x -> CASE WHEN {hl_wrap} THEN '<em>' || x || '</em>' ELSE x END
+         ) AS snip
+  FROM j WHERE j1 IS NOT NULL
+)
+SELECT doc_id, array_to_string(snip, ' ') AS snippet FROM s
+"""
     sql["c1_and_topk"] = _bm25_sql(C1_QUERY, 10, require_all=True)
     sql["f1_filtered_topk"] = _bm25_sql(
         q,

@@ -138,3 +138,37 @@ def fingerprint_expr(text: Column | str, k: int = 3) -> Column:
     (winnowing-style representative hash; md5-on-string so the DuckDB twin
     is bit-identical). Null for docs with < k tokens."""
     return F.array_min(F.transform(shingles_expr(text, k), F.md5))
+
+
+def highlight_expr(
+    text: Column | str, terms: list[str], width: int = 5
+) -> Column:
+    """Search-hit snippet (the ES ``highlight`` analogue), pure JVM
+    codegen: the window of ``2·width+1`` analyzer tokens centred on the
+    FIRST occurrence of any query term, matched tokens wrapped in
+    ``<em>…</em>``, joined by single spaces. NULL when no term matches.
+
+    Deterministic, analyzer-space semantics (lowercased tokens, original
+    punctuation dropped) so the DuckDB twin is value-identical; ES's own
+    highlighter works on the raw text, which no SQL twin could reproduce
+    byte-for-byte.
+    """
+    toks = tokens_expr(text)
+    lit_terms = F.array(*[F.lit(t) for t in terms])
+    # two-arg transform lambda: (element, 0-based index) BY CONVENTION —
+    # here the index is exactly what we want (first match position)
+    idxs = F.transform(
+        toks,
+        lambda x, i: F.when(F.array_contains(lit_terms, x), i),
+    )
+    j = F.array_min(idxs)  # nulls skipped; NULL iff no match
+    start0 = F.greatest(F.lit(0), j - width)
+    snip = F.slice(toks, start0 + 1, 2 * width + 1)  # slice is 1-based
+    wrapped = F.transform(
+        snip,
+        lambda x: F.when(
+            F.array_contains(lit_terms, x),
+            F.concat(F.lit("<em>"), x, F.lit("</em>")),
+        ).otherwise(x),
+    )
+    return F.when(j.isNotNull(), F.array_join(wrapped, " "))

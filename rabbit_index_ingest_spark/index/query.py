@@ -670,6 +670,54 @@ class Searcher:
         )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def facet_counts(
+        self,
+        query_text: str,
+        attrs: DataFrame,
+        facet_cols: list[str],
+        top_values: int = 10,
+    ) -> DataFrame:
+        """Terms-aggregation facets over the query's FULL match set (the
+        ES ``aggs: {terms: {field: ...}}`` analogue): for each facet
+        column, the top ``top_values`` values by matching-doc count
+        (ties: value ascending). ``attrs`` carries doc_id + the facet
+        columns (e.g. ``store.load().docs``).
+
+        Shape at scale: matched doc_ids (distinct over the term-pruned
+        decode) join ``attrs`` once; all facet columns then unpivot
+        through ONE ``stack`` projection into a single low-cardinality
+        groupBy — one scan, one aggregation shuffle, regardless of how
+        many facets are requested; the final top-N per facet is a window
+        over (facets × values) rows, which is tiny by construction."""
+        from pyspark.sql import Window
+
+        out_schema = "facet string, value string, doc_count long"
+        plan = self._plan(query_text)
+        if plan is None:
+            return self.spark.createDataFrame([], out_schema)
+        _, blocks, _ = plan
+        matched = self._mask_deleted(
+            flat_postings(blocks).select("doc_id")
+        ).distinct()
+        joined = matched.join(attrs, "doc_id", "inner")
+        stack_args = ", ".join(
+            f"'{c}', cast(`{c}` as string)" for c in facet_cols
+        )
+        unpivoted = joined.selectExpr(
+            f"stack({len(facet_cols)}, {stack_args}) as (facet, value)"
+        )
+        counts = unpivoted.groupBy("facet", "value").agg(
+            F.count("*").alias("doc_count")
+        )
+        w = Window.partitionBy("facet").orderBy(
+            F.desc("doc_count"), F.asc("value")
+        )
+        return (
+            counts.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= top_values)
+            .drop("_r")
+        )
+
     def topk_near(
         self,
         query_text: str,

@@ -1,0 +1,87 @@
+"""Search-layer features beyond top-k: terms-aggregation facets and
+hit highlighting (the ES aggs / highlight analogues)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from rabbit_index_ingest_spark.analysis import py_tokenize
+from rabbit_index_ingest_spark.datagen import transcripts_pandas
+from rabbit_index_ingest_spark.functions.text import highlight_expr
+from rabbit_index_ingest_spark.index.build import build_index
+from rabbit_index_ingest_spark.index.query import Searcher
+
+
+def test_facet_counts_matches_pandas_oracle(spark):
+    pdf = transcripts_pandas(n_conv=30)[["conv_id", "turn_idx", "text"]]
+    pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    df = spark.createDataFrame(pdf)
+    built = build_index(spark, df)
+    s = Searcher(spark, built.postings, built.dictionary, built.n_docs, built.avgdl)
+
+    query = "zephyr quantum"
+    qt = set(py_tokenize(query))
+    matched = [
+        i for i, t in enumerate(pdf["text"]) if qt & set(py_tokenize(t))
+    ]
+    want = Counter(str(pdf["turn_idx"][i]) for i in matched)
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+
+    attrs = built.doc_stats.select("doc_id", "turn_idx")
+    got_rows = s.facet_counts(query, attrs, ["turn_idx"], top_values=5).collect()
+    got = [(r["value"], r["doc_count"]) for r in got_rows]
+    assert all(r["facet"] == "turn_idx" for r in got_rows)
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == top
+    built.release()
+
+
+def test_facet_counts_empty_query(spark):
+    pdf = transcripts_pandas(n_conv=5)[["conv_id", "turn_idx", "text"]]
+    df = spark.createDataFrame(pdf)
+    built = build_index(spark, df)
+    s = Searcher(spark, built.postings, built.dictionary, built.n_docs, built.avgdl)
+    attrs = built.doc_stats.select("doc_id", "turn_idx")
+    assert s.facet_counts("", attrs, ["turn_idx"]).count() == 0
+    assert s.facet_counts("qzx_absent_term", attrs, ["turn_idx"]).count() == 0
+    built.release()
+
+
+@pytest.mark.parametrize(
+    "text,terms,width,want",
+    [
+        # centred window, match wrapped
+        ("a b c hit d e f", ["hit"], 2, "b c <em>hit</em> d e"),
+        # clamp at document start: the 2w+1 window slides right
+        ("hit a b c d e f g", ["hit"], 3, "<em>hit</em> a b c d e f"),
+        # clamp at document end
+        ("a b c d e hit", ["hit"], 2, "d e <em>hit</em>"),
+        # first of several matches anchors; all in-window matches wrapped
+        ("x hit y hit z", ["hit"], 1, "x <em>hit</em> y"),
+        # multiple query terms: earliest position wins, both wrapped
+        ("a foo b bar c", ["bar", "foo"], 2, "a <em>foo</em> b <em>bar</em> c"),
+        # analyzer-space: punctuation dropped, case folded
+        ("The HIT, and more!", ["hit"], 1, "the <em>hit</em> and"),
+        # no match -> NULL
+        ("nothing here", ["hit"], 2, None),
+    ],
+)
+def test_highlight_golden(spark, text, terms, width, want):
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(highlight_expr("text", terms, width).alias("s")).collect()[0]["s"]
+    assert got == want
+
+
+def test_highlight_is_codegen_only(spark):
+    """No Python stage: the expression must survive explain without
+    BatchEvalPython/ArrowEvalPython (stays whole-stage-codegen-able)."""
+    df = spark.range(3).select(F.concat(F.lit("x hit y "), "id").alias("text"))
+    plan = (
+        df.select(highlight_expr("text", ["hit"], 2).alias("s"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
