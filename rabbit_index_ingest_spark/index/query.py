@@ -594,23 +594,7 @@ class Searcher:
             # (element, index) lambda convention, not to a closure default
             return F.transform("positions", lambda x: x - F.lit(off))
 
-        rarest = min(uniq, key=lambda t: meta[t][0])
-        prefilter = rare_ranges = None
-        if len(uniq) > 1 and meta[rarest][0] <= self._PHRASE_PREFILTER_MAX_DF:
-            rare_blocks = self.postings.where(
-                F.col("bucket").isin(_term_buckets(self.spark, [rarest]))
-            ).where(F.col("term") == rarest)
-            prefilter = F.broadcast(flat_postings(rare_blocks).select("doc_id"))
-            # block-level prune: a hot term's block whose doc RANGE holds
-            # no rare-term doc cannot produce a match — skip it before the
-            # (Python) decode, not just before the shuffle. A rare term
-            # touches ≤ df_rare of the ~N/2^16 ranges, so this cuts the
-            # hot term's decode work by orders of magnitude at scale.
-            rare_ranges = F.broadcast(
-                prefilter.select(
-                    F.shiftright("doc_id", self.range_bits).alias("range_id")
-                ).distinct()
-            )
+        rarest, prefilter, rare_ranges = self._rare_prefilter(uniq, meta)
 
         parts: list[DataFrame] = []
         for t in uniq:
@@ -669,6 +653,32 @@ class Searcher:
             ).alias("score"),
         )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _rare_prefilter(
+        self, uniq: list[str], meta: dict[str, tuple[int, int, int]]
+    ) -> tuple[str, DataFrame | None, DataFrame | None]:
+        """Skew guard shared by the positional intersections (phrase /
+        near): when the rarest term's df ≤ ``_PHRASE_PREFILTER_MAX_DF``,
+        return (rarest, doc-id broadcast frame, distinct-range broadcast
+        frame). Hot terms' posting BLOCKS are then semi-joined away by doc
+        range BEFORE the Python decode (a rare term touches ≤ df_rare of
+        the ~N/2^16 ranges), and surviving decoded rows semi-filter before
+        the shuffle — conjunctive semantics make both removals lossless.
+        The rare doc set itself comes from the cheap positionless decode
+        (``flat_postings``)."""
+        rarest = min(uniq, key=lambda t: meta[t][0])
+        if len(uniq) < 2 or meta[rarest][0] > self._PHRASE_PREFILTER_MAX_DF:
+            return rarest, None, None
+        rare_blocks = self.postings.where(
+            F.col("bucket").isin(_term_buckets(self.spark, [rarest]))
+        ).where(F.col("term") == rarest)
+        prefilter = F.broadcast(flat_postings(rare_blocks).select("doc_id"))
+        rare_ranges = F.broadcast(
+            prefilter.select(
+                F.shiftright("doc_id", self.range_bits).alias("range_id")
+            ).distinct()
+        )
+        return rarest, prefilter, rare_ranges
 
     def facet_counts(
         self,
@@ -757,12 +767,17 @@ class Searcher:
         for i, t in enumerate(qterms):
             offsets.setdefault(t, []).append(i)
 
+        rarest, prefilter, rare_ranges = self._rare_prefilter(uniq, meta)
         parts: list[DataFrame] = []
         for t in uniq:
             blocks_t = self.postings.where(
                 F.col("bucket").isin(_term_buckets(self.spark, [t]))
             ).where(F.col("term") == t)
+            if rare_ranges is not None and t != rarest:
+                blocks_t = blocks_t.join(rare_ranges, "range_id", "left_semi")
             flat_t = flat_postings_positional(blocks_t)
+            if prefilter is not None and t != rarest:
+                flat_t = flat_t.join(prefilter, "doc_id", "left_semi")
             # one decode per unique term; one output row per query position
             parts.append(
                 flat_t.select(
