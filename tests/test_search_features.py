@@ -85,3 +85,37 @@ def test_highlight_is_codegen_only(spark):
         .toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_facet_counts_masks_tombstones(spark):
+    pdf = transcripts_pandas(n_conv=12)[["conv_id", "turn_idx", "text"]]
+    pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    built = build_index(spark, spark.createDataFrame(pdf))
+    attrs = built.doc_stats.select("doc_id", "turn_idx")
+    query = "zephyr quantum"
+    s_all = Searcher(spark, built.postings, built.dictionary, built.n_docs, built.avgdl)
+    base = {
+        (r["value"]): r["doc_count"]
+        for r in s_all.facet_counts(query, attrs, ["turn_idx"], 100).collect()
+    }
+    # tombstone one matching doc (the first turn-0 match) via the
+    # distributed table path and expect exactly that bucket to shrink
+    qt = set(py_tokenize(query))
+    victim = next(
+        i for i, t in enumerate(pdf["text"])
+        if qt & set(py_tokenize(t)) and pdf["turn_idx"][i] == 0
+    )
+    s_del = Searcher(
+        spark, built.postings, built.dictionary, built.n_docs, built.avgdl,
+        deleted_df=spark.createDataFrame([(victim,)], "doc_id long"),
+    )
+    got = {
+        (r["value"]): r["doc_count"]
+        for r in s_del.facet_counts(query, attrs, ["turn_idx"], 100).collect()
+    }
+    want = dict(base)
+    want["0"] -= 1
+    if want["0"] == 0:
+        del want["0"]
+    assert got == want
+    built.release()
