@@ -394,3 +394,24 @@ def test_topk_near_is_ordered(spark):
     got = {r["doc_id"] for r in s.topk_near("alpha beta", 10, gap=5).collect()}
     assert got == {1}  # in-order only; c1's reversed pair never matches
     built.release()
+
+
+def test_topk_near_duplicate_query_terms(spark, corpus):
+    """Repeated term in the proximity query: chains are ordered pairs of
+    DISTINCT positions of the same term within the gap."""
+    pdf, _, searcher = corpus
+    q, gap = "karo karo", 6
+    want = _py_near_topk(pdf, q, gap, 10)
+    got = searcher.topk_near(q, 10, gap=gap).collect()
+    assert want, "fixture needs at least one doc with two close karos"
+    _assert_topk_equal(got, want, 10)
+
+
+def test_topk_near_requires_positions(spark):
+    rows = [("c1", 0, "alpha beta gamma")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    built = build_index(spark, df, positions=False)
+    s = Searcher(spark, built.postings, built.dictionary, built.n_docs, built.avgdl)
+    with pytest.raises(Exception, match="positions=False|no position stream"):
+        s.topk_near("alpha beta", 5, gap=2).collect()
+    built.release()
