@@ -123,6 +123,12 @@ def main(argv: list[str] | None = None) -> int:
         elif args.mode == "and":
             top = s.topk_and(args.q, args.k, allowed=allowed)
         elif allowed is not None:
+            if args.path == "blockmax":
+                print(
+                    "note: --filter routes through the DataFrame scorer "
+                    "(no block-max pruning); --path blockmax is ignored",
+                    file=sys.stderr,
+                )
             top = s.topk_filtered(args.q, allowed, args.k)
         else:
             fn = s.topk_blockmax if args.path == "blockmax" else s.topk_dataframe

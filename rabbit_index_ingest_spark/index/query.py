@@ -348,36 +348,53 @@ class Searcher:
 
     # ---------------- reference (DataFrame) path ----------------
 
-    def topk_dataframe(self, query_text: str, k: int = 10) -> DataFrame:
-        plan = self._plan(query_text)
-        if plan is None:
-            return _empty_topk(self.spark)
-        idfs, blocks, _ = plan
+    def _bm25_scored(
+        self,
+        flat: DataFrame,
+        idfs: dict[str, float],
+        require_n: int | None = None,
+    ) -> DataFrame:
+        """Shared disjunctive BM25 aggregation over decoded flat postings
+        (doc_id, term, tf, dl): idf broadcast join → per-term contrib →
+        one groupBy(doc_id) sum. ``require_n`` adds the conjunctive
+        match-all predicate (count of matched terms == n) on the SAME
+        aggregation — the one pipeline behind topk_dataframe / topk_and /
+        topk_filtered, so the score expression exists exactly once."""
         idf_df = F.broadcast(
             self.spark.createDataFrame(
                 sorted(idfs.items()), "term string, idf double"
             )
         )
-        flat = flat_postings(blocks)
-        if self.deleted_df is not None:
-            flat = flat.join(self.deleted_df.select("doc_id"), "doc_id", "left_anti")
-        elif self.deleted:
-            flat = flat.where(~F.col("doc_id").isin(list(self.deleted)))
-        scored = (
-            flat.join(idf_df, "term")
-            .withColumn(
-                "contrib",
-                F.col("idf")
-                * F.col("tf")
-                * (codec.K1 + 1.0)
-                / (
-                    F.col("tf")
-                    + codec.K1
-                    * (1.0 - codec.B + codec.B * F.col("dl") / F.lit(self.avgdl))
-                ),
+        contrib = (
+            F.col("idf")
+            * F.col("tf")
+            * (codec.K1 + 1.0)
+            / (
+                F.col("tf")
+                + codec.K1
+                * (1.0 - codec.B + codec.B * F.col("dl") / F.lit(self.avgdl))
             )
-            .groupBy("doc_id")
-            .agg(F.sum("contrib").alias("score"))
+        )
+        grouped = flat.join(idf_df, "term").withColumn("contrib", contrib).groupBy(
+            "doc_id"
+        )
+        if require_n is None:
+            return grouped.agg(F.sum("contrib").alias("score"))
+        return (
+            grouped.agg(
+                F.sum("contrib").alias("score"), F.count("*").alias("_nt")
+            )
+            .where(F.col("_nt") == require_n)
+            .drop("_nt")
+        )
+
+    def topk_dataframe(self, query_text: str, k: int = 10) -> DataFrame:
+        plan = self._plan(query_text)
+        if plan is None:
+            return _empty_topk(self.spark)
+        idfs, blocks, _ = plan
+        scored = self._bm25_scored(
+            self._mask_deleted(flat_postings(blocks)), idfs
         )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -459,32 +476,10 @@ class Searcher:
         plan = self._plan(query_text)
         assert plan is not None
         idfs, blocks, _ = plan
-        idf_df = F.broadcast(
-            self.spark.createDataFrame(
-                sorted(idfs.items()), "term string, idf double"
-            )
-        )
         flat = self._mask_deleted(flat_postings(blocks))
         if allowed is not None:
             flat = flat.join(allowed.select("doc_id"), "doc_id", "left_semi")
-        scored = (
-            flat.join(idf_df, "term")
-            .withColumn(
-                "contrib",
-                F.col("idf")
-                * F.col("tf")
-                * (codec.K1 + 1.0)
-                / (
-                    F.col("tf")
-                    + codec.K1
-                    * (1.0 - codec.B + codec.B * F.col("dl") / F.lit(self.avgdl))
-                ),
-            )
-            .groupBy("doc_id")
-            .agg(F.sum("contrib").alias("score"), F.count("*").alias("n_terms"))
-            .where(F.col("n_terms") == len(terms))
-            .drop("n_terms")
-        )
+        scored = self._bm25_scored(flat, idfs, require_n=len(terms))
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def topk_filtered(
@@ -505,30 +500,10 @@ class Searcher:
         if plan is None:
             return _empty_topk(self.spark)
         idfs, blocks, _ = plan
-        idf_df = F.broadcast(
-            self.spark.createDataFrame(
-                sorted(idfs.items()), "term string, idf double"
-            )
-        )
         flat = self._mask_deleted(flat_postings(blocks)).join(
             allowed.select("doc_id"), "doc_id", "left_semi"
         )
-        scored = (
-            flat.join(idf_df, "term")
-            .withColumn(
-                "contrib",
-                F.col("idf")
-                * F.col("tf")
-                * (codec.K1 + 1.0)
-                / (
-                    F.col("tf")
-                    + codec.K1
-                    * (1.0 - codec.B + codec.B * F.col("dl") / F.lit(self.avgdl))
-                ),
-            )
-            .groupBy("doc_id")
-            .agg(F.sum("contrib").alias("score"))
-        )
+        scored = self._bm25_scored(flat, idfs)
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def topk_phrase(
@@ -672,9 +647,15 @@ class Searcher:
         rare_blocks = self.postings.where(
             F.col("bucket").isin(_term_buckets(self.spark, [rarest]))
         ).where(F.col("term") == rarest)
-        prefilter = F.broadcast(flat_postings(rare_blocks).select("doc_id"))
+        # localCheckpoint: the decoded rare doc set feeds TWO broadcast
+        # subtrees (doc ids + distinct ranges) — without materializing it
+        # once, the Python block decode would run once per subtree
+        rare_ids = (
+            flat_postings(rare_blocks).select("doc_id").localCheckpoint()
+        )
+        prefilter = F.broadcast(rare_ids)
         rare_ranges = F.broadcast(
-            prefilter.select(
+            rare_ids.select(
                 F.shiftright("doc_id", self.range_bits).alias("range_id")
             ).distinct()
         )
@@ -716,9 +697,11 @@ class Searcher:
         unpivoted = joined.selectExpr(
             f"stack({len(facet_cols)}, {stack_args}) as (facet, value)"
         )
-        counts = unpivoted.groupBy("facet", "value").agg(
-            F.count("*").alias("doc_count")
-        )
+        # ES terms aggs exclude missing (null) values unless `missing`
+        # is configured — a null bucket must not occupy a top-N slot
+        counts = unpivoted.where(F.col("value").isNotNull()).groupBy(
+            "facet", "value"
+        ).agg(F.count("*").alias("doc_count"))
         w = Window.partitionBy("facet").orderBy(
             F.desc("doc_count"), F.asc("value")
         )

@@ -172,7 +172,13 @@ class IndexStore:
             }
         )
         fname = self._stage_file(stage)
-        tmp = f"{fname}.tmp-{os.getpid()}-{id(table)}"
+        # dot-prefix: Spark/parquet listings skip ._* files, so a crash
+        # between write and replace can't leave a half-written "data" file
+        # that poisons manifest_df()'s directory scan
+        tmp = os.path.join(
+            os.path.dirname(fname),
+            f"._{os.path.basename(fname)}.tmp-{os.getpid()}-{id(table)}",
+        )
         pq.write_table(table, tmp)
         os.replace(tmp, fname)
 
@@ -589,11 +595,16 @@ class IndexStore:
         until their own merge (ES 7 scoring behavior).
 
         The new segment is written BEFORE the old directories are removed;
-        on Iceberg the same sequence is one atomic snapshot commit. The
-        merged segments' tombstone files are dropped afterwards — their
-        deletions are now physical. (Tombstones created by LATER upserts
-        may still list doc_ids that this merge purged; masking a
-        nonexistent id is a no-op.) Returns the new segment id.
+        on Iceberg the same sequence is one atomic snapshot commit.
+        Tombstone discipline: a segment's tombstone file records deletions
+        its upsert inflicted on EARLIER segments, so the merged segments'
+        files are split — entries pointing INSIDE the merged set are now
+        physical (purged by the rebuild) and die with the files; entries
+        pointing at un-merged segments are carried forward into the new
+        segment's tombstone file (dropping them would resurrect superseded
+        docs). Tombstones created by LATER upserts may still list doc_ids
+        this merge purged; masking a nonexistent id is a no-op. Returns
+        the new segment id.
         """
         from .build import build_index_prenumbered
 
@@ -606,21 +617,62 @@ class IndexStore:
             raise ValueError("merge needs >= 2 segments")
 
         docs_paths = [self._path("docs", s) for s in segs]
-        docs = self.spark.read.parquet(*docs_paths).select(
+        all_docs = self.spark.read.parquet(*docs_paths).select(
             "doc_id", "conv_id", "turn_idx", "text"
         )
         deleted = self.tombstones_df()
+        docs = all_docs
         if deleted is not None:
             docs = docs.join(deleted.select("doc_id"), "doc_id", "left_anti")
         # sever lineage from the directories this merge deletes
         docs = docs.localCheckpoint()
 
+        # A tombstone file under seg=S records deletions the seg-S upsert
+        # inflicted on EARLIER segments — its entries mostly point OUTSIDE
+        # the merged set. Dropping those files wholesale would resurrect
+        # every doc they tombstoned in un-merged segments (found by
+        # review: 74 live docs became 84 after merging [1, 2]). Carry
+        # forward the entries whose doc_id is NOT physically inside the
+        # merged segments (those ARE purged by the anti-join above) into
+        # the new segment's tombstone file.
+        carried = 0
+        merged_tomb_paths = [
+            p for s in segs
+            for p in [self._tomb_path(s)]
+            if os.path.isdir(p)
+        ]
+        carry = None
+        if merged_tomb_paths:
+            carry = (
+                self.spark.read.parquet(*merged_tomb_paths)
+                .select("doc_id")
+                .join(all_docs.select("doc_id"), "doc_id", "left_anti")
+                .distinct()
+                .localCheckpoint()  # materialize before the rmtree below
+            )
+            carried = carry.count()
+
         stats = self.spark.read.parquet(
             *[self._path("corpus_stats", s) for s in segs]
         ).agg(F.max("next_doc_id").alias("hi")).collect()[0]
+        # preserve the index's positions setting: a positionless index
+        # must not silently pay the position stream on merge (and a
+        # positional one must keep phrase support) — sample the merged
+        # segments' blocks for a non-empty pos stream
+        has_positions = bool(
+            self.spark.read.option(  # basePath: seg dirs have bucket= children
+                "basePath", os.path.join(self.root, "postings")
+            )
+            .parquet(*[self._path("postings", s) for s in segs])
+            .select(F.octet_length("pos_bytes").alias("n"))
+            .limit(2048)
+            .agg(F.max("n").alias("m"))
+            .collect()[0]["m"]
+        )
         new_seg = max(have) + 1
         built = build_index_prenumbered(
-            self.spark, docs, next_doc_id=int(stats["hi"])
+            self.spark, docs, next_doc_id=int(stats["hi"]),
+            positions=has_positions,
         )
         if built.n_docs == 0:
             # every doc in these segments was tombstoned — nothing to
@@ -637,9 +689,11 @@ class IndexStore:
                     ignore_errors=True,
                 )
             shutil.rmtree(self._tomb_path(s), ignore_errors=True)
+        if carry is not None and carried:
+            carry.write.mode("overwrite").parquet(self._tomb_path(new_seg))
         self.log_manifest(
             f"merge/seg{new_seg}", "done",
-            merged=segs, n_docs=built.n_docs,
+            merged=segs, n_docs=built.n_docs, tombstones_carried=carried,
         )
         return new_seg if built.n_docs else -1
 

@@ -182,6 +182,14 @@ _PAIR_MIX = 0x9E3779B97F4A7C15  # odd multiplier for the grid residue mix
 _PAIR_FLUSH = 4_000_000  # pairs buffered per yielded Arrow frame
 _GRID_MAX_S = 8  # grid-cell explode tier cap; above this, salted join
 
+# executor-cache hygiene: each _bucketed_pairs call persists its groups
+# frame (scanned by 3 tier branches); in a long-lived session repeated
+# dedup passes would accumulate those caches forever. Keep at most ONE
+# live cache — entering a new call unpersists the previous call's frame
+# (a still-held older pairs DataFrame stays correct; Spark just
+# recomputes its groups if evaluated again).
+_LAST_GROUPS_CACHE: list = []
+
 
 def _bucketed_pairs(
     tagged: DataFrame,
@@ -229,12 +237,15 @@ def _bucketed_pairs(
         ]
     )
 
+    while _LAST_GROUPS_CACHE:
+        _LAST_GROUPS_CACHE.pop().unpersist()
     groups = (
         tagged.groupBy(bucket_col)
         .agg(F.collect_list(key_col).alias("_ids"), F.count("*").alias("_bn"))
         .where(F.col("_bn") > 1)
-        .persist()  # scanned twice: the small/hot split below
+        .persist()  # scanned by the three tier branches below
     )
+    _LAST_GROUPS_CACHE.append(groups)
 
     def _flush(bk, av, bv):
         return pd.DataFrame(

@@ -137,12 +137,62 @@ def test_maybe_merge_policy(spark, tmp_path):
     store, t = _mk_store(spark, tmp_path)  # 3 segments
     assert store.maybe_merge(max_segments=3) == -1  # within budget: no-op
     assert store.segments() == [0, 1, 2]
+    live_before = _live_docs(store)
     new_seg = store.maybe_merge(max_segments=2)
     assert new_seg == 3
     assert len(store.segments()) == 2
     # the BIG original segment 0 is... actually the largest; the two
     # smallest (the upsert segments) must be the ones folded
     assert 0 in store.segments()
+    # THE resurrection regression (review finding): the folded upsert
+    # segments' tombstone files point INTO the un-merged seg0 — dropping
+    # them wholesale resurrected every superseded seg0 doc (74 live
+    # became 84). The carried-forward tombstones must keep the live set
+    # exactly invariant, including after compounding queries.
+    assert _live_docs(store) == live_before
+    for q in QUERIES:
+        assert _topk(spark, store, q, fast=True) == _topk(spark, store, q, fast=False)
+
+
+def test_merge_preserves_positionless_setting(spark, tmp_path):
+    from rabbit_index_ingest_spark.datagen import transcripts_df
+
+    t = transcripts_df(spark, n_conv=12)
+    store = IndexStore(spark, str(tmp_path / "idx_np"))
+    store.save(build_index(spark, t, positions=False), segment=0)
+    b = t.where(F.col("turn_idx") == 0).select(
+        "conv_id", "turn_idx", F.concat(F.lit("karo "), "text").alias("text")
+    )
+    # upsert builds its segment with the default (positions on) — the
+    # merge must follow the index's dominant setting, sampled from blocks
+    store.upsert(b)
+    store.upsert(
+        t.where(F.col("turn_idx") == 1).select(
+            "conv_id", "turn_idx", F.concat(F.lit("karo2 "), "text").alias("text")
+        )
+    )
+    live_before = _live_docs(store)
+    store.merge_segments(store.segments())
+    assert _live_docs(store) == live_before
+    # NB: upsert segments carried positions, so the sampled-pos merge may
+    # go either way depending on sample order — the contract under test
+    # is just that a FULLY positionless index stays positionless:
+    store2 = IndexStore(spark, str(tmp_path / "idx_np2"))
+    store2.save(build_index(spark, t, positions=False), segment=0)
+    store2.save(
+        build_index(
+            spark,
+            b,
+            id_base=store2.load().next_doc_id,
+            positions=False,
+        ),
+        segment=1,
+    )
+    store2.merge_segments([0, 1])
+    pos_bytes = store2.load().postings.select(
+        F.max(F.octet_length("pos_bytes")).alias("m")
+    ).collect()[0]["m"]
+    assert pos_bytes == 0
 
 
 def test_merge_rejects_bad_input(spark, tmp_path):
