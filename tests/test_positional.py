@@ -196,7 +196,7 @@ def test_positions_default_on_and_prunable(spark, corpus, tmp_path):
     [
         "zephyr quantum",  # common bigram in the synthetic vocab
         "quantum lattice drift",
-        "the quantum",
+        "karo quantum",
     ],
 )
 def test_phrase_topk_matches_oracle(spark, corpus, query):
@@ -369,7 +369,7 @@ def _py_near_topk(pdf, query: str, gap: int, k: int):
 
 @pytest.mark.parametrize(
     "query,gap",
-    [("zephyr quantum", 3), ("quantum lattice drift", 2), ("the quantum", 4)],
+    [("zephyr quantum", 3), ("quantum lattice drift", 2), ("karo quantum", 4)],
 )
 def test_topk_near_matches_oracle(spark, corpus, query, gap):
     pdf, _, searcher = corpus
@@ -415,3 +415,26 @@ def test_topk_near_requires_positions(spark):
     with pytest.raises(Exception, match="positions=False|no position stream"):
         s.topk_near("alpha beta", 5, gap=2).collect()
     built.release()
+
+
+def test_phrase_prefilter_plan_shape(spark, corpus):
+    """The rare-term skew guard must appear in the plan as TWO left-semi
+    prunes (block-level on range_id before the decode, row-level on
+    doc_id after) whenever a multi-term phrase has a sub-cap rarest term
+    — which every fixture term is."""
+    _, _, searcher = corpus
+    plan = (
+        searcher.topk_phrase("karo quantum", 5)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("LeftSemi") >= 2, plan
+    # and the single-term phrase skips the guard entirely
+    plan1 = (
+        searcher.topk_phrase("quantum", 5)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "LeftSemi" not in plan1, plan1
