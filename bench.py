@@ -158,7 +158,13 @@ def run_suite(cpus: int, quick: bool = False) -> dict:
 
     idx_root = tempfile.mkdtemp(prefix="bench_idx_", dir=_scratch_base(quick))
     t0 = time.time()
-    built = build_index(spark, transcripts)
+    # SPARK_GRAFT_NOPOS=1: build without the position stream — the
+    # diagnostic/A-B knob for isolating the positional build cost in
+    # scaling runs (the headline default stays feature-complete)
+    built = build_index(
+        spark, transcripts,
+        positions=not bool(int(os.environ.get("SPARK_GRAFT_NOPOS", "0"))),
+    )
     store = IndexStore(spark, idx_root)
     store.save(built, segment=0)
     timings["build"] = time.time() - t0
@@ -312,7 +318,8 @@ def main() -> None:
         # ratio is meaningless as cluster-size evidence. With pinning both
         # levels run everything (JVM task threads + pyspark workers) inside
         # their core budget, exactly like N-core executor machines would.
-        lo, hi, reps = 2, 8, 3
+        lo, hi = 2, 8
+        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
         # pre-generate the shared corpus at full parallelism, then free the JVM
         from rabbit_index_ingest_spark.session import get_spark
 
