@@ -116,23 +116,30 @@ def main(argv: list[str] | None = None) -> int:
         allowed = None
         if args.filter:
             allowed = L.docs.where(args.filter).select("doc_id")
+        fast = args.path == "blockmax"
         if args.mode == "phrase":
             top = s.topk_phrase(args.q, args.k, allowed=allowed)
         elif args.mode == "near":
             top = s.topk_near(args.q, args.k, gap=args.gap, allowed=allowed)
         elif args.mode == "and":
-            top = s.topk_and(args.q, args.k, allowed=allowed)
+            # conjunctions run inside the candidate-pruned scorer (ES runs
+            # operator:and inside WAND); --path dataframe keeps the
+            # decode-everything reference path
+            top = (
+                s.topk_blockmax_and(args.q, args.k, allowed=allowed)
+                if fast
+                else s.topk_and(args.q, args.k, allowed=allowed)
+            )
         elif allowed is not None:
-            if args.path == "blockmax":
-                print(
-                    "note: --filter routes through the DataFrame scorer "
-                    "(no block-max pruning); --path blockmax is ignored",
-                    file=sys.stderr,
-                )
-            top = s.topk_filtered(args.q, allowed, args.k)
+            # bool filter masks at block-decode time on the fast path —
+            # blocks with no allowed doc in span are skipped undecoded
+            top = (
+                s.topk_blockmax(args.q, args.k, allowed=allowed)
+                if fast
+                else s.topk_filtered(args.q, allowed, args.k)
+            )
         else:
-            fn = s.topk_blockmax if args.path == "blockmax" else s.topk_dataframe
-            top = fn(args.q, args.k)
+            top = (s.topk_blockmax if fast else s.topk_dataframe)(args.q, args.k)
         rows = (
             top
             .join(L.doc_stats.select("doc_id", "conv_id", "turn_idx"), "doc_id")

@@ -400,31 +400,77 @@ class Searcher:
 
     # ---------------- block-max fast path ----------------
 
-    def topk_blockmax(self, query_text: str, k: int = 10, skip_acc=None) -> DataFrame:
+    def _side_frame(self, allowed: DataFrame | None) -> DataFrame | None:
+        """Per-range side input for the cogrouped scorers: tombstoned
+        doc_ids (kind=0) unioned with the allow-list (kind=1), each keyed
+        by doc range. Both sets stay distributed — the ES analogue is
+        running bool filters *inside* WAND instead of post-filtering, and
+        at 10^12 docs neither set can ever be driver-side."""
+        parts = []
+        if self.deleted_df is not None:
+            parts.append(
+                self.deleted_df.select("doc_id", F.lit(0).alias("kind"))
+            )
+        if allowed is not None:
+            parts.append(
+                allowed.select("doc_id", F.lit(1).alias("kind"))
+            )
+        if not parts:
+            return None
+        side = parts[0]
+        for p in parts[1:]:
+            side = side.unionByName(p)
+        return side.select(
+            "doc_id",
+            F.shiftright("doc_id", self.range_bits).alias("range_id"),
+            "kind",
+        )
+
+    def topk_blockmax(
+        self,
+        query_text: str,
+        k: int = 10,
+        skip_acc=None,
+        allowed: DataFrame | None = None,
+    ) -> DataFrame:
         """``skip_acc``: optional SparkContext accumulator incremented by the
         number of posting blocks the scorer proved sub-θ and never decoded
-        (pruning observability; used by tests and bench)."""
+        (pruning observability; used by tests and bench).
+
+        ``allowed``: optional doc_id allow-list (ES bool-filter analogue)
+        enforced INSIDE the block-max scorer: the list is cogrouped per doc
+        range alongside the tombstones and masked at block-decode time, so
+        blocks whose doc span contains no allowed doc are skipped without
+        decoding and θ is maintained over the allowed set only (partial
+        sums of allowed docs remain lower bounds on allowed finals —
+        exactness preserved). Results are score-identical to
+        ``topk_filtered``; a selective filter prunes most of a hot term's
+        blocks instead of decoding them."""
         plan = self._plan(query_text)
         if plan is None:
             return _empty_topk(self.spark)
         idfs, blocks, meta = plan
-        theta0 = self._seed_theta0(idfs, meta, blocks, k)
-        if self.deleted_df is not None:
-            # tombstones at scale: cogroup each doc-range's blocks with its
-            # tombstone rows — the deleted set never leaves the cluster
-            # (vs broadcasting a Python set, which caps at ~10^6 deletes)
+        # θ₀ seed probes the best blocks corpus-wide; a probed doc outside
+        # the allow-list would make the seed invalid, so filtered queries
+        # start unseeded (per-range θ still prunes)
+        theta0 = (
+            0.0 if allowed is not None
+            else self._seed_theta0(idfs, meta, blocks, k)
+        )
+        side = self._side_frame(allowed)
+        if side is not None:
+            # tombstones/filters at scale: cogroup each doc-range's blocks
+            # with its side rows — neither set ever leaves the cluster
+            # (vs broadcasting a Python set, which caps at ~10^6 entries)
             scorer = _make_range_scorer(
-                idfs, self.avgdl, k, self.range_bits, frozenset(),
+                idfs, self.avgdl, k, self.range_bits, self.deleted,
                 cogrouped=True, skip_acc=skip_acc, theta0=theta0,
-            )
-            tombs = self.deleted_df.select(
-                F.col("doc_id"),
-                F.shiftright("doc_id", self.range_bits).alias("range_id"),
+                allowed_present=allowed is not None,
             )
             local = (
                 blocks.select(*_SCORE_COLS)
                 .groupBy("range_id")
-                .cogroup(tombs.groupBy("range_id"))
+                .cogroup(side.groupBy("range_id"))
                 .applyInPandas(scorer, TOPK_SCHEMA)
             )
         else:
@@ -437,6 +483,74 @@ class Searcher:
                 .groupBy("range_id")
                 .applyInPandas(scorer, TOPK_SCHEMA)
             )
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def topk_blockmax_and(
+        self,
+        query_text: str,
+        k: int = 10,
+        skip_acc=None,
+        allowed: DataFrame | None = None,
+    ) -> DataFrame:
+        """Conjunctive (ES ``match`` operator:and) top-k through the
+        block-pruned scorer — score-identical to ``topk_and`` but never
+        decode-everything (round-3 verdict item 3; ES runs conjunctions
+        inside WAND).
+
+        Pruning is candidate-driven (the leapfrog-intersection shape), not
+        θ-driven: a partial disjunctive score is NOT a lower bound on any
+        conjunctive doc's final score, so θ would be unsound here. Instead:
+
+        * scan level — every term's blocks are semi-joined on the RAREST
+          term's block ranges (metadata-only: no byte columns read), so a
+          hot term's blocks in ranges the rare term never touches are
+          pruned before the shuffle;
+        * range level — a range missing any required term returns empty
+          without decoding a single block;
+        * block level — terms are processed in global-df-ascending order;
+          after the rarest term decodes, a candidate bitmap C bounds all
+          later work: blocks whose doc span misses C are skipped
+          undecoded, decoded rows are masked to C, and C intersects down
+          after each term. Exact by conjunctive semantics: a doc dropped
+          from C lacks some required term and can never be returned.
+
+        ``allowed`` composes the bool-filter: C starts as the allow set.
+        """
+        terms = sorted(set(py_tokenize(query_text)))
+        if not terms:
+            return _empty_topk(self.spark)
+        meta = self._term_meta(terms)
+        if any(m[0] == 0 for m in meta.values()):
+            return _empty_topk(self.spark)  # a required term matches nothing
+        plan = self._plan(query_text)
+        assert plan is not None
+        idfs, blocks, _ = plan
+        # df-ascending processing order (ties: term) — deterministic
+        order = sorted(terms, key=lambda t: (meta[t][0], t))
+        rarest = order[0]
+        if len(terms) > 1:
+            rare_ranges = (
+                self.postings.where(
+                    F.col("bucket").isin(_term_buckets(self.spark, [rarest]))
+                )
+                .where(F.col("term") == rarest)
+                .select("range_id")
+                .distinct()
+            )
+            blocks = blocks.join(rare_ranges, "range_id", "left_semi")
+        side = self._side_frame(allowed)
+        scorer = _make_conjunctive_range_scorer(
+            idfs, self.avgdl, k, self.range_bits, order, self.deleted,
+            allowed_present=allowed is not None,
+            cogrouped=side is not None, skip_acc=skip_acc,
+        )
+        grouped = blocks.select(*_SCORE_COLS).groupBy("range_id")
+        if side is not None:
+            local = grouped.cogroup(side.groupBy("range_id")).applyInPandas(
+                scorer, TOPK_SCHEMA
+            )
+        else:
+            local = grouped.applyInPandas(scorer, TOPK_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     # ---------------- boolean / filtered / phrase retrieval ----------------
@@ -852,6 +966,39 @@ class Searcher:
         )
 
 
+def _empty_topk_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+    )
+
+
+def _range_masks(
+    base: int,
+    range_size: int,
+    dead: frozenset,
+    allow_ids: np.ndarray | None,
+) -> tuple[np.ndarray | None, np.ndarray | None, bool]:
+    """(dead bitmap, allow bitmap, range_is_empty) for one doc range.
+    ``range_is_empty`` is True when an allow-list is active but no allowed
+    doc falls in this range — the scorer returns without decoding."""
+    del_mask = None
+    if dead:
+        local_del = np.fromiter(dead, dtype=np.int64) - base
+        local_del = local_del[(local_del >= 0) & (local_del < range_size)]
+        if len(local_del):
+            del_mask = np.zeros(range_size, dtype=bool)
+            del_mask[local_del] = True
+    allow_mask = None
+    if allow_ids is not None:
+        local_allow = np.asarray(allow_ids, dtype=np.int64) - base
+        local_allow = local_allow[(local_allow >= 0) & (local_allow < range_size)]
+        if not len(local_allow):
+            return del_mask, None, True
+        allow_mask = np.zeros(range_size, dtype=bool)
+        allow_mask[local_allow] = True
+    return del_mask, allow_mask, False
+
+
 def _make_range_scorer(
     idfs: dict[str, float],
     avgdl: float,
@@ -861,6 +1008,8 @@ def _make_range_scorer(
     cogrouped: bool = False,
     skip_acc=None,
     theta0: float = 0.0,
+    allowed_present: bool = False,
+    allow_ids: np.ndarray | None = None,
 ):
     """Exact MaxScore/block-max scorer for one doc range (applyInPandas;
     with ``cogrouped=True`` the second frame carries this range's
@@ -898,16 +1047,24 @@ def _make_range_scorer(
     _THETA_REFRESH = 8  # blocks between within-term θ refreshes
 
     def score_range_cogrouped(
-        key: tuple, pdf: pd.DataFrame, tombs: pd.DataFrame
+        key: tuple, pdf: pd.DataFrame, side: pd.DataFrame
     ) -> pd.DataFrame:
+        # side rows: tombstones (kind=0) ∪ allow-list (kind=1), this range
+        dead = frozenset(side.loc[side["kind"] == 0, "doc_id"].tolist()) | deleted
+        allow = None
+        if allowed_present:
+            allow = side.loc[side["kind"] == 1, "doc_id"].to_numpy(np.int64)
+            if len(allow) == 0:
+                return _empty_topk_pdf()  # nothing allowed in this range
         local = _make_range_scorer(
             idfs,
             avgdl,
             k,
             range_bits,
-            frozenset(tombs["doc_id"].tolist()),
+            dead,
             skip_acc=skip_acc,
             theta0=theta0,
+            allow_ids=allow,
         )
         return local(key, pdf)
 
@@ -917,14 +1074,12 @@ def _make_range_scorer(
     def score_range(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (range_id,) = key
         base = int(range_id) << range_bits
-        # local bitmap of tombstoned slots in this range (decode-time mask)
-        del_mask = None
-        if deleted:
-            local_del = np.fromiter(deleted, dtype=np.int64) - base
-            local_del = local_del[(local_del >= 0) & (local_del < range_size)]
-            if len(local_del):
-                del_mask = np.zeros(range_size, dtype=bool)
-                del_mask[local_del] = True
+        # local bitmaps: tombstoned / allowed slots (decode-time masks)
+        del_mask, allow_mask, range_empty = _range_masks(
+            base, range_size, deleted, allow_ids
+        )
+        if range_empty:
+            return _empty_topk_pdf()
         pdf = pdf.assign(
             ub=codec.tf_norm(
                 pdf["max_tf"].to_numpy(), pdf["min_dl"].to_numpy(), avgdl
@@ -964,21 +1119,30 @@ def _make_range_scorer(
             blocks_t = by_term[t]
             n_blk = len(blocks_t)
             for bi, row in enumerate(blocks_t.itertuples(index=False)):
+                lo, hi = row.first_doc - base, row.last_doc - base
+                if allow_mask is not None and not allow_mask[lo : hi + 1].any():
+                    skipped += 1
+                    continue  # no allowed doc in this block's span
                 if theta > 0.0:
                     # ub-desc order: if even the best-scoring doc anywhere
                     # can't reach θ with this block's ub, no later block can
                     if total_max + idf * row.ub + rest < theta - eps:
                         skipped += n_blk - bi
                         break
-                    lo, hi = row.first_doc - base, row.last_doc - base
                     span_max = float(total[lo : hi + 1].max())
                     if span_max + idf * row.ub + rest < theta - eps:
                         skipped += 1
                         continue  # no doc in this block can reach top-k
                 ids, tfs = codec.unpack_block(row.doc_bytes, row.tf_bytes)
                 dls = codec.varbyte_decode(row.dl_bytes)
-                if del_mask is not None:
-                    live = ~del_mask[ids - base]
+                if del_mask is not None or allow_mask is not None:
+                    idx = ids - base
+                    live = (
+                        ~del_mask[idx] if del_mask is not None
+                        else np.ones(len(idx), dtype=bool)
+                    )
+                    if allow_mask is not None:
+                        live &= allow_mask[idx]
                     if not live.all():
                         ids, tfs, dls = ids[live], tfs[live], dls[live]
                         if len(ids) == 0:
@@ -1020,3 +1184,118 @@ def _make_range_scorer(
         )
 
     return score_range
+
+
+def _make_conjunctive_range_scorer(
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    range_bits: int,
+    term_order: list[str],
+    deleted: frozenset,
+    allowed_present: bool = False,
+    cogrouped: bool = False,
+    skip_acc=None,
+):
+    """Candidate-driven conjunctive scorer for one doc range
+    (``Searcher.topk_blockmax_and``; applyInPandas over blocks grouped by
+    range_id, optionally cogrouped with the tombstone/allow side frame).
+
+    Exactness: only docs that match EVERY term in ``term_order`` (and
+    survive the dead/allow masks) are returned, with full BM25 sums
+    accumulated in sorted-term order (bit-parity with the DataFrame
+    reference path / DuckDB oracle). Pruning never uses a θ bound —
+    a partial disjunctive score is not a lower bound for a conjunctive
+    doc — only candidate-set emptiness, which is sound by definition:
+
+    * a required term absent from the range ⇒ empty, zero decodes;
+    * terms processed in global-df-ascending order; after the first term
+      the candidate bitmap C bounds every later decode: a block whose
+      [first_doc, last_doc] span holds no candidate is skipped undecoded
+      (counted in ``skip_acc``), decoded postings are masked to C, and
+      C intersects down after each term;
+    * C empty at any point ⇒ early return.
+    """
+    range_size = 1 << range_bits
+
+    def _score(
+        range_id: int,
+        pdf: pd.DataFrame,
+        dead: frozenset,
+        allow_ids: np.ndarray | None,
+    ) -> pd.DataFrame:
+        if len(pdf) == 0 or set(pdf["term"].tolist()) != set(term_order):
+            return _empty_topk_pdf()  # a required term absent from range
+        base = int(range_id) << range_bits
+        del_mask, allow_mask, range_empty = _range_masks(
+            base, range_size, dead, allow_ids
+        )
+        if range_empty:
+            return _empty_topk_pdf()
+        # candidates-so-far: None = unrestricted (first term, no masks)
+        C: np.ndarray | None = allow_mask
+        if del_mask is not None:
+            C = ~del_mask if C is None else (C & ~del_mask)
+        skipped = 0
+        per_term: dict[str, np.ndarray] = {}
+        by_term = {t: g for t, g in pdf.groupby("term")}
+
+        def _flush_skips() -> None:
+            if skip_acc is not None and skipped:
+                skip_acc.add(skipped)
+
+        for t in term_order:
+            idf = idfs[t]
+            arr = np.zeros(range_size, dtype=np.float64)
+            newC = np.zeros(range_size, dtype=bool)
+            for row in by_term[t].itertuples(index=False):
+                if C is not None:
+                    lo, hi = row.first_doc - base, row.last_doc - base
+                    if not C[lo : hi + 1].any():
+                        skipped += 1
+                        continue
+                ids, tfs = codec.unpack_block(row.doc_bytes, row.tf_bytes)
+                dls = codec.varbyte_decode(row.dl_bytes)
+                idx = ids - base
+                if C is not None:
+                    keep = C[idx]
+                    if not keep.any():
+                        continue
+                    idx, tfs, dls = idx[keep], tfs[keep], dls[keep]
+                # '=' not '+=': blocks partition a term's postings, so one
+                # (term, doc) pair appears in exactly one block
+                arr[idx] = idf * codec.tf_norm(tfs, dls, avgdl)
+                newC[idx] = True
+            if not newC.any():
+                _flush_skips()
+                return _empty_topk_pdf()
+            per_term[t] = arr
+            C = newC
+        _flush_skips()
+        # deterministic final accumulation: sorted-term order (oracle parity)
+        final = np.zeros(range_size, dtype=np.float64)
+        for t in sorted(per_term):
+            final += per_term[t]
+        nz = np.flatnonzero(C)
+        scores = final[nz]
+        order_idx = np.lexsort((nz, -scores))[:k]
+        return pd.DataFrame(
+            {
+                "doc_id": (nz[order_idx] + base).astype("int64"),
+                "score": scores[order_idx],
+            }
+        )
+
+    def plain(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score(key[0], pdf, deleted, None)
+
+    def cg(key: tuple, pdf: pd.DataFrame, side: pd.DataFrame) -> pd.DataFrame:
+        dead = frozenset(side.loc[side["kind"] == 0, "doc_id"].tolist()) | deleted
+        allow = None
+        if allowed_present:
+            allow = side.loc[side["kind"] == 1, "doc_id"].to_numpy(np.int64)
+            if len(allow) == 0:
+                return _empty_topk_pdf()
+        return _score(key[0], pdf, dead, allow)
+
+    return cg if cogrouped else plain
