@@ -88,6 +88,7 @@ class BuiltIndex:
     postings: DataFrame  # BLOCKS_SCHEMA + bucket
     n_docs: int = 0
     avgdl: float = 0.0
+    positions: bool = True  # whether pos_bytes carries the position stream
     cached: tuple = ()  # build-time persisted frames (toks, postings)
 
     def release(self) -> None:
@@ -207,9 +208,11 @@ def _pack_stream_fn(
     block_size: int, range_bits: int = RANGE_BITS, positions: bool = False
 ):
     """Streaming mapInPandas packer: consumes Arrow batches of raw token
-    occurrences (term, doc_id, dl[, pos]) sorted by (term, doc_id[, pos])
-    within the partition, carrying the (possibly batch-spanning) trailing
-    (term, range) group over to the next batch.
+    occurrences — (term, doc_id, dl) without positions, (term, doc_id,
+    dlpos) with them (``dlpos = dl<<32 | pos``: one 8-byte slot instead of
+    two on THE shuffle; decoded vectorized here) — sorted by
+    (term, doc_id[, pos]) within the partition, carrying the (possibly
+    batch-spanning) trailing (term, range) group over to the next batch.
 
     tf is computed by run-length encoding the sorted doc_ids (replaces a
     whole groupBy(term, doc) shuffle stage — one shuffle instead of two);
@@ -224,10 +227,13 @@ def _pack_stream_fn(
         for batch in batches:
             terms = batch["term"].to_numpy()
             ids = batch["doc_id"].to_numpy(dtype=np.int64)
-            dls = batch["dl"].to_numpy(dtype=np.int64)
-            poss = (
-                batch["pos"].to_numpy(dtype=np.int64) if positions else None
-            )
+            if positions:
+                dlpos = batch["dlpos"].to_numpy(dtype=np.int64)
+                dls = dlpos >> 32
+                poss = dlpos & 0xFFFFFFFF
+            else:
+                dls = batch["dl"].to_numpy(dtype=np.int64)
+                poss = None
             if carry is not None:
                 terms = np.concatenate((carry[0], terms))
                 ids = np.concatenate((carry[1], ids))
@@ -403,11 +409,28 @@ def build_index_prenumbered(
     # range_id deliberately does NOT ride the shuffle: it is a pure
     # function of doc_id, re-derived inside the packer (8 B/row saved),
     # and sorting by (term, doc_id) already sorts by (term, range, doc).
+    #
+    # positions=True packs (dl, pos) into ONE int64 `dlpos = dl<<32 | pos`
+    # so a positional occurrence row is the SAME width on the shuffle as a
+    # non-positional one (UnsafeRow fields are 8-byte slots — a separate
+    # `pos` column costs a full 8 B/occurrence; the single-box N→4N
+    # scaling bottleneck is shuffle/memory BANDWIDTH, which cores don't
+    # scale, so every shuffled byte is paid at efficiency). Sorting by
+    # (term, doc_id, dlpos) ≡ (term, doc_id, pos) because dl is constant
+    # within a doc. Bounds: dl < 2^31 and pos < 2^32 (pos < dl holds by
+    # construction) keep dlpos positive — a 2-billion-token single doc is
+    # beyond any transcript turn.
     if positions:
         occurrences = toks.select(
             "doc_id",
             F.size("tokens").alias("dl"),
             F.posexplode("tokens").alias("pos", "term"),
+        ).select(
+            "doc_id",
+            (
+                F.shiftleft(F.col("dl").cast("long"), 32) + F.col("pos")
+            ).alias("dlpos"),
+            "term",
         )
     else:
         occurrences = toks.select(
@@ -422,7 +445,7 @@ def build_index_prenumbered(
     # ~2^range_bits postings per term. Partition count = shuffle conf
     # (data-size knob).
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    sort_cols = ["term", "doc_id"] + (["pos"] if positions else [])
+    sort_cols = ["term", "doc_id"] + (["dlpos"] if positions else [])
     postings = (
         occurrences.repartition(
             nparts, F.col("term"), F.shiftright("doc_id", range_bits)
@@ -452,9 +475,13 @@ def build_index_prenumbered(
     # docs table (at 10^12 docs that scan is a real job; this is a
     # constant). For build_index it is id_base + n_docs (contiguous ids);
     # a merged segment passes the max over the segments it replaces.
+    # the positions flag is PERSISTED with the stats so upsert/merge can
+    # follow the index's setting instead of sampling blocks (a sampled
+    # probe made the merged format nondeterministic on a mixed index)
     corpus_stats = spark.createDataFrame(
-        [(n_docs, avgdl, total_tokens, next_doc_id)],
-        "n_docs long, avgdl double, total_tokens long, next_doc_id long",
+        [(n_docs, avgdl, total_tokens, next_doc_id, positions)],
+        "n_docs long, avgdl double, total_tokens long, next_doc_id long,"
+        " positions boolean",
     )
 
     return BuiltIndex(
@@ -465,5 +492,6 @@ def build_index_prenumbered(
         postings=postings,
         n_docs=n_docs,
         avgdl=avgdl,
+        positions=positions,
         cached=(toks, postings) if persist_postings else (toks,),
     )

@@ -745,35 +745,76 @@ class Searcher:
 
     def _rare_prefilter(
         self, uniq: list[str], meta: dict[str, tuple[int, int, int]]
-    ) -> tuple[str, DataFrame | None, DataFrame | None]:
+    ) -> tuple[str | None, DataFrame | None, DataFrame | None]:
         """Skew guard shared by the positional intersections (phrase /
-        near): when the rarest term's df ≤ ``_PHRASE_PREFILTER_MAX_DF``,
-        return (rarest, doc-id broadcast frame, distinct-range broadcast
-        frame). Hot terms' posting BLOCKS are then semi-joined away by doc
-        range BEFORE the Python decode (a rare term touches ≤ df_rare of
-        the ~N/2^16 ranges), and surviving decoded rows semi-filter before
-        the shuffle — conjunctive semantics make both removals lossless.
-        The rare doc set itself comes from the cheap positionless decode
-        (``flat_postings``)."""
+        near). Returns (skip_term, doc-id prefilter frame, distinct-range
+        frame); callers semi-join every term's posting BLOCKS by doc range
+        BEFORE the Python decode, and every term's decoded rows by doc_id
+        before the shuffle — ``skip_term`` (if not None) is the one term
+        the filters derive from, which therefore skips them. Conjunctive
+        semantics make both removals lossless: a doc missing from the
+        filter lacks some phrase term and can never match.
+
+        Two regimes, NO hard cliff (round-3 verdict item 2):
+
+        * **rare-term broadcast** — when the rarest term's df ≤
+          ``_PHRASE_PREFILTER_MAX_DF`` (a ~16 MB broadcast), its doc set
+          (cheap positionless decode) broadcasts and filters the other
+          terms map-side — zero extra shuffle, the leapfrog-intersection
+          analogue for "the <rare-word>" phrases.
+        * **two-phase doc intersection** — when EVERY term is hot (the
+          "new york" case at 10^9+ docs), intersect ALL terms' cheap
+          positionless decodes first (union + one groupBy of bare
+          doc_ids) and semi-join each term's positional decode on the
+          surviving docs: positions are shipped only for docs that can
+          match, at ANY df. The candidate frame is a real distributed
+          table (localCheckpoint'd — it feeds one semi-join per term plus
+          the range frame); AQE still broadcasts it when it turns out
+          small. ``skip_term`` is None: the intersection constrains every
+          term, including the rarest.
+        """
         rarest = min(uniq, key=lambda t: meta[t][0])
-        if len(uniq) < 2 or meta[rarest][0] > self._PHRASE_PREFILTER_MAX_DF:
+        if len(uniq) < 2:
             return rarest, None, None
-        rare_blocks = self.postings.where(
-            F.col("bucket").isin(_term_buckets(self.spark, [rarest]))
-        ).where(F.col("term") == rarest)
-        # localCheckpoint: the decoded rare doc set feeds TWO broadcast
-        # subtrees (doc ids + distinct ranges) — without materializing it
-        # once, the Python block decode would run once per subtree
-        rare_ids = (
-            flat_postings(rare_blocks).select("doc_id").localCheckpoint()
+
+        def term_blocks(t: str) -> DataFrame:
+            return self.postings.where(
+                F.col("bucket").isin(_term_buckets(self.spark, [t]))
+            ).where(F.col("term") == t)
+
+        if meta[rarest][0] <= self._PHRASE_PREFILTER_MAX_DF:
+            # localCheckpoint: the decoded rare doc set feeds TWO broadcast
+            # subtrees (doc ids + distinct ranges) — without materializing
+            # it once, the Python block decode would run once per subtree
+            rare_ids = (
+                flat_postings(term_blocks(rarest))
+                .select("doc_id")
+                .localCheckpoint()
+            )
+            prefilter = F.broadcast(rare_ids)
+            rare_ranges = F.broadcast(
+                rare_ids.select(
+                    F.shiftright("doc_id", self.range_bits).alias("range_id")
+                ).distinct()
+            )
+            return rarest, prefilter, rare_ranges
+
+        # every term hot: two-phase doc-level intersection (cap-free)
+        unioned = None
+        for t in uniq:
+            part = flat_postings(term_blocks(t)).select("doc_id")
+            unioned = part if unioned is None else unioned.unionByName(part)
+        cand = (
+            unioned.groupBy("doc_id")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") == len(uniq))
+            .select("doc_id")
+            .localCheckpoint()
         )
-        prefilter = F.broadcast(rare_ids)
-        rare_ranges = F.broadcast(
-            rare_ids.select(
-                F.shiftright("doc_id", self.range_bits).alias("range_id")
-            ).distinct()
-        )
-        return rarest, prefilter, rare_ranges
+        ranges = cand.select(
+            F.shiftright("doc_id", self.range_bits).alias("range_id")
+        ).distinct()
+        return None, cand, ranges
 
     def facet_counts(
         self,

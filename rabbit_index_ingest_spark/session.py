@@ -101,6 +101,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxBytesPerBatch", "2147483647b")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # zstd for shuffle/broadcast/spill IO and for every parquet the
+        # engine writes. The build is memory-/IO-bandwidth-bound at fixed
+        # box size (the N→4N scaling measurement runs on tmpfs precisely
+        # because disk BW doesn't scale with cores) — zstd spends CPU,
+        # which DOES scale with cores, to move fewer bytes, which don't:
+        # it buys scaling efficiency AND smaller segments. Spark's zstd
+        # default level 1 ≈ lz4 speed at a visibly better ratio; override
+        # per-session via extra_conf if a CPU-starved profile ever needs
+        # lz4 back.
+        .config("spark.io.compression.codec", "zstd")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.checkpoint.compress", "true")
         # local mode: driver heap IS the executor heap. Size it so each of
         # N concurrent tasks gets a real execution-memory share —
         # 8g/32 tasks ≈ 150MB/task spills and GC-thrashes (measured: a
