@@ -755,7 +755,10 @@ def _q_c1_and_topk(spark, sf_dir):
     """Conjunctive BM25 (ES match operator:and): only docs containing all
     three query terms rank; scores are the full BM25 sums."""
     built, searcher = _searcher(spark, sf_dir)
-    top = searcher.topk_and(C1_QUERY, 10)
+    # the engine-default fast path (conjunction pruned inside the range
+    # scorer); score-identical to topk_and — parity is test-asserted, and
+    # the DuckDB twin here hash-checks the fast path end-to-end
+    top = searcher.topk_blockmax_and(C1_QUERY, 10)
     return _with_orig_doc_id(top, built).select(
         "doc_id", F.round("score", 4).alias("score")
     )
@@ -772,7 +775,10 @@ def _q_f1_filtered_topk(spark, sf_dir):
     allowed = built.doc_stats.join(
         F.broadcast(allowed_orig), "conv_id", "left_semi"
     ).select("doc_id")
-    top = searcher.topk_filtered(" ".join(BM25_QUERY_TERMS), allowed, 10)
+    # the engine-default fast path: the allow-list cogroups per doc
+    # range and masks at block-decode time (ES runs bool filters inside
+    # WAND); score-identical to topk_filtered (parity test-asserted)
+    top = searcher.topk_blockmax(" ".join(BM25_QUERY_TERMS), 10, allowed=allowed)
     return _with_orig_doc_id(top, built).select(
         "doc_id", F.round("score", 4).alias("score")
     )

@@ -239,15 +239,27 @@ def run_suite(cpus: int, quick: bool = False) -> dict:
     from rabbit_index_ingest_spark.datagen import VOCAB
 
     for name, q, fn in (
+        # default paths (block-max range scorers, round 4)
         ("q_phrase_sentinel", "zephyr quantum lattice", searcher.topk_phrase),
         ("q_phrase_hot", f"{VOCAB[0]} {VOCAB[1]}", searcher.topk_phrase),
-        ("q_and_mix", f"{VOCAB[0]} {VOCAB[120]} {VOCAB[3500]}", searcher.topk_and),
+        ("q_and_mix", f"{VOCAB[0]} {VOCAB[120]} {VOCAB[3500]}",
+         searcher.topk_blockmax_and),
+        # DataFrame reference twins, same session — the honest interleaved
+        # A/B for the fast paths under this host's variance (round-3
+        # BENCH/BASELINE.md caveat): q_phrase_hot vs q_phrase_hot_df is
+        # the decode-everything worst case the round-4 scorer removes
+        ("q_phrase_hot_df", f"{VOCAB[0]} {VOCAB[1]}",
+         searcher.topk_phrase_dataframe),
+        ("q_and_mix_df", f"{VOCAB[0]} {VOCAB[120]} {VOCAB[3500]}",
+         searcher.topk_and),
     ):
         t0 = time.time()
         fn(q, 10).collect()
         timings[name] = time.time() - t0
     _log(f"phrase/and done: sentinel={timings['q_phrase_sentinel']:.2f}s "
-         f"hot={timings['q_phrase_hot']:.2f}s and={timings['q_and_mix']:.2f}s")
+         f"hot={timings['q_phrase_hot']:.2f}s (df twin "
+         f"{timings['q_phrase_hot_df']:.2f}s) and={timings['q_and_mix']:.2f}s "
+         f"(df twin {timings['q_and_mix_df']:.2f}s)")
 
     # build WITHOUT the position stream — isolates what phrase support
     # costs the build (extra int on THE shuffle + 4th varbyte stream);

@@ -141,6 +141,17 @@ class IndexStore:
     def _use_iceberg(self) -> bool:
         return self.iceberg_catalog is not None
 
+    def _iceberg_writer(self, df: DataFrame, table: str, segment: int, partition_cols=()):
+        """The DataFrameWriterV2 chain for one index table — split from
+        ``_write`` so the no-jars dispatch tests can intercept
+        ``DataFrame.writeTo`` and assert the exact
+        writeTo → using("iceberg") → partitionedBy(...) chain per table
+        (the terminal ``createOrReplace()`` stays in ``_write``)."""
+        writer = df.writeTo(self._iceberg_table(table, segment)).using("iceberg")
+        if partition_cols:
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_cols])
+        return writer
+
     def _iceberg_table(self, table: str, segment: int) -> str:
         return f"{self.iceberg_catalog}.{table}_seg{segment:05d}"
 
@@ -247,10 +258,7 @@ class IndexStore:
             # (tasks × partitions small files; 32×64=2048 for postings)
             w = w.repartition(*[F.col(c) for c in partition_cols])
         if self._use_iceberg():
-            writer = w.writeTo(self._iceberg_table(table, segment)).using("iceberg")
-            if partition_cols:
-                writer = writer.partitionedBy(*[F.col(c) for c in partition_cols])
-            writer.createOrReplace()
+            self._iceberg_writer(w, table, segment, partition_cols).createOrReplace()
             return
         writer = w.write.mode("overwrite")
         if partition_cols:

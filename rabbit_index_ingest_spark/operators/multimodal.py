@@ -64,6 +64,39 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
     return arr.reshape(8, 8)
 
 
+def pil_available() -> bool:
+    """True when a real image codec (Pillow) is importable — probed at
+    runtime, never assumed (this sandbox ships none)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def decode_image(payload: bytes, thumb: int = 8) -> np.ndarray:
+    """Image decode with a runtime feature probe (round-3 verdict 8):
+    when Pillow imports AND the payload parses as a real image, decode it
+    (grayscale, nearest ``thumb×thumb`` resize — the stub's output
+    contract); otherwise the deterministic stub. The oracle-checked
+    entries (m1/m2) use synthetic non-image payloads, so they stay green
+    with or without Pillow installed; real images light up decode without
+    touching the Spark plumbing."""
+    if pil_available():
+        import io
+
+        from PIL import Image
+
+        try:
+            img = Image.open(io.BytesIO(payload))
+            img = img.convert("L").resize((thumb, thumb), Image.NEAREST)
+            return np.asarray(img, dtype=np.uint8)
+        except Exception:
+            pass  # not a decodable image — fall through to the stub
+    return _decode_image_stub(payload)
+
+
 def _flatten_payloads(payload_col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(flat bytes, start offsets, lengths) for one Arrow batch — the
     shared vectorization base: every per-payload loop in this module is

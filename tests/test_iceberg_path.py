@@ -49,3 +49,69 @@ def test_iceberg_write_live(spark, tmp_path):
     built = build_index(spark, transcripts_df(spark, n_conv=5))
     store.save(built, segment=0)
     assert spark.table(f"{cat}.riis_test.postings_seg00000").count() > 0
+
+
+class _RecordingWriter:
+    """Stands in for DataFrameWriterV2 — records the exact call chain."""
+
+    def __init__(self, rec: dict, table: str):
+        self.rec = rec
+        self.entry = {"using": None, "partitionedBy": None, "action": None}
+        rec[table] = self.entry
+
+    def using(self, fmt):
+        self.entry["using"] = fmt
+        return self
+
+    def partitionedBy(self, *cols):
+        self.entry["partitionedBy"] = [str(c) for c in cols]
+        return self
+
+    def createOrReplace(self):
+        self.entry["action"] = "createOrReplace"
+
+
+def test_iceberg_save_write_shape_per_table(spark, tmp_path, monkeypatch):
+    """Full save() against a catalog-configured store with
+    DataFrame.writeTo intercepted (no jars needed): EVERY table must go
+    through writeTo(<catalog>.<table>_segNNNNN).using('iceberg')
+    [.partitionedBy(bucket) for postings/dictionary].createOrReplace()
+    — the whole call chain, not just mode dispatch (round-3 verdict 7)."""
+    from rabbit_index_ingest_spark.datagen import transcripts_df
+    from rabbit_index_ingest_spark.index.build import build_index
+
+    rec: dict = {}
+    store = IndexStore(spark, str(tmp_path / "idx"), iceberg_catalog="lake.ns")
+    built = build_index(spark, transcripts_df(spark, n_conv=3))
+    # patch the RUNTIME class (Spark 4: pyspark.sql.classic.dataframe
+    # overrides the pyspark.sql.DataFrame facade's methods)
+    monkeypatch.setattr(
+        type(built.docs), "writeTo", lambda self, tbl: _RecordingWriter(rec, tbl)
+    )
+    store.save(built, segment=7)
+
+    expected_partitioning = {
+        "docs": None,
+        "postings": ["bucket"],
+        "dictionary": ["bucket"],
+        "metrics": None,
+    }
+    for table, pcols in expected_partitioning.items():
+        name = f"lake.ns.{table}_seg00007"
+        assert name in rec, (table, sorted(rec))
+        entry = rec[name]
+        assert entry["using"] == "iceberg", entry
+        assert entry["action"] == "createOrReplace", entry
+        if pcols is None:
+            assert entry["partitionedBy"] is None, entry
+        else:
+            got = entry["partitionedBy"]
+            assert got is not None and all(
+                p in c for p, c in zip(pcols, got)
+            ), entry
+    # corpus_stats is a driver-side single-row write by design (never a
+    # Spark job) — it must NOT appear in the writeTo stream
+    assert not any("corpus_stats" in t for t in rec)
+    # and the upsert side of the lake path: MERGE INTO per docs table
+    sql = merge_into_sql("lake.ns.docs_seg00007", "new_docs")
+    assert sql.startswith("MERGE INTO lake.ns.docs_seg00007 t USING new_docs s ON ")

@@ -204,6 +204,9 @@ def test_phrase_topk_matches_oracle(spark, corpus, query):
     want = _py_phrase_topk(pdf, query, 10)
     got = searcher.topk_phrase(query, 10).collect()
     _assert_topk_equal(got, want, 10)
+    # the DataFrame reference twin must agree score-identically
+    got_df = searcher.topk_phrase_dataframe(query, 10).collect()
+    _assert_topk_equal(got_df, want, 10)
 
 
 def test_phrase_repeated_term_overlap(spark):
@@ -421,10 +424,11 @@ def test_phrase_prefilter_plan_shape(spark, corpus):
     """The rare-term skew guard must appear in the plan as TWO left-semi
     prunes (block-level on range_id before the decode, row-level on
     doc_id after) whenever a multi-term phrase has a sub-cap rarest term
-    — which every fixture term is."""
+    — which every fixture term is. (The DataFrame reference twin; the
+    default block-max path does its pruning inside the range scorer.)"""
     _, _, searcher = corpus
     plan = (
-        searcher.topk_phrase("karo quantum", 5)
+        searcher.topk_phrase_dataframe("karo quantum", 5)
         ._jdf.queryExecution()
         .optimizedPlan()
         .toString()
@@ -432,7 +436,7 @@ def test_phrase_prefilter_plan_shape(spark, corpus):
     assert plan.count("LeftSemi") >= 2, plan
     # and the single-term phrase skips the guard entirely
     plan1 = (
-        searcher.topk_phrase("quantum", 5)
+        searcher.topk_phrase_dataframe("quantum", 5)
         ._jdf.queryExecution()
         .optimizedPlan()
         .toString()
@@ -453,9 +457,9 @@ def test_phrase_two_phase_intersection_above_cap(spark, corpus):
     s2._PHRASE_PREFILTER_MAX_DF = 0  # force: every term counts as hot
     for q in ["zephyr quantum", "quantum lattice drift"]:
         want = _py_phrase_topk(pdf, q, 10)
-        _assert_topk_equal(s2.topk_phrase(q, 10).collect(), want, 10)
+        _assert_topk_equal(s2.topk_phrase_dataframe(q, 10).collect(), want, 10)
     plan = (
-        s2.topk_phrase("zephyr quantum", 5)
+        s2.topk_phrase_dataframe("zephyr quantum", 5)
         ._jdf.queryExecution()
         .optimizedPlan()
         .toString()
@@ -474,3 +478,51 @@ def test_near_two_phase_intersection_above_cap(spark, corpus):
     s2._PHRASE_PREFILTER_MAX_DF = 0
     want = _py_near_topk(pdf, "zephyr quantum", 3, 10)
     _assert_topk_equal(s2.topk_near("zephyr quantum", 10, gap=3).collect(), want, 10)
+
+
+def test_phrase_blockmax_prunes_blocks(spark):
+    """The default phrase path must SKIP hot-term blocks whose doc span
+    misses the rarest term's candidate bitmap — without decoding them —
+    and still match the oracle. One rare anchor + a term hot in every doc
+    (25 blocks at block_size=8): all but the anchor's block must skip."""
+    import pandas as pd
+
+    rows = [
+        ("c%03d" % j, 0, ("anchor " if j == 57 else "w%d " % j) + "target")
+        for j in range(200)
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    b2 = build_index(spark, spark.createDataFrame(pdf), block_size=8)
+    s = Searcher(spark, b2.postings, b2.dictionary, b2.n_docs, b2.avgdl)
+    acc = spark.sparkContext.accumulator(0)
+    want = _py_phrase_topk(pdf, "anchor target", 10)
+    assert len(want) == 1, want
+    got = s.topk_phrase("anchor target", 10, skip_acc=acc).collect()
+    _assert_topk_equal(got, want, 10)
+    # 200 docs of "target" = 25 blocks; only the one holding doc 57 decodes
+    assert acc.value >= 20, f"expected most hot blocks skipped, got {acc.value}"
+    b2.release()
+
+
+def test_phrase_blockmax_allowed_filter(spark, corpus):
+    """bool-filter composition inside the phrase range scorer (cogrouped
+    allow set) must equal post-filtering the unfiltered phrase result."""
+    pdf, built, searcher = corpus
+    full = _py_phrase_topk(pdf, "zephyr quantum", 10_000)
+    allowed_df = built.doc_stats.where(F.col("turn_idx") % 2 == 0).select(
+        "doc_id"
+    )
+    allowed_ids = {r["doc_id"] for r in allowed_df.collect()}
+    want = [w for w in full if w[0] in allowed_ids][:10]
+    got = searcher.topk_phrase("zephyr quantum", 10, allowed=allowed_df).collect()
+    _assert_topk_equal(got, want, 10)
+
+
+def test_phrase_blockmax_hot_hot_matches_twin(spark, corpus):
+    """Hot×hot phrase (every term common — the round-3 worst case): the
+    block-max path must agree with the DataFrame twin exactly; no
+    broadcast-cap regime applies to either."""
+    pdf, _, searcher = corpus
+    for q in ["zephyr quantum", "quantum lattice drift"]:
+        want = _py_phrase_topk(pdf, q, 10)
+        _assert_topk_equal(searcher.topk_phrase(q, 10).collect(), want, 10)

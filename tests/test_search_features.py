@@ -119,3 +119,25 @@ def test_facet_counts_masks_tombstones(spark):
         del want["0"]
     assert got == want
     built.release()
+
+
+def test_facet_counts_hostile_column_names(spark):
+    """A facet column whose name contains backticks/quotes must neither
+    break the plan parse nor inject SQL (the unpivot is built from typed
+    expressions, not a string stack()); unknown names fail fast."""
+    pdf = transcripts_pandas(n_conv=10)[["conv_id", "turn_idx", "text"]]
+    pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    df = spark.createDataFrame(pdf)
+    built = build_index(spark, df)
+    s = Searcher(
+        spark, built.postings, built.dictionary, built.n_docs, built.avgdl
+    )
+    evil = "turn`idx', x"
+    attrs = built.doc_stats.select(
+        "doc_id", F.col("turn_idx").alias(evil)
+    )
+    rows = s.facet_counts("zephyr", attrs, [evil], top_values=3).collect()
+    assert rows and all(r["facet"] == evil for r in rows)
+    with pytest.raises(ValueError, match="not in attrs"):
+        s.facet_counts("zephyr", attrs, ["nope"], top_values=3)
+    built.release()

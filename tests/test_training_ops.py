@@ -328,3 +328,64 @@ def test_decode_thumbs_batch_matches_per_payload_stub():
     batch = _decode_thumbs_batch(flat, starts, lens)
     for i, p in enumerate(payloads):
         assert np.array_equal(batch[i], _decode_image_stub(p)), i
+
+
+def test_concurrent_dedup_jobs_cache_isolation(spark, docs):
+    """Two dedup jobs submitted from concurrent driver threads must both
+    return correct pair sets: the groups cache is THREAD-local, so one
+    job can no longer unpersist the other's persisted groups frame
+    mid-flight (round-3 verdict item 4)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    sigs = minhash_signatures(docs, n_hashes=16).persist()
+    sigs.count()
+
+    def run(_):
+        return {
+            (r["a"], r["b"]) for r in lsh_candidate_pairs(sigs).collect()
+        }
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        got_a, got_b = list(ex.map(run, range(2)))
+    assert got_a == got_b
+    assert (0, 2) in got_a
+    sigs.unpersist()
+
+
+def test_decode_image_probe_and_fallback():
+    """decode_image: stub fallback on non-image payloads always; real
+    Pillow decode exercised only when the codec is importable (runtime
+    feature probe — this sandbox ships no codecs)."""
+    from rabbit_index_ingest_spark.operators.multimodal import (
+        _decode_image_stub,
+        decode_image,
+        pil_available,
+    )
+
+    fake = bytes(range(100))
+    out = decode_image(fake)
+    assert out.shape == (8, 8)
+    assert (out == _decode_image_stub(fake)).all()
+
+
+def test_decode_image_real_codec():
+    from rabbit_index_ingest_spark.operators.multimodal import (
+        _decode_image_stub,
+        decode_image,
+        pil_available,
+    )
+
+    if not pil_available():
+        pytest.skip("Pillow not installed — decode_image falls back to stub")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.arange(256, dtype=np.uint8).reshape(16, 16)).save(
+        buf, format="PNG"
+    )
+    real = decode_image(buf.getvalue())
+    assert real.shape == (8, 8)
+    # a real decode is NOT the byte-gather stub
+    assert not (real == _decode_image_stub(buf.getvalue())).all()
