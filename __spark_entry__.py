@@ -704,7 +704,10 @@ N1_TERMS = "slow key scan"  # gap=2 matches 9 docs vs 1 exact — non-degenerate
 def _q_n1_near_topk(spark, sf_dir):
     """Ordered proximity (span_near in_order) top-10: three terms within
     gap<=2 of each other in order, scored as a pseudo-term with the exact
-    chain count as tf. Twin: DuckDB inequality self-joins count the same
+    chain count as tf. Routed through the engine-default block-max range
+    scorer (chain DP over candidate docs only; parity with the DataFrame
+    twin is test-asserted) so the DuckDB twin hash-checks the fast path
+    end-to-end. Twin: DuckDB inequality self-joins count the same
     chains."""
     built, searcher = _searcher(spark, sf_dir)
     top = searcher.topk_near(N1_TERMS, 10, gap=N1_GAP)

@@ -252,6 +252,12 @@ def run_suite(cpus: int, quick: bool = False) -> dict:
          searcher.topk_phrase_dataframe),
         ("q_and_mix_df", f"{VOCAB[0]} {VOCAB[120]} {VOCAB[3500]}",
          searcher.topk_and),
+        # ordered proximity, hot×hot (gap=4): the chain-DP range scorer
+        # vs the union/groupBy JVM-fold twin
+        ("q_near_hot", f"{VOCAB[0]} {VOCAB[1]}",
+         lambda q, kk: searcher.topk_near(q, kk, gap=4)),
+        ("q_near_hot_df", f"{VOCAB[0]} {VOCAB[1]}",
+         lambda q, kk: searcher.topk_near_dataframe(q, kk, gap=4)),
     ):
         t0 = time.time()
         fn(q, 10).collect()

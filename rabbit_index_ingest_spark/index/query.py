@@ -956,14 +956,71 @@ class Searcher:
         k: int = 10,
         gap: int = 1,
         allowed: DataFrame | None = None,
+        skip_acc=None,
+    ) -> DataFrame:
+        """Ordered proximity top-k (ES ``span_near(in_order=true)``) — the
+        block-max positional path and the engine default. Semantics and
+        scores are identical to ``topk_near_dataframe`` (the reference
+        twin; see its docstring for the chain-count contract; ``gap=1``
+        degenerates to the exact phrase). Plan shape is ``topk_phrase``'s:
+        compressed blocks group by doc range, every term's blocks
+        semi-join the rarest term's range_ids (block metadata only), and
+        the per-range scorer (``_make_near_range_scorer``) intersects
+        doc-level candidates on the cheap streams before decoding any
+        position stream — so a hot×hot proximity query never ships or
+        decodes positions for docs that can't hold all terms, at any df.
+        Tombstones and ``allowed`` cogroup per range exactly like
+        ``topk_blockmax``; ``skip_acc`` counts blocks skipped undecoded.
+        """
+        qterms = py_tokenize(query_text)
+        if not qterms:
+            return _empty_topk(self.spark)
+        uniq = sorted(set(qterms))
+        meta = self._term_meta(uniq)
+        if any(meta[t][0] == 0 for t in uniq):
+            return _empty_topk(self.spark)
+        idf_q = sum(lucene_idf(self.n_docs, meta[t][0]) for t in qterms)
+        order = sorted(uniq, key=lambda t: (meta[t][0], t))
+        blocks = self.postings.where(
+            F.col("bucket").isin(_term_buckets(self.spark, uniq))
+        ).where(F.col("term").isin(uniq))
+        if len(uniq) > 1:
+            rare_ranges = (
+                blocks.where(F.col("term") == order[0])
+                .select("range_id")
+                .distinct()
+            )
+            blocks = blocks.join(rare_ranges, "range_id", "left_semi")
+        side = self._side_frame(allowed)
+        scorer = _make_near_range_scorer(
+            idf_q, self.avgdl, k, self.range_bits, order, qterms, gap,
+            self.deleted, allowed_present=allowed is not None,
+            cogrouped=side is not None, skip_acc=skip_acc,
+        )
+        grouped = blocks.select(*_SCORE_COLS, "pos_bytes").groupBy("range_id")
+        if side is not None:
+            local = grouped.cogroup(side.groupBy("range_id")).applyInPandas(
+                scorer, TOPK_SCHEMA
+            )
+        else:
+            local = grouped.applyInPandas(scorer, TOPK_SCHEMA)
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def topk_near_dataframe(
+        self,
+        query_text: str,
+        k: int = 10,
+        gap: int = 1,
+        allowed: DataFrame | None = None,
     ) -> DataFrame:
         """Ordered proximity top-k (the ES ``span_near(in_order=true)``
-        analogue) over the positional postings: a doc matches when the
-        query's terms occur IN ORDER with each consecutive pair at most
-        ``gap`` positions apart; ``gap=1`` degenerates to the exact
-        phrase. The match count is the number of position chains
-        (p₀ < p₁ ≤ p₀+gap < … ), and scoring treats the span like
-        ``topk_phrase``'s pseudo-term:
+        analogue) over the positional postings — the pure-DataFrame
+        reference twin of ``topk_near`` (rank- and score-identical;
+        test-asserted): a doc matches when the query's terms occur IN
+        ORDER with each consecutive pair at most ``gap`` positions apart;
+        ``gap=1`` degenerates to the exact phrase. The match count is the
+        number of position chains (p₀ < p₁ ≤ p₀+gap < … ), and scoring
+        treats the span like ``topk_phrase``'s pseudo-term:
 
             score = (Σ_i idf(term_i)) · tf_norm(chain_count, dl, avgdl)
 
@@ -1488,43 +1545,13 @@ def _make_phrase_range_scorer(
         C: np.ndarray | None = allow_mask
         if del_mask is not None:
             C = ~del_mask if C is None else (C & ~del_mask)
-        skipped = 0
-        # first_doc order => ascending doc order within a term, so pass-2
-        # key arrays concatenate already-sorted (blocks partition docs)
-        by_term = {
-            t: g.sort_values("first_doc") for t, g in pdf.groupby("term")
-        }
-        dl_arr = np.zeros(range_size, dtype=np.int64)
-        kept: dict[str, list[tuple]] = {}
-        for ti, t in enumerate(term_order):
-            newC = np.zeros(range_size, dtype=bool)
-            rows = []
-            for row in by_term[t].itertuples(index=False):
-                if C is not None:
-                    lo, hi = row.first_doc - base, row.last_doc - base
-                    if not C[lo : hi + 1].any():
-                        skipped += 1
-                        continue
-                ids, tfs = codec.unpack_block(row.doc_bytes, row.tf_bytes)
-                idx = ids - base
-                if ti == 0:
-                    # dl for final scoring: the first (rarest) term's docs
-                    # are a superset of every later candidate set
-                    dl_arr[idx] = codec.varbyte_decode(row.dl_bytes)
-                if C is not None:
-                    live = C[idx]
-                    if not live.any():
-                        continue
-                    newC[idx[live]] = True
-                else:
-                    newC[idx] = True
-                rows.append((row.pos_bytes, idx, tfs))
-            if not newC.any():
-                if skip_acc is not None and skipped:
-                    skip_acc.add(skipped)
-                return _empty_topk_pdf()
-            kept[t] = rows
-            C = newC
+        C, dl_arr, kept, skipped = _pass1_intersect(
+            pdf, term_order, base, range_size, C
+        )
+        if C is None:
+            if skip_acc is not None and skipped:
+                skip_acc.add(skipped)
+            return _empty_topk_pdf()
         # pass 2: positional intersection over final candidates only
         running: np.ndarray | None = None
         for t in term_order:
@@ -1574,21 +1601,224 @@ def _make_phrase_range_scorer(
         if skip_acc is not None and skipped:
             skip_acc.add(skipped)
         docs, ptf = np.unique(running >> 32, return_counts=True)
-        # EXACT operation order of the JVM twin ((idf·ptf)·(k1+1))/denom —
-        # tf_norm() multiplies idf last, which differs by 1 ulp and breaks
-        # bit-parity with topk_phrase_dataframe/topk_near(gap=1)
-        ptf_f = ptf.astype(np.float64)
-        dls_f = dl_arr[docs].astype(np.float64)
-        scores = (
-            idf_phrase * ptf_f * (codec.K1 + 1.0)
-            / (ptf_f + codec.K1 * (1.0 - codec.B + codec.B * dls_f / avgdl))
+        return _finish_positional_topk(
+            docs, ptf.astype(np.float64), dl_arr, base, idf_phrase, avgdl, k
         )
-        order_idx = np.lexsort((docs, -scores))[:k]
-        return pd.DataFrame(
-            {
-                "doc_id": (docs[order_idx] + base).astype("int64"),
-                "score": scores[order_idx],
-            }
+
+    def plain(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score(key[0], pdf, deleted, None)
+
+    def cg(key: tuple, pdf: pd.DataFrame, side: pd.DataFrame) -> pd.DataFrame:
+        dead = frozenset(side.loc[side["kind"] == 0, "doc_id"].tolist()) | deleted
+        allow = None
+        if allowed_present:
+            allow = side.loc[side["kind"] == 1, "doc_id"].to_numpy(np.int64)
+            if len(allow) == 0:
+                return _empty_topk_pdf()
+        return _score(key[0], pdf, dead, allow)
+
+    return cg if cogrouped else plain
+
+
+def _pass1_intersect(
+    pdf: pd.DataFrame,
+    term_order: list[str],
+    base: int,
+    range_size: int,
+    C: np.ndarray | None,
+) -> tuple:
+    """Pass 1 of the positional range scorers (phrase + near): doc-level
+    conjunctive intersection over the cheap ``doc_bytes``/``tf_bytes``
+    streams only — positions are NEVER decoded here. Terms arrive in
+    global-df-ascending ``term_order``; the candidate bitmap ``C``
+    (seeded from the allow/tombstone masks, or None for "all live")
+    intersects down after each term, blocks whose [first_doc, last_doc]
+    span misses ``C`` are skipped undecoded, and an empty ``C`` at any
+    point aborts. A doc missing any required term can never match, so
+    every removal is lossless for both phrase and ordered-proximity
+    semantics.
+
+    Returns ``(C, dl_arr, kept, skipped)`` where ``kept[t]`` holds the
+    surviving ``(pos_bytes, local_idx, tfs)`` block triples in first_doc
+    order (so pass-2 key arrays concatenate already-sorted — blocks
+    partition docs), or ``(None, None, None, skipped)`` when no doc can
+    match."""
+    skipped = 0
+    by_term = {
+        t: g.sort_values("first_doc") for t, g in pdf.groupby("term")
+    }
+    dl_arr = np.zeros(range_size, dtype=np.int64)
+    kept: dict[str, list[tuple]] = {}
+    for ti, t in enumerate(term_order):
+        newC = np.zeros(range_size, dtype=bool)
+        rows = []
+        for row in by_term[t].itertuples(index=False):
+            if C is not None:
+                lo, hi = row.first_doc - base, row.last_doc - base
+                if not C[lo : hi + 1].any():
+                    skipped += 1
+                    continue
+            ids, tfs = codec.unpack_block(row.doc_bytes, row.tf_bytes)
+            idx = ids - base
+            if ti == 0:
+                # dl for final scoring: the first (rarest) term's docs
+                # are a superset of every later candidate set
+                dl_arr[idx] = codec.varbyte_decode(row.dl_bytes)
+            if C is not None:
+                live = C[idx]
+                if not live.any():
+                    continue
+                newC[idx[live]] = True
+            else:
+                newC[idx] = True
+            rows.append((row.pos_bytes, idx, tfs))
+        if not newC.any():
+            return None, None, None, skipped
+        kept[t] = rows
+        C = newC
+    return C, dl_arr, kept, skipped
+
+
+def _finish_positional_topk(
+    docs: np.ndarray,
+    tf_f: np.ndarray,
+    dl_arr: np.ndarray,
+    base: int,
+    idf_q: float,
+    avgdl: float,
+    k: int,
+) -> pd.DataFrame:
+    """Shared scoring tail of the positional range scorers: BM25 over the
+    pseudo-term tf (phrase_tf / chain count) in the EXACT operation order
+    of the JVM twin — ((idf·tf)·(k1+1))/denom; ``tf_norm()`` multiplies
+    idf last, which differs by 1 ulp and breaks bit-parity with
+    ``topk_phrase_dataframe``/``topk_near_dataframe``."""
+    dls_f = dl_arr[docs].astype(np.float64)
+    scores = (
+        idf_q * tf_f * (codec.K1 + 1.0)
+        / (tf_f + codec.K1 * (1.0 - codec.B + codec.B * dls_f / avgdl))
+    )
+    order_idx = np.lexsort((docs, -scores))[:k]
+    return pd.DataFrame(
+        {
+            "doc_id": (docs[order_idx] + base).astype("int64"),
+            "score": scores[order_idx],
+        }
+    )
+
+
+def _make_near_range_scorer(
+    idf_q: float,
+    avgdl: float,
+    k: int,
+    range_bits: int,
+    term_order: list[str],
+    qterms: list[str],
+    gap: int,
+    deleted: frozenset,
+    allowed_present: bool = False,
+    cogrouped: bool = False,
+    skip_acc=None,
+):
+    """Positional block-max ordered-proximity scorer for one doc range
+    (``Searcher.topk_near``; the span_near(in_order=true) analogue of
+    ``_make_phrase_range_scorer``, sharing its pass-1 doc intersection).
+
+    Pass 2 is the weighted-chain dynamic program of the DataFrame twin
+    (``topk_near_dataframe``), vectorized across ALL candidate docs at
+    once instead of per-doc JVM folds: each query position's surviving
+    occurrences are int64 keys ``local_doc << 32 | pos`` (ascending by
+    construction), a step computes every occurrence's chain weight
+    w(p) = Σ w(s) over same-doc predecessors s ∈ [p−gap, p−1] as TWO
+    ``np.searchsorted`` calls against the previous step's key array plus
+    a prefix-sum difference — O((tf+tf′)·log tf) per step, no Python
+    loop over docs. ``chain_count`` per doc is the bincount of the final
+    step's weights; score = (Σ idf(term_i)) · tf_norm(chain_count, dl,
+    avgdl), bit-identical to the twin (gap=1 ≡ exact phrase).
+    """
+    range_size = 1 << range_bits
+
+    def _score(
+        range_id: int,
+        pdf: pd.DataFrame,
+        dead: frozenset,
+        allow_ids: np.ndarray | None,
+    ) -> pd.DataFrame:
+        if len(pdf) == 0 or set(pdf["term"].tolist()) != set(term_order):
+            return _empty_topk_pdf()  # a required term absent from range
+        base = int(range_id) << range_bits
+        del_mask, allow_mask, range_empty = _range_masks(
+            base, range_size, dead, allow_ids
+        )
+        if range_empty:
+            return _empty_topk_pdf()
+        C: np.ndarray | None = allow_mask
+        if del_mask is not None:
+            C = ~del_mask if C is None else (C & ~del_mask)
+        C, dl_arr, kept, skipped = _pass1_intersect(
+            pdf, term_order, base, range_size, C
+        )
+
+        def _flush_empty() -> pd.DataFrame:
+            if skip_acc is not None and skipped:
+                skip_acc.add(skipped)
+            return _empty_topk_pdf()
+
+        if C is None:
+            return _flush_empty()
+        # pass 2a: occurrence keys per unique term, candidates only —
+        # the position stream decodes IF the block still holds candidates
+        occ: dict[str, np.ndarray] = {}
+        for t in term_order:
+            parts = []
+            for pos_bytes, idx, tfs in kept[t]:
+                live = C[idx]
+                if not live.any():
+                    skipped += 1  # pos stream never decoded
+                    continue
+                if len(pos_bytes) == 0 and tfs.sum() > 0:
+                    raise ValueError(
+                        "posting block has no position stream — the index "
+                        "was built with positions=False; rebuild with "
+                        "build_index(..., positions=True) for proximity "
+                        "queries"
+                    )
+                flat, _ = codec.unpack_positions(pos_bytes, tfs)
+                occ_doc = np.repeat(idx, tfs).astype(np.int64)
+                occ_live = np.repeat(live, tfs)
+                keys = (occ_doc[occ_live] << 32) | flat[occ_live].astype(
+                    np.int64
+                )
+                if len(keys):
+                    parts.append(keys)
+            if not parts:
+                return _flush_empty()
+            occ[t] = np.concatenate(parts)
+        # pass 2b: chain DP in query-position order, all docs at once
+        prev_keys = occ[qterms[0]]
+        prev_w = np.ones(len(prev_keys), dtype=np.int64)
+        glit = np.int64(gap)
+        for qt in qterms[1:]:
+            cur = occ[qt]
+            d = cur >> 32
+            p = cur & np.int64(0xFFFFFFFF)
+            # same-doc predecessors s with p-gap <= s <= p-1: a contiguous
+            # key interval [lb, cur) in the sorted previous-step array
+            lb = (d << 32) | np.maximum(p - glit, 0)
+            cw = np.concatenate(([0], np.cumsum(prev_w)))
+            lo = np.searchsorted(prev_keys, lb, side="left")
+            hi = np.searchsorted(prev_keys, cur, side="left")
+            w = cw[hi] - cw[lo]
+            m = w > 0
+            if not m.any():
+                return _flush_empty()
+            prev_keys, prev_w = cur[m], w[m]
+        if skip_acc is not None and skipped:
+            skip_acc.add(skipped)
+        docs, inv = np.unique(prev_keys >> 32, return_inverse=True)
+        chain = np.bincount(inv, weights=prev_w.astype(np.float64))
+        return _finish_positional_topk(
+            docs, chain, dl_arr, base, idf_q, avgdl, k
         )
 
     def plain(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:

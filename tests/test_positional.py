@@ -379,6 +379,9 @@ def test_topk_near_matches_oracle(spark, corpus, query, gap):
     want = _py_near_topk(pdf, query, gap, 10)
     got = searcher.topk_near(query, 10, gap=gap).collect()
     _assert_topk_equal(got, want, 10)
+    # the DataFrame reference twin must agree score-identically
+    got_df = searcher.topk_near_dataframe(query, 10, gap=gap).collect()
+    _assert_topk_equal(got_df, want, 10)
 
 
 def test_topk_near_gap1_equals_phrase(spark, corpus):
@@ -477,7 +480,9 @@ def test_near_two_phase_intersection_above_cap(spark, corpus):
     )
     s2._PHRASE_PREFILTER_MAX_DF = 0
     want = _py_near_topk(pdf, "zephyr quantum", 3, 10)
-    _assert_topk_equal(s2.topk_near("zephyr quantum", 10, gap=3).collect(), want, 10)
+    _assert_topk_equal(
+        s2.topk_near_dataframe("zephyr quantum", 10, gap=3).collect(), want, 10
+    )
 
 
 def test_phrase_blockmax_prunes_blocks(spark):
@@ -515,6 +520,44 @@ def test_phrase_blockmax_allowed_filter(spark, corpus):
     allowed_ids = {r["doc_id"] for r in allowed_df.collect()}
     want = [w for w in full if w[0] in allowed_ids][:10]
     got = searcher.topk_phrase("zephyr quantum", 10, allowed=allowed_df).collect()
+    _assert_topk_equal(got, want, 10)
+
+
+def test_near_blockmax_prunes_blocks(spark):
+    """The default proximity path shares the phrase scorer's pass-1 doc
+    intersection: hot-term blocks whose span misses the rare anchor's
+    candidate bitmap must skip undecoded, result still oracle-exact."""
+    import pandas as pd
+
+    rows = [
+        ("c%03d" % j, 0, ("anchor x " if j == 57 else "w%d x " % j) + "target")
+        for j in range(200)
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    b2 = build_index(spark, spark.createDataFrame(pdf), block_size=8)
+    s = Searcher(spark, b2.postings, b2.dictionary, b2.n_docs, b2.avgdl)
+    acc = spark.sparkContext.accumulator(0)
+    want = _py_near_topk(pdf, "anchor target", 2, 10)
+    assert len(want) == 1, want
+    got = s.topk_near("anchor target", 10, gap=2, skip_acc=acc).collect()
+    _assert_topk_equal(got, want, 10)
+    assert acc.value >= 20, f"expected most hot blocks skipped, got {acc.value}"
+    b2.release()
+
+
+def test_near_blockmax_allowed_filter(spark, corpus):
+    """bool-filter composition inside the near range scorer (cogrouped
+    allow set) must equal post-filtering the unfiltered result."""
+    pdf, built, searcher = corpus
+    full = _py_near_topk(pdf, "zephyr quantum", 3, 10_000)
+    allowed_df = built.doc_stats.where(F.col("turn_idx") % 2 == 0).select(
+        "doc_id"
+    )
+    allowed_ids = {r["doc_id"] for r in allowed_df.collect()}
+    want = [w for w in full if w[0] in allowed_ids][:10]
+    got = searcher.topk_near(
+        "zephyr quantum", 10, gap=3, allowed=allowed_df
+    ).collect()
     _assert_topk_equal(got, want, 10)
 
 
