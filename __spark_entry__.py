@@ -767,6 +767,20 @@ def _q_c1_and_topk(spark, sf_dir):
     )
 
 
+def _q_c2_msm_topk(spark, sf_dir):
+    """minimum_should_match (ES ``match`` + ``minimum_should_match: 2``):
+    docs matching at least 2 of the 3 query terms rank, scored by the
+    full BM25 sum over the terms they DO match — strictly between the
+    disjunctive (msm=1) and conjunctive (msm=3) result sets. Routed
+    through the count-pruned block-max scorer (the engine default;
+    parity with the DataFrame twin is test-asserted)."""
+    built, searcher = _searcher(spark, sf_dir)
+    top = searcher.topk_msm(C1_QUERY, 10, msm=2)
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def _q_f1_filtered_topk(spark, sf_dir):
     """Filtered BM25 (ES bool filter): ranking restricted to docs whose
     source is in F1_SOURCES; corpus stats / idf stay corpus-wide (the
@@ -803,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g1_facets": _q_g1_facets,
         "h1_highlight": _q_h1_highlight,
         "c1_and_topk": _q_c1_and_topk,
+        "c2_msm_topk": _q_c2_msm_topk,
         "f1_filtered_topk": _q_f1_filtered_topk,
         "a2_decode_messages": _q_a2_decode_messages,
         "a4_routing": _q_a4_routing,
@@ -876,13 +891,18 @@ def _bm25_sql(
     topk: int | None,
     require_all: bool = False,
     doc_filter: str | None = None,
+    min_match: int | None = None,
 ) -> str:
     """DuckDB BM25 twin. ``require_all`` adds the conjunctive
     (operator:and) predicate: a doc must match every DISTINCT query term —
     dft only holds df>0 terms, so any corpus-absent query term makes the
     HAVING unreachable (empty result), exactly the engine's contract.
+    ``min_match`` adds the ES minimum_should_match predicate instead
+    (count of matched PRESENT terms >= m; an absent term is an
+    unmatchable clause that still counts toward the requirement).
     ``doc_filter`` is a SQL predicate over ``documents`` restricting the
     RANKED docs only (stats/idf stay corpus-wide — ES bool filter)."""
+    assert not (require_all and min_match is not None)
     base = _BM25_BASE.replace("__QUERY__", query_text)
     base = base.replace(
         "__DOC_FILTER__",
@@ -890,10 +910,13 @@ def _bm25_sql(
         if doc_filter
         else "",
     )
-    base = base.replace(
-        "__HAVING__",
-        "HAVING count(*) = (SELECT count(*) FROM qterms)" if require_all else "",
-    )
+    if require_all:
+        having = "HAVING count(*) = (SELECT count(*) FROM qterms)"
+    elif min_match is not None:
+        having = f"HAVING count(*) >= {int(min_match)}"
+    else:
+        having = ""
+    base = base.replace("__HAVING__", having)
     tail = "SELECT doc_id, round(score, 4) AS score FROM scored"
     if topk:
         tail += f" ORDER BY score DESC, doc_id LIMIT {topk}"
@@ -1181,6 +1204,7 @@ s AS (
 SELECT doc_id, array_to_string(snip, ' ') AS snippet FROM s
 """
     sql["c1_and_topk"] = _bm25_sql(C1_QUERY, 10, require_all=True)
+    sql["c2_msm_topk"] = _bm25_sql(C1_QUERY, 10, min_match=2)
     sql["f1_filtered_topk"] = _bm25_sql(
         q,
         10,

@@ -53,6 +53,10 @@ def _parser() -> argparse.ArgumentParser:
     q.add_argument("--gap", type=int, default=1,
                    help="near mode: max positions between consecutive "
                         "terms (1 = adjacent)")
+    q.add_argument("--min-match", type=int, default=None,
+                   help="or mode: ES minimum_should_match — doc must "
+                        "match at least this many query terms (scored "
+                        "over all terms it matches)")
     q.add_argument("--filter", default=None,
                    help="SQL predicate over the docs table (e.g. "
                         "\"turn_idx = 0\") — ES bool-filter analogue; "
@@ -117,6 +121,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.filter:
             allowed = L.docs.where(args.filter).select("doc_id")
         fast = args.path == "blockmax"
+        if args.min_match is not None and args.mode != "or":
+            raise SystemExit("--min-match applies to --mode or only")
         if args.mode == "phrase":
             top = s.topk_phrase(args.q, args.k, allowed=allowed)
         elif args.mode == "near":
@@ -129,6 +135,16 @@ def main(argv: list[str] | None = None) -> int:
                 s.topk_blockmax_and(args.q, args.k, allowed=allowed)
                 if fast
                 else s.topk_and(args.q, args.k, allowed=allowed)
+            )
+        elif args.min_match is not None:
+            # ES minimum_should_match: count-pruned scorer (composes with
+            # --filter via the same cogrouped allow side)
+            top = (
+                s.topk_msm(args.q, args.k, msm=args.min_match, allowed=allowed)
+                if fast
+                else s.topk_msm_dataframe(
+                    args.q, args.k, msm=args.min_match, allowed=allowed
+                )
             )
         elif allowed is not None:
             # bool filter masks at block-decode time on the fast path —

@@ -353,13 +353,16 @@ class Searcher:
         flat: DataFrame,
         idfs: dict[str, float],
         require_n: int | None = None,
+        min_match: int | None = None,
     ) -> DataFrame:
         """Shared disjunctive BM25 aggregation over decoded flat postings
         (doc_id, term, tf, dl): idf broadcast join → per-term contrib →
         one groupBy(doc_id) sum. ``require_n`` adds the conjunctive
-        match-all predicate (count of matched terms == n) on the SAME
-        aggregation — the one pipeline behind topk_dataframe / topk_and /
-        topk_filtered, so the score expression exists exactly once."""
+        match-all predicate (count of matched terms == n), ``min_match``
+        the ES ``minimum_should_match`` predicate (count >= m) — both on
+        the SAME aggregation — the one pipeline behind topk_dataframe /
+        topk_and / topk_filtered / topk_msm_dataframe, so the score
+        expression exists exactly once."""
         idf_df = F.broadcast(
             self.spark.createDataFrame(
                 sorted(idfs.items()), "term string, idf double"
@@ -378,13 +381,18 @@ class Searcher:
         grouped = flat.join(idf_df, "term").withColumn("contrib", contrib).groupBy(
             "doc_id"
         )
-        if require_n is None:
+        if require_n is None and min_match is None:
             return grouped.agg(F.sum("contrib").alias("score"))
+        pred = (
+            (F.col("_nt") == require_n)
+            if require_n is not None
+            else (F.col("_nt") >= min_match)
+        )
         return (
             grouped.agg(
                 F.sum("contrib").alias("score"), F.count("*").alias("_nt")
             )
-            .where(F.col("_nt") == require_n)
+            .where(pred)
             .drop("_nt")
         )
 
@@ -553,6 +561,85 @@ class Searcher:
             local = grouped.applyInPandas(scorer, TOPK_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def topk_msm(
+        self,
+        query_text: str,
+        k: int = 10,
+        msm: int = 1,
+        allowed: DataFrame | None = None,
+        skip_acc=None,
+    ) -> DataFrame:
+        """``minimum_should_match`` top-k through the block-pruned scorer
+        — the engine default for msm queries, score-identical to
+        ``topk_msm_dataframe`` (see its docstring for the ES contract).
+        ``msm=1`` delegates to the θ-pruned disjunctive ``topk_blockmax``;
+        ``msm=n_terms`` delegates to the candidate-driven
+        ``topk_blockmax_and``; in between, pruning is the Lucene
+        optional/mandatory split generalized to counting:
+
+        * range level — a range holding fewer than ``msm`` distinct query
+          terms can't produce a match: pruned by a metadata-only
+          countDistinct semi-join before the shuffle, and re-checked per
+          range before any decode;
+        * block level — terms are processed in global-df-ascending order
+          with match-counts per doc; a doc first seen at term index ``i``
+          (0-based) can match at most ``n - i`` terms, so once
+          ``i > n - msm`` no NEW doc can reach the requirement and blocks
+          whose span misses the still-viable candidate set are skipped
+          undecoded; the viable set tightens after every term
+          (``count_so_far + terms_left >= msm``).
+
+        Exact: a doc dropped from the viable set provably can't match
+        ``msm`` terms; scores accumulate over ALL matched terms of the
+        surviving docs (full BM25 sums). ``allowed`` composes the
+        bool-filter: viability starts from the allow/tombstone masks.
+        """
+        if msm < 1:
+            raise ValueError(f"msm must be >= 1, got {msm}")
+        plan = self._plan(query_text)
+        if plan is None:
+            return _empty_topk(self.spark)
+        idfs, blocks, _ = plan
+        n = len(idfs)
+        if n < msm:
+            return _empty_topk(self.spark)
+        if msm == 1:
+            return self.topk_blockmax(
+                query_text, k, skip_acc=skip_acc, allowed=allowed
+            )
+        # delegate to the conjunctive scorer only when every query term is
+        # present: with an absent (df=0) term, operator:and returns empty
+        # but msm == n_present must still match on the present terms
+        if msm == n and n == len(set(py_tokenize(query_text))):
+            return self.topk_blockmax_and(
+                query_text, k, skip_acc=skip_acc, allowed=allowed
+            )
+        meta = self._term_meta(sorted(idfs))
+        order = sorted(idfs, key=lambda t: (meta[t][0], t))
+        # range-level prune: metadata-only countDistinct over the already
+        # term/bucket-pruned block scan — no byte columns read
+        viable_ranges = (
+            blocks.groupBy("range_id")
+            .agg(F.countDistinct("term").alias("_nt"))
+            .where(F.col("_nt") >= msm)
+            .select("range_id")
+        )
+        blocks = blocks.join(viable_ranges, "range_id", "left_semi")
+        side = self._side_frame(allowed)
+        scorer = _make_msm_range_scorer(
+            idfs, self.avgdl, k, self.range_bits, order, msm, self.deleted,
+            allowed_present=allowed is not None,
+            cogrouped=side is not None, skip_acc=skip_acc,
+        )
+        grouped = blocks.select(*_SCORE_COLS).groupBy("range_id")
+        if side is not None:
+            local = grouped.cogroup(side.groupBy("range_id")).applyInPandas(
+                scorer, TOPK_SCHEMA
+            )
+        else:
+            local = grouped.applyInPandas(scorer, TOPK_SCHEMA)
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     # ---------------- boolean / filtered / phrase retrieval ----------------
 
     def _mask_deleted(self, flat: DataFrame) -> DataFrame:
@@ -594,6 +681,41 @@ class Searcher:
         if allowed is not None:
             flat = flat.join(allowed.select("doc_id"), "doc_id", "left_semi")
         scored = self._bm25_scored(flat, idfs, require_n=len(terms))
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def topk_msm_dataframe(
+        self,
+        query_text: str,
+        k: int = 10,
+        msm: int = 1,
+        allowed: DataFrame | None = None,
+    ) -> DataFrame:
+        """``minimum_should_match`` BM25 top-k — the pure-DataFrame
+        reference twin of ``topk_msm`` (rank- and score-identical;
+        test-asserted): a doc ranks when it matches at least ``msm`` of
+        the query's distinct terms, scored by the full BM25 sum over the
+        terms it DOES match (ES ``match`` + ``minimum_should_match``).
+        ``msm=1`` is the plain disjunction; ``msm=n_terms`` is
+        operator:and. Terms absent from the corpus (df=0) can never be
+        matched, so a doc must match ``msm`` of the PRESENT terms — if
+        fewer than ``msm`` query terms exist at all, no doc can qualify
+        (ES's contract: absent optional clauses still count toward the
+        requirement).
+
+        Same single aggregation as ``topk_and`` with the HAVING relaxed
+        to ``count >= msm`` — no extra shuffle."""
+        if msm < 1:
+            raise ValueError(f"msm must be >= 1, got {msm}")
+        plan = self._plan(query_text)
+        if plan is None:
+            return _empty_topk(self.spark)
+        idfs, blocks, _ = plan
+        if len(idfs) < msm:
+            return _empty_topk(self.spark)
+        flat = self._mask_deleted(flat_postings(blocks))
+        if allowed is not None:
+            flat = flat.join(allowed.select("doc_id"), "doc_id", "left_semi")
+        scored = self._bm25_scored(flat, idfs, min_match=msm)
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def topk_filtered(
@@ -1603,6 +1725,132 @@ def _make_phrase_range_scorer(
         docs, ptf = np.unique(running >> 32, return_counts=True)
         return _finish_positional_topk(
             docs, ptf.astype(np.float64), dl_arr, base, idf_phrase, avgdl, k
+        )
+
+    def plain(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score(key[0], pdf, deleted, None)
+
+    def cg(key: tuple, pdf: pd.DataFrame, side: pd.DataFrame) -> pd.DataFrame:
+        dead = frozenset(side.loc[side["kind"] == 0, "doc_id"].tolist()) | deleted
+        allow = None
+        if allowed_present:
+            allow = side.loc[side["kind"] == 1, "doc_id"].to_numpy(np.int64)
+            if len(allow) == 0:
+                return _empty_topk_pdf()
+        return _score(key[0], pdf, dead, allow)
+
+    return cg if cogrouped else plain
+
+
+def _make_msm_range_scorer(
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    range_bits: int,
+    term_order: list[str],
+    msm: int,
+    deleted: frozenset,
+    allowed_present: bool = False,
+    cogrouped: bool = False,
+    skip_acc=None,
+):
+    """Counting generalization of ``_make_conjunctive_range_scorer`` for
+    ``Searcher.topk_msm`` (1 < msm < n_terms): per doc range, terms are
+    processed in global-df-ascending order while a per-doc match count
+    accumulates; once the remaining terms can no longer lift a NEW doc to
+    ``msm`` (term index i > n − msm), the viable bitmap bounds every later
+    decode exactly like the conjunctive candidate set — blocks whose doc
+    span misses it skip undecoded, decoded rows are masked, and the set
+    tightens after every term to ``count_so_far + terms_left >= msm``.
+    Before that crossover only the static allow/tombstone masks bound
+    decodes (new docs may still appear). Exact: the viability inequality
+    is an upper bound on any doc's final match count, and final scores
+    accumulate per-term contributions of docs with count >= msm in
+    sorted-term order (bit-parity with the DataFrame twin / oracle)."""
+    range_size = 1 << range_bits
+    n = len(term_order)
+
+    def _score(
+        range_id: int,
+        pdf: pd.DataFrame,
+        dead: frozenset,
+        allow_ids: np.ndarray | None,
+    ) -> pd.DataFrame:
+        present = set(pdf["term"].tolist())
+        if len(pdf) == 0 or len(present & set(term_order)) < msm:
+            return _empty_topk_pdf()  # range can't hold an msm match
+        base = int(range_id) << range_bits
+        del_mask, allow_mask, range_empty = _range_masks(
+            base, range_size, dead, allow_ids
+        )
+        if range_empty:
+            return _empty_topk_pdf()
+        # M: the static live/allowed mask (None = everything live)
+        M: np.ndarray | None = allow_mask
+        if del_mask is not None:
+            M = ~del_mask if M is None else (M & ~del_mask)
+        skipped = 0
+        cnt = np.zeros(range_size, dtype=np.int32)
+        per_term: dict[str, np.ndarray] = {}
+        by_term = {t: g for t, g in pdf.groupby("term")}
+        C: np.ndarray | None = None  # viable set once counting binds
+
+        def _flush_skips() -> None:
+            if skip_acc is not None and skipped:
+                skip_acc.add(skipped)
+
+        for i, t in enumerate(term_order):
+            # absent terms still advance i: viability math counts them as
+            # a spent chance (they can't raise any doc's count)
+            rows = by_term.get(t)
+            gate = C if C is not None else M
+            if rows is not None:
+                idf = idfs[t]
+                arr = np.zeros(range_size, dtype=np.float64)
+                touched = False
+                for row in rows.itertuples(index=False):
+                    if gate is not None:
+                        lo, hi = row.first_doc - base, row.last_doc - base
+                        if not gate[lo : hi + 1].any():
+                            skipped += 1
+                            continue
+                    ids, tfs = codec.unpack_block(row.doc_bytes, row.tf_bytes)
+                    dls = codec.varbyte_decode(row.dl_bytes)
+                    idx = ids - base
+                    if gate is not None:
+                        keep = gate[idx]
+                        if not keep.any():
+                            continue
+                        idx, tfs, dls = idx[keep], tfs[keep], dls[keep]
+                    # '=' not '+=': blocks partition a term's postings
+                    arr[idx] = idf * codec.tf_norm(tfs, dls, avgdl)
+                    cnt[idx] += 1
+                    touched = True
+                if touched:
+                    per_term[t] = arr
+            # viability after i+1 terms: cnt + (n - i - 1) >= msm
+            need_now = msm - (n - 1 - i)
+            if need_now >= 1:
+                C = cnt >= need_now
+                if not C.any():
+                    _flush_skips()
+                    return _empty_topk_pdf()
+        _flush_skips()
+        matched = cnt >= msm
+        if not matched.any():
+            return _empty_topk_pdf()
+        # deterministic final accumulation: sorted-term order (oracle parity)
+        final = np.zeros(range_size, dtype=np.float64)
+        for t in sorted(per_term):
+            final += per_term[t]
+        nz = np.flatnonzero(matched)
+        scores = final[nz]
+        order_idx = np.lexsort((nz, -scores))[:k]
+        return pd.DataFrame(
+            {
+                "doc_id": (nz[order_idx] + base).astype("int64"),
+                "score": scores[order_idx],
+            }
         )
 
     def plain(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
