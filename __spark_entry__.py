@@ -767,6 +767,33 @@ def _q_c1_and_topk(spark, sf_dir):
     )
 
 
+PR_PREFIX = "s"  # expands to several documents-vocabulary terms at any sf
+
+
+def _q_pr1_prefix_topk(spark, sf_dir):
+    """ES ``prefix`` query, ``rewrite: scoring_boolean``: the prefix
+    expands against the index dictionary (Lucene TermsEnum) and runs as a
+    BM25 disjunction through the θ-pruned block-max path — every
+    expansion keeps its own idf. Full scored set returned (no rank-k
+    boundary) so the hash-compare is tie-order-free."""
+    built, searcher = _searcher(spark, sf_dir)
+    top = searcher.topk_prefix(
+        PR_PREFIX, 10_000_000, rewrite="scoring_boolean"
+    )
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_pr2_prefix_const(spark, sf_dir):
+    """ES ``prefix`` query, ``rewrite: constant_score`` (the ES default):
+    every doc containing ANY expansion scores 1.0 — the filter shape.
+    Full match set returned."""
+    built, searcher = _searcher(spark, sf_dir)
+    top = searcher.topk_prefix(PR_PREFIX, 10_000_000, rewrite="constant_score")
+    return _with_orig_doc_id(top, built).select("doc_id", "score")
+
+
 def _q_c2_msm_topk(spark, sf_dir):
     """minimum_should_match (ES ``match`` + ``minimum_should_match: 2``):
     docs matching at least 2 of the 3 query terms rank, scored by the
@@ -818,6 +845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h1_highlight": _q_h1_highlight,
         "c1_and_topk": _q_c1_and_topk,
         "c2_msm_topk": _q_c2_msm_topk,
+        "pr1_prefix_topk": _q_pr1_prefix_topk,
+        "pr2_prefix_const": _q_pr2_prefix_const,
         "f1_filtered_topk": _q_f1_filtered_topk,
         "a2_decode_messages": _q_a2_decode_messages,
         "a4_routing": _q_a4_routing,
@@ -904,6 +933,19 @@ def _bm25_sql(
     RANKED docs only (stats/idf stay corpus-wide — ES bool filter)."""
     assert not (require_all and min_match is not None)
     base = _BM25_BASE.replace("__QUERY__", query_text)
+    if query_text.endswith("*"):
+        # prefix twin (Searcher.topk_prefix rewrite=scoring_boolean): the
+        # clause set is every CORPUS term with the prefix — swap the
+        # literal-tokenize qterms CTE for a vocabulary LIKE scan
+        p = query_text[:-1]
+        assert p.replace("_", "").isalnum()
+        old_cte = (
+            f"SELECT DISTINCT unnest({TOKEN_SQL.format(c=repr(query_text))})"
+            " AS term"
+        )
+        new_cte = f"SELECT DISTINCT term FROM tf WHERE term LIKE '{p}%'"
+        assert old_cte in base, old_cte
+        base = base.replace(old_cte, new_cte)
     base = base.replace(
         "__DOC_FILTER__",
         f"WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE {doc_filter})"
@@ -1205,6 +1247,13 @@ SELECT doc_id, array_to_string(snip, ' ') AS snippet FROM s
 """
     sql["c1_and_topk"] = _bm25_sql(C1_QUERY, 10, require_all=True)
     sql["c2_msm_topk"] = _bm25_sql(C1_QUERY, 10, min_match=2)
+    sql["pr1_prefix_topk"] = _bm25_sql(PR_PREFIX + "*", None)
+    sql["pr2_prefix_const"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+)
+SELECT DISTINCT doc_id, 1.0 AS score FROM tok WHERE term LIKE '{PR_PREFIX}%'
+"""
     sql["f1_filtered_topk"] = _bm25_sql(
         q,
         10,

@@ -44,12 +44,19 @@ def _parser() -> argparse.ArgumentParser:
     q.add_argument("--q", required=True)
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--path", choices=["blockmax", "dataframe"], default="blockmax")
-    q.add_argument("--mode", choices=["or", "and", "phrase", "near"], default="or",
+    q.add_argument("--mode", choices=["or", "and", "phrase", "near", "prefix"],
+                   default="or",
                    help="or = disjunctive BM25 (default); and = ES "
                         "operator:and (doc must contain every term); "
                         "phrase = ES match_phrase over the positional "
                         "postings; near = ordered proximity (span_near), "
-                        "see --gap")
+                        "see --gap; prefix = ES prefix query (--q is the "
+                        "prefix), see --rewrite")
+    q.add_argument("--rewrite", choices=["constant_score", "scoring_boolean"],
+                   default="constant_score",
+                   help="prefix mode: Lucene multi-term rewrite — "
+                        "constant_score (ES default, score 1.0) or "
+                        "scoring_boolean (BM25 over the expansion)")
     q.add_argument("--gap", type=int, default=1,
                    help="near mode: max positions between consecutive "
                         "terms (1 = adjacent)")
@@ -123,7 +130,11 @@ def main(argv: list[str] | None = None) -> int:
         fast = args.path == "blockmax"
         if args.min_match is not None and args.mode != "or":
             raise SystemExit("--min-match applies to --mode or only")
-        if args.mode == "phrase":
+        if args.mode == "prefix":
+            top = s.topk_prefix(
+                args.q, args.k, rewrite=args.rewrite, allowed=allowed
+            )
+        elif args.mode == "phrase":
             top = s.topk_phrase(args.q, args.k, allowed=allowed)
         elif args.mode == "near":
             top = s.topk_near(args.q, args.k, gap=args.gap, allowed=allowed)

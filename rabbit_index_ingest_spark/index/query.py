@@ -640,6 +640,88 @@ class Searcher:
             local = grouped.applyInPandas(scorer, TOPK_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    # ---------------- prefix (multi-term expansion) retrieval ----------------
+
+    def expand_prefix(self, prefix: str, max_expansions: int = 1024) -> list[str]:
+        """Lucene TermsEnum analogue: the sorted dictionary terms starting
+        with ``prefix`` (which is itself analyzed and must yield exactly
+        one token — analyzer-space matching, like ES on a ``text`` field).
+        The scan is a column-pruned dictionary read with the StartsWith
+        predicate pushed to parquet; no bucket pruning is possible (a
+        prefix spans hash buckets by construction) but the dictionary is
+        the vocabulary-sized table, not the postings.
+
+        Raises when the expansion exceeds ``max_expansions`` — Lucene's
+        ``too_many_clauses`` guard, which at 100 TB is what keeps a
+        one-letter prefix from turning into a million-term disjunction."""
+        toks = py_tokenize(prefix)
+        if len(toks) != 1:
+            raise ValueError(
+                f"prefix must analyze to exactly one token, got {toks!r}"
+            )
+        rows = (
+            self.dictionary.where(F.col("term").startswith(toks[0]))
+            .select("term")
+            .limit(max_expansions + 1)
+            .collect()
+        )
+        terms = sorted({r["term"] for r in rows})
+        if len(terms) > max_expansions:
+            raise ValueError(
+                f"prefix {prefix!r} expands to more than "
+                f"{max_expansions} terms (too_many_clauses)"
+            )
+        return terms
+
+    def topk_prefix(
+        self,
+        prefix: str,
+        k: int = 10,
+        rewrite: str = "constant_score",
+        max_expansions: int = 1024,
+        allowed: DataFrame | None = None,
+        skip_acc=None,
+    ) -> DataFrame:
+        """ES ``prefix`` query over the indexed text. ``rewrite`` follows
+        Lucene's multi-term rewrite methods:
+
+        * ``constant_score`` (the ES default): every doc containing ANY
+          expansion scores 1.0; results order by doc_id (deterministic
+          tie-break). The decode is the result set itself — at scale this
+          shape is normally composed as a bool FILTER (pass the matching
+          doc set as ``allowed`` to a scoring query) rather than ranked.
+        * ``scoring_boolean``: the expansion becomes a BM25 disjunction
+          (each term keeps its own idf) and runs through the θ-pruned
+          ``topk_blockmax`` fast path — rank-identical to querying the
+          expanded terms directly.
+
+        Expansion happens once on the driver against the dictionary
+        (``expand_prefix``), exactly Lucene's TermsEnum → BooleanQuery
+        rewrite, with the same ``too_many_clauses`` bound."""
+        terms = self.expand_prefix(prefix, max_expansions)
+        if not terms:
+            return _empty_topk(self.spark)
+        if rewrite == "scoring_boolean":
+            # analyzer tokens re-tokenize to themselves, so the joined
+            # string IS the expanded disjunction
+            return self.topk_blockmax(
+                " ".join(terms), k, skip_acc=skip_acc, allowed=allowed
+            )
+        if rewrite != "constant_score":
+            raise ValueError(f"unknown rewrite {rewrite!r}")
+        blocks = self.postings.where(
+            F.col("bucket").isin(_term_buckets(self.spark, terms))
+        ).where(F.col("term").isin(terms))
+        docs = self._mask_deleted(flat_postings(blocks)).select("doc_id")
+        if allowed is not None:
+            docs = docs.join(allowed.select("doc_id"), "doc_id", "left_semi")
+        return (
+            docs.distinct()
+            .select("doc_id", F.lit(1.0).alias("score"))
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
     # ---------------- boolean / filtered / phrase retrieval ----------------
 
     def _mask_deleted(self, flat: DataFrame) -> DataFrame:

@@ -141,3 +141,83 @@ def test_facet_counts_hostile_column_names(spark):
     with pytest.raises(ValueError, match="not in attrs"):
         s.facet_counts("zephyr", attrs, ["nope"], top_values=3)
     built.release()
+
+
+# ---------------- prefix queries (ES prefix / Lucene multi-term) ------------
+
+
+@pytest.fixture(scope="module")
+def pcorpus(spark):
+    pdf = transcripts_pandas(n_conv=30)[["conv_id", "turn_idx", "text"]]
+    pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    built = build_index(spark, spark.createDataFrame(pdf))
+    s = Searcher(
+        spark, built.postings, built.dictionary, built.n_docs, built.avgdl
+    )
+    yield pdf, built, s
+    built.release()
+
+
+def test_expand_prefix_matches_vocabulary(spark, pcorpus):
+    pdf, _, s = pcorpus
+    vocab = {t for txt in pdf["text"] for t in py_tokenize(txt)}
+    for p in ["qu", "z", "xyzzynope"]:
+        want = sorted(t for t in vocab if t.startswith(p))
+        assert s.expand_prefix(p) == want
+    with pytest.raises(ValueError, match="exactly one token"):
+        s.expand_prefix("two words")
+    with pytest.raises(ValueError, match="too_many_clauses"):
+        s.expand_prefix("q", max_expansions=0)
+
+
+def test_prefix_scoring_boolean_equals_expanded_disjunction(spark, pcorpus):
+    _, _, s = pcorpus
+    terms = s.expand_prefix("qu")
+    assert terms, "fixture needs qu* terms"
+    want = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_dataframe(" ".join(terms), 10).collect()
+    ]
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_prefix("qu", 10, rewrite="scoring_boolean").collect()
+    ]
+    assert got == want and got
+
+
+def test_prefix_constant_score_matches_python(spark, pcorpus):
+    pdf, _, s = pcorpus
+    want = sorted(
+        i
+        for i, txt in enumerate(pdf["text"])
+        if any(t.startswith("qu") for t in py_tokenize(txt))
+    )
+    rows = s.topk_prefix("qu", 10_000_000, rewrite="constant_score").collect()
+    assert [r["doc_id"] for r in rows] == want
+    assert all(r["score"] == 1.0 for r in rows)
+    # an unmatched prefix is empty, an unknown rewrite is an error
+    assert s.topk_prefix("xyzzynope", 10).count() == 0
+    with pytest.raises(ValueError, match="unknown rewrite"):
+        s.topk_prefix("qu", 10, rewrite="bogus")
+
+
+def test_prefix_constant_score_masks_tombstones_and_filter(spark, pcorpus):
+    pdf, built, _ = pcorpus
+    all_match = [
+        i
+        for i, txt in enumerate(pdf["text"])
+        if any(t.startswith("qu") for t in py_tokenize(txt))
+    ]
+    assert len(all_match) >= 3, "fixture needs several qu* docs"
+    dead = all_match[0]
+    s = Searcher(
+        spark, built.postings, built.dictionary, built.n_docs, built.avgdl,
+        deleted_df=spark.createDataFrame([(dead,)], "doc_id long"),
+    )
+    allowed = spark.createDataFrame(
+        [(i,) for i in all_match[:3]], "doc_id long"
+    )
+    rows = s.topk_prefix(
+        "qu", 10_000_000, rewrite="constant_score", allowed=allowed
+    ).collect()
+    assert [r["doc_id"] for r in rows] == sorted(set(all_match[1:3]))
