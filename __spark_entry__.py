@@ -768,6 +768,22 @@ def _q_c1_and_topk(spark, sf_dir):
 
 
 PR_PREFIX = "s"  # expands to several documents-vocabulary terms at any sf
+PP_QUERY = "filter s"  # fixed term + prefix slot; matches via >1 expansion
+
+
+def _q_pp1_phrase_prefix_topk(spark, sf_dir):
+    """ES ``match_phrase_prefix`` (autocomplete phrase): 'filter' must be
+    immediately followed by ANY dictionary term starting with 's' —
+    several expansions genuinely match (filter small / filter scan).
+    Scored as Lucene MultiPhraseQuery: phrase_tf counts matching start
+    positions; idf sums the fixed position plus every expansion. Runs on
+    the multi-slot block-max range scorer. Full scored set returned so
+    the hash-compare is tie-order-free."""
+    built, searcher = _searcher(spark, sf_dir)
+    top = searcher.topk_phrase_prefix(PP_QUERY, 10_000_000)
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
 
 
 def _q_pr1_prefix_topk(spark, sf_dir):
@@ -847,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c2_msm_topk": _q_c2_msm_topk,
         "pr1_prefix_topk": _q_pr1_prefix_topk,
         "pr2_prefix_const": _q_pr2_prefix_const,
+        "pp1_phrase_prefix_topk": _q_pp1_phrase_prefix_topk,
         "f1_filtered_topk": _q_f1_filtered_topk,
         "a2_decode_messages": _q_a2_decode_messages,
         "a4_routing": _q_a4_routing,
@@ -1028,6 +1045,78 @@ JOIN dl ON dl.doc_id = ph.doc_id
 CROSS JOIN stats
 ORDER BY score DESC, ph.doc_id
 LIMIT {k}
+"""
+
+
+def _phrase_prefix_sql(phrase: str, max_expansions: int = 50) -> str:
+    """DuckDB twin of ``Searcher.topk_phrase_prefix``: the last analyzed
+    token is a prefix expanded (sorted, truncated at ``max_expansions``)
+    against the corpus vocabulary; the final join slot accepts ANY
+    expansion; idf sums every fixed position plus every expansion
+    (Lucene MultiPhraseQuery term stats). Full scored set (no LIMIT)."""
+    from rabbit_index_ingest_spark.analysis import py_tokenize
+
+    qt = py_tokenize(phrase)
+    assert len(qt) >= 2 and all(t.replace("_", "").isalnum() for t in qt)
+    fixed, p = qt[:-1], qt[-1]
+    fixed_in = ", ".join(f"'{t}'" for t in sorted(set(fixed)))
+    n = len(qt)
+    joins = "\n  ".join(
+        f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id"
+        f" AND t{i}.pos = t0.pos + {i} AND "
+        + (
+            f"t{i}.term = '{fixed[i]}'"
+            if i < n - 1
+            else f"t{i}.term IN (SELECT term FROM qexp)"
+        )
+        for i in range(1, n)
+    )
+    idf_fixed = " + ".join(
+        f"(SELECT idf FROM idfs WHERE term = '{t}')" for t in fixed
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term,
+         generate_subscripts({_TOK}, 1) AS pos
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(dl), 0) FROM dl)
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+qexp AS (
+  SELECT DISTINCT term FROM tok WHERE term LIKE '{p}%'
+  ORDER BY term LIMIT {max_expansions}
+),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+  WHERE term IN ({fixed_in}) OR term IN (SELECT term FROM qexp) GROUP BY 1
+),
+idfs AS (
+  SELECT term, ln(1 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+  FROM dfs CROSS JOIN stats
+),
+idfsum AS (
+  SELECT ({idf_fixed})
+         + (SELECT coalesce(sum(idf), 0) FROM idfs
+            WHERE term IN (SELECT term FROM qexp)) AS s
+),
+ph AS (
+  SELECT t0.doc_id, count(*)::DOUBLE AS ptf
+  FROM tok t0
+  {joins}
+  WHERE t0.term = '{fixed[0]}'
+  GROUP BY 1
+)
+SELECT ph.doc_id,
+       round((SELECT s FROM idfsum) * ptf * ({K1} + 1.0)
+             / (ptf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)),
+             4) AS score
+FROM ph
+JOIN dl ON dl.doc_id = ph.doc_id
+CROSS JOIN stats
 """
 
 
@@ -1248,6 +1337,7 @@ SELECT doc_id, array_to_string(snip, ' ') AS snippet FROM s
     sql["c1_and_topk"] = _bm25_sql(C1_QUERY, 10, require_all=True)
     sql["c2_msm_topk"] = _bm25_sql(C1_QUERY, 10, min_match=2)
     sql["pr1_prefix_topk"] = _bm25_sql(PR_PREFIX + "*", None)
+    sql["pp1_phrase_prefix_topk"] = _phrase_prefix_sql(PP_QUERY)
     sql["pr2_prefix_const"] = f"""
 WITH tok AS (
   SELECT doc_id, unnest({_TOK}) AS term FROM documents

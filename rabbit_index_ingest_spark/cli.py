@@ -44,14 +44,17 @@ def _parser() -> argparse.ArgumentParser:
     q.add_argument("--q", required=True)
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--path", choices=["blockmax", "dataframe"], default="blockmax")
-    q.add_argument("--mode", choices=["or", "and", "phrase", "near", "prefix"],
+    q.add_argument("--mode",
+                   choices=["or", "and", "phrase", "near", "prefix",
+                            "phrase_prefix"],
                    default="or",
                    help="or = disjunctive BM25 (default); and = ES "
                         "operator:and (doc must contain every term); "
                         "phrase = ES match_phrase over the positional "
                         "postings; near = ordered proximity (span_near), "
                         "see --gap; prefix = ES prefix query (--q is the "
-                        "prefix), see --rewrite")
+                        "prefix), see --rewrite; phrase_prefix = ES "
+                        "match_phrase_prefix (last --q term is a prefix)")
     q.add_argument("--rewrite", choices=["constant_score", "scoring_boolean"],
                    default="constant_score",
                    help="prefix mode: Lucene multi-term rewrite — "
@@ -134,6 +137,8 @@ def main(argv: list[str] | None = None) -> int:
             top = s.topk_prefix(
                 args.q, args.k, rewrite=args.rewrite, allowed=allowed
             )
+        elif args.mode == "phrase_prefix":
+            top = s.topk_phrase_prefix(args.q, args.k, allowed=allowed)
         elif args.mode == "phrase":
             top = s.topk_phrase(args.q, args.k, allowed=allowed)
         elif args.mode == "near":

@@ -642,18 +642,26 @@ class Searcher:
 
     # ---------------- prefix (multi-term expansion) retrieval ----------------
 
-    def expand_prefix(self, prefix: str, max_expansions: int = 1024) -> list[str]:
+    def expand_prefix(
+        self,
+        prefix: str,
+        max_expansions: int = 1024,
+        truncate: bool = False,
+    ) -> list[str]:
         """Lucene TermsEnum analogue: the sorted dictionary terms starting
         with ``prefix`` (which is itself analyzed and must yield exactly
         one token — analyzer-space matching, like ES on a ``text`` field).
         The scan is a column-pruned dictionary read with the StartsWith
-        predicate pushed to parquet; no bucket pruning is possible (a
-        prefix spans hash buckets by construction) but the dictionary is
-        the vocabulary-sized table, not the postings.
+        predicate pushed to parquet and a sorted TakeOrdered limit; no
+        bucket pruning is possible (a prefix spans hash buckets by
+        construction) but the dictionary is the vocabulary-sized table,
+        not the postings.
 
-        Raises when the expansion exceeds ``max_expansions`` — Lucene's
+        ``truncate=False`` raises past ``max_expansions`` — Lucene's
         ``too_many_clauses`` guard, which at 100 TB is what keeps a
-        one-letter prefix from turning into a million-term disjunction."""
+        one-letter prefix from turning into a million-term disjunction.
+        ``truncate=True`` keeps the first ``max_expansions`` terms in
+        sorted order instead — ES ``match_phrase_prefix`` semantics."""
         toks = py_tokenize(prefix)
         if len(toks) != 1:
             raise ValueError(
@@ -662,15 +670,19 @@ class Searcher:
         rows = (
             self.dictionary.where(F.col("term").startswith(toks[0]))
             .select("term")
+            .distinct()
+            .orderBy("term")
             .limit(max_expansions + 1)
             .collect()
         )
-        terms = sorted({r["term"] for r in rows})
+        terms = [r["term"] for r in rows]
         if len(terms) > max_expansions:
-            raise ValueError(
-                f"prefix {prefix!r} expands to more than "
-                f"{max_expansions} terms (too_many_clauses)"
-            )
+            if not truncate:
+                raise ValueError(
+                    f"prefix {prefix!r} expands to more than "
+                    f"{max_expansions} terms (too_many_clauses)"
+                )
+            terms = terms[:max_expansions]
         return terms
 
     def topk_prefix(
@@ -721,6 +733,86 @@ class Searcher:
             .orderBy(F.asc("doc_id"))
             .limit(k)
         )
+
+    def topk_phrase_prefix(
+        self,
+        query_text: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        allowed: DataFrame | None = None,
+        skip_acc=None,
+    ) -> DataFrame:
+        """ES ``match_phrase_prefix`` (the autocomplete phrase): the
+        analyzed terms must occur at consecutive positions, with the LAST
+        term matched as a PREFIX — expanded against the dictionary in
+        sorted term order and truncated at ``max_expansions`` exactly
+        like ES (a too-common prefix silently keeps the first N
+        expansions, it does not error). Lucene analogue:
+        MultiPhraseQuery after TermsEnum expansion.
+
+        Scoring (Lucene MultiPhraseQuery term-stats contract):
+        ``phrase_tf`` counts start positions where the fixed terms align
+        and ANY expansion occupies the last slot (two expansions can
+        never share a position, so matches count once), and the
+        pseudo-term idf sums every fixed query position's idf PLUS every
+        expansion's idf.
+
+        Runs on the generalized multi-slot block-max range scorer
+        (``_make_multiphrase_range_scorer``): pass-1 doc candidates must
+        hold every fixed term AND at least one expansion (per-group
+        union), pass-2 intersects per-slot position keys — the expansion
+        slot is the sorted union of its members' shifted keys. Decoded
+        positions never cross an executor boundary. No DataFrame twin —
+        the oracle is the DuckDB LIKE-join twin (driver entry pp1) and
+        the pure-Python fixture oracle in tests."""
+        qterms = py_tokenize(query_text)
+        if not qterms:
+            return _empty_topk(self.spark)
+        fixed = qterms[:-1]
+        exps = self.expand_prefix(
+            qterms[-1], max_expansions, truncate=True
+        )
+        if not exps:
+            return _empty_topk(self.spark)
+        uniq_fixed = sorted(set(fixed))
+        meta = self._term_meta(sorted(set(uniq_fixed + exps)))
+        if any(meta[t][0] == 0 for t in uniq_fixed):
+            return _empty_topk(self.spark)
+        idf_q = sum(lucene_idf(self.n_docs, meta[t][0]) for t in fixed) + sum(
+            lucene_idf(self.n_docs, meta[t][0]) for t in exps
+        )
+        # pass-1 groups: each distinct fixed term (conjunctive), plus ONE
+        # or-group of the expansions — processed in ascending total df
+        groups = [[t] for t in uniq_fixed] + [sorted(exps)]
+        groups.sort(key=lambda g: (sum(meta[t][0] for t in g), g[0]))
+        # pass-2 slots: one per query offset; the last holds the or-set
+        slots = [(i, [t]) for i, t in enumerate(fixed)]
+        slots.append((len(fixed), sorted(exps)))
+        all_terms = sorted(set(uniq_fixed + exps))
+        blocks = self.postings.where(
+            F.col("bucket").isin(_term_buckets(self.spark, all_terms))
+        ).where(F.col("term").isin(all_terms))
+        if len(groups) > 1:
+            rare_ranges = (
+                blocks.where(F.col("term").isin(groups[0]))
+                .select("range_id")
+                .distinct()
+            )
+            blocks = blocks.join(rare_ranges, "range_id", "left_semi")
+        side = self._side_frame(allowed)
+        scorer = _make_multiphrase_range_scorer(
+            idf_q, self.avgdl, k, self.range_bits, groups, slots,
+            self.deleted, allowed_present=allowed is not None,
+            cogrouped=side is not None, skip_acc=skip_acc,
+        )
+        grouped = blocks.select(*_SCORE_COLS, "pos_bytes").groupBy("range_id")
+        if side is not None:
+            local = grouped.cogroup(side.groupBy("range_id")).applyInPandas(
+                scorer, TOPK_SCHEMA
+            )
+        else:
+            local = grouped.applyInPandas(scorer, TOPK_SCHEMA)
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     # ---------------- boolean / filtered / phrase retrieval ----------------
 
@@ -1933,6 +2025,165 @@ def _make_msm_range_scorer(
                 "doc_id": (nz[order_idx] + base).astype("int64"),
                 "score": scores[order_idx],
             }
+        )
+
+    def plain(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score(key[0], pdf, deleted, None)
+
+    def cg(key: tuple, pdf: pd.DataFrame, side: pd.DataFrame) -> pd.DataFrame:
+        dead = frozenset(side.loc[side["kind"] == 0, "doc_id"].tolist()) | deleted
+        allow = None
+        if allowed_present:
+            allow = side.loc[side["kind"] == 1, "doc_id"].to_numpy(np.int64)
+            if len(allow) == 0:
+                return _empty_topk_pdf()
+        return _score(key[0], pdf, dead, allow)
+
+    return cg if cogrouped else plain
+
+
+def _make_multiphrase_range_scorer(
+    idf_q: float,
+    avgdl: float,
+    k: int,
+    range_bits: int,
+    groups: list[list[str]],
+    slots: list[tuple[int, list[str]]],
+    deleted: frozenset,
+    allowed_present: bool = False,
+    cogrouped: bool = False,
+    skip_acc=None,
+):
+    """Generalized positional block-max scorer for per-slot term SETS
+    (``Searcher.topk_phrase_prefix``; Lucene MultiPhraseQuery): a doc
+    matches when every query offset ``i`` in ``slots`` holds SOME member
+    of its term set at position ``start + i``.
+
+    * **pass 1** — per ``groups`` entry (conjunctive across groups, OR
+      within one): the candidate bitmap intersects with the UNION of the
+      group members' cheap-stream decodes; blocks whose span misses the
+      running candidates skip undecoded; a group with no surviving doc
+      aborts. A term appearing in several groups decodes once (its kept
+      blocks are replayed against the current bitmap — lossless because
+      the bitmap only shrinks).
+    * **pass 2** — per slot: keys ``local_doc << 32 | (pos − offset)``
+      union over the slot's members (sorted merge; two terms can never
+      share a doc-position, so keys stay unique), then a running
+      ``np.intersect1d`` across slots. ``phrase_tf`` = surviving keys
+      per doc; score = idf_q · tf_norm (``_finish_positional_topk``).
+
+    With singleton slots this degenerates to the exact phrase scorer;
+    kept separate so the hot phrase path stays branch-free."""
+    range_size = 1 << range_bits
+
+    def _score(
+        range_id: int,
+        pdf: pd.DataFrame,
+        dead: frozenset,
+        allow_ids: np.ndarray | None,
+    ) -> pd.DataFrame:
+        present = set(pdf["term"].tolist())
+        if len(pdf) == 0 or any(not (present & set(g)) for g in groups):
+            return _empty_topk_pdf()  # some required group absent
+        base = int(range_id) << range_bits
+        del_mask, allow_mask, range_empty = _range_masks(
+            base, range_size, dead, allow_ids
+        )
+        if range_empty:
+            return _empty_topk_pdf()
+        C: np.ndarray | None = allow_mask
+        if del_mask is not None:
+            C = ~del_mask if C is None else (C & ~del_mask)
+        skipped = 0
+        by_term = {
+            t: g.sort_values("first_doc") for t, g in pdf.groupby("term")
+        }
+        dl_arr = np.zeros(range_size, dtype=np.int64)
+        kept: dict[str, list[tuple]] = {}
+
+        def _flush_empty() -> pd.DataFrame:
+            if skip_acc is not None and skipped:
+                skip_acc.add(skipped)
+            return _empty_topk_pdf()
+
+        for g in groups:
+            newC = np.zeros(range_size, dtype=bool)
+            for t in g:
+                if t not in by_term:
+                    continue
+                if t in kept:  # decoded in an earlier group — replay
+                    for _pb, idx, _tf in kept[t]:
+                        live = C[idx] if C is not None else None
+                        if live is None:
+                            newC[idx] = True
+                        elif live.any():
+                            newC[idx[live]] = True
+                    continue
+                rows = []
+                for row in by_term[t].itertuples(index=False):
+                    if C is not None:
+                        lo, hi = row.first_doc - base, row.last_doc - base
+                        if not C[lo : hi + 1].any():
+                            skipped += 1
+                            continue
+                    ids, tfs = codec.unpack_block(row.doc_bytes, row.tf_bytes)
+                    idx = ids - base
+                    dl_arr[idx] = codec.varbyte_decode(row.dl_bytes)
+                    if C is not None:
+                        live = C[idx]
+                        if not live.any():
+                            continue
+                        newC[idx[live]] = True
+                    else:
+                        newC[idx] = True
+                    rows.append((row.pos_bytes, idx, tfs))
+                kept[t] = rows
+            if not newC.any():
+                return _flush_empty()
+            C = newC
+        # pass 2: per-slot positional keys over final candidates only
+        running: np.ndarray | None = None
+        for off, terms in slots:
+            parts = []
+            for t in terms:
+                for pos_bytes, idx, tfs in kept.get(t, []):
+                    live = C[idx]
+                    if not live.any():
+                        skipped += 1  # pos stream never decoded
+                        continue
+                    if len(pos_bytes) == 0 and tfs.sum() > 0:
+                        raise ValueError(
+                            "posting block has no position stream — the "
+                            "index was built with positions=False; rebuild "
+                            "with build_index(..., positions=True) for "
+                            "phrase queries"
+                        )
+                    flat, _ = codec.unpack_positions(pos_bytes, tfs)
+                    occ_doc = np.repeat(idx, tfs).astype(np.int64)
+                    occ_live = np.repeat(live, tfs)
+                    flat = flat[occ_live].astype(np.int64)
+                    occ_doc = occ_doc[occ_live]
+                    m = flat >= off
+                    keys = (occ_doc[m] << 32) | (flat[m] - off)
+                    if len(keys):
+                        parts.append(keys)
+            if not parts:
+                return _flush_empty()
+            slot_keys = np.concatenate(parts)
+            if len(parts) > 1:
+                slot_keys.sort()  # cross-term/cross-block concat order
+            running = (
+                slot_keys
+                if running is None
+                else np.intersect1d(running, slot_keys, assume_unique=True)
+            )
+            if not len(running):
+                return _flush_empty()
+        if skip_acc is not None and skipped:
+            skip_acc.add(skipped)
+        docs, ptf = np.unique(running >> 32, return_counts=True)
+        return _finish_positional_topk(
+            docs, ptf.astype(np.float64), dl_arr, base, idf_q, avgdl, k
         )
 
     def plain(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -569,3 +569,100 @@ def test_phrase_blockmax_hot_hot_matches_twin(spark, corpus):
     for q in ["zephyr quantum", "quantum lattice drift"]:
         want = _py_phrase_topk(pdf, q, 10)
         _assert_topk_equal(searcher.topk_phrase(q, 10).collect(), want, 10)
+
+
+# ------------- match_phrase_prefix (multi-slot block-max scorer) ------------
+
+
+def _py_phrase_prefix_topk(pdf, query: str, k: int, max_expansions: int = 50):
+    """Oracle: fixed terms align consecutively, ANY expansion of the last
+    (prefix) term occupies the final slot; idf sums every fixed position
+    plus every expansion (Lucene MultiPhraseQuery term stats)."""
+    qt = py_tokenize(query)
+    fixed, p = qt[:-1], qt[-1]
+    toks = [py_tokenize(t) for t in pdf["text"]]
+    vocab = sorted({t for d in toks for t in d})
+    exps = [t for t in vocab if t.startswith(p)][:max_expansions]
+    if not exps:
+        return []
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks) / n_docs
+    dfs = {
+        t: sum(1 for d in toks if t in set(d)) for t in set(fixed) | set(exps)
+    }
+    if any(dfs[t] == 0 for t in fixed):
+        return []
+    idf = sum(lucene_idf(n_docs, dfs[t]) for t in fixed) + sum(
+        lucene_idf(n_docs, dfs[t]) for t in exps
+    )
+    n = len(fixed) + 1
+    eset = set(exps)
+    out = []
+    for doc_id, d in enumerate(toks):
+        ptf = sum(
+            1
+            for i in range(len(d) - n + 1)
+            if d[i : i + n - 1] == fixed and d[i + n - 1] in eset
+        )
+        if ptf:
+            dl = len(d)
+            score = idf * ptf * (codec.K1 + 1) / (
+                ptf + codec.K1 * (1 - codec.B + codec.B * dl / avgdl)
+            )
+            out.append((doc_id, score))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize("query", ["zephyr qu", "quantum la", "ka"])
+def test_phrase_prefix_matches_oracle(spark, corpus, query):
+    pdf, _, searcher = corpus
+    want = _py_phrase_prefix_topk(pdf, query, 10)
+    assert want, f"fixture needs matches for {query!r}"
+    got = searcher.topk_phrase_prefix(query, 10).collect()
+    _assert_topk_equal(got, want, 10)
+
+
+def test_phrase_prefix_single_expansion_equals_phrase(spark, corpus):
+    """A prefix expanding to exactly one term IS that exact phrase —
+    identical idf sum, identical matches."""
+    pdf, _, searcher = corpus
+    exps = searcher.expand_prefix("zeph")
+    assert exps == ["zephyr"]
+    a = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in searcher.topk_phrase_prefix("quantum zeph", 10).collect()
+    ]
+    b = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in searcher.topk_phrase("quantum zephyr", 10).collect()
+    ]
+    assert a == b
+
+
+def test_phrase_prefix_truncates_expansions_sorted(spark, corpus):
+    """max_expansions keeps the FIRST terms in sorted order (ES contract,
+    no error) — oracle with the same truncation agrees."""
+    pdf, _, searcher = corpus
+    want = _py_phrase_prefix_topk(pdf, "ka", 10, max_expansions=1)
+    got = searcher.topk_phrase_prefix("ka", 10, max_expansions=1).collect()
+    _assert_topk_equal(got, want, 10)
+
+
+def test_phrase_prefix_no_expansion_empty(spark, corpus):
+    _, _, searcher = corpus
+    assert searcher.topk_phrase_prefix("zephyr xyzzynope", 10).count() == 0
+
+
+def test_phrase_prefix_allowed_filter(spark, corpus):
+    pdf, built, searcher = corpus
+    full = _py_phrase_prefix_topk(pdf, "zephyr qu", 10_000)
+    allowed_df = built.doc_stats.where(F.col("turn_idx") % 2 == 0).select(
+        "doc_id"
+    )
+    allowed_ids = {r["doc_id"] for r in allowed_df.collect()}
+    want = [w for w in full if w[0] in allowed_ids][:10]
+    got = searcher.topk_phrase_prefix(
+        "zephyr qu", 10, allowed=allowed_df
+    ).collect()
+    _assert_topk_equal(got, want, 10)
