@@ -810,6 +810,35 @@ def _q_pr2_prefix_const(spark, sf_dir):
     return _with_orig_doc_id(top, built).select("doc_id", "score")
 
 
+FZ_TERM = "smal"  # levenshtein<=2 reaches small(1) and scan(2)
+W_PATTERN = "s*a*"  # matches scan, small, spark, stream
+
+
+def _q_fz1_fuzzy_topk(spark, sf_dir):
+    """ES ``fuzzy`` query, ``rewrite: scoring_boolean``: the term's
+    Levenshtein≤2 dictionary neighborhood (one JVM-codegen levenshtein
+    scan of the vocabulary) runs as a BM25 disjunction, each neighbor
+    with its own idf. Full scored set — tie-order-free hash-compare."""
+    built, searcher = _searcher(spark, sf_dir)
+    top = searcher.topk_fuzzy(
+        FZ_TERM, 10_000_000, fuzziness=2, rewrite="scoring_boolean"
+    )
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_w1_wildcard_const(spark, sf_dir):
+    """ES ``wildcard`` query, ``rewrite: constant_score``: the pattern
+    expands against the dictionary via one LIKE scan; every doc holding
+    any expansion scores 1.0 (the filter shape). Full match set."""
+    built, searcher = _searcher(spark, sf_dir)
+    top = searcher.topk_wildcard(
+        W_PATTERN, 10_000_000, rewrite="constant_score"
+    )
+    return _with_orig_doc_id(top, built).select("doc_id", "score")
+
+
 def _q_c2_msm_topk(spark, sf_dir):
     """minimum_should_match (ES ``match`` + ``minimum_should_match: 2``):
     docs matching at least 2 of the 3 query terms rank, scored by the
@@ -864,6 +893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr1_prefix_topk": _q_pr1_prefix_topk,
         "pr2_prefix_const": _q_pr2_prefix_const,
         "pp1_phrase_prefix_topk": _q_pp1_phrase_prefix_topk,
+        "fz1_fuzzy_topk": _q_fz1_fuzzy_topk,
+        "w1_wildcard_const": _q_w1_wildcard_const,
         "f1_filtered_topk": _q_f1_filtered_topk,
         "a2_decode_messages": _q_a2_decode_messages,
         "a4_routing": _q_a4_routing,
@@ -938,6 +969,7 @@ def _bm25_sql(
     require_all: bool = False,
     doc_filter: str | None = None,
     min_match: int | None = None,
+    qterms_sql: str | None = None,
 ) -> str:
     """DuckDB BM25 twin. ``require_all`` adds the conjunctive
     (operator:and) predicate: a doc must match every DISTINCT query term —
@@ -947,22 +979,26 @@ def _bm25_sql(
     (count of matched PRESENT terms >= m; an absent term is an
     unmatchable clause that still counts toward the requirement).
     ``doc_filter`` is a SQL predicate over ``documents`` restricting the
-    RANKED docs only (stats/idf stay corpus-wide — ES bool filter)."""
+    RANKED docs only (stats/idf stay corpus-wide — ES bool filter).
+    ``qterms_sql`` replaces the literal-tokenize qterms CTE body with a
+    vocabulary-derived clause set (prefix/fuzzy expansion twins); as a
+    convenience a ``query_text`` ending in ``*`` builds the prefix scan.
+    """
     assert not (require_all and min_match is not None)
     base = _BM25_BASE.replace("__QUERY__", query_text)
-    if query_text.endswith("*"):
+    if query_text.endswith("*") and qterms_sql is None:
         # prefix twin (Searcher.topk_prefix rewrite=scoring_boolean): the
-        # clause set is every CORPUS term with the prefix — swap the
-        # literal-tokenize qterms CTE for a vocabulary LIKE scan
+        # clause set is every CORPUS term with the prefix
         p = query_text[:-1]
         assert p.replace("_", "").isalnum()
+        qterms_sql = f"SELECT DISTINCT term FROM tf WHERE term LIKE '{p}%'"
+    if qterms_sql is not None:
         old_cte = (
             f"SELECT DISTINCT unnest({TOKEN_SQL.format(c=repr(query_text))})"
             " AS term"
         )
-        new_cte = f"SELECT DISTINCT term FROM tf WHERE term LIKE '{p}%'"
         assert old_cte in base, old_cte
-        base = base.replace(old_cte, new_cte)
+        base = base.replace(old_cte, qterms_sql)
     base = base.replace(
         "__DOC_FILTER__",
         f"WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE {doc_filter})"
@@ -1338,6 +1374,21 @@ SELECT doc_id, array_to_string(snip, ' ') AS snippet FROM s
     sql["c2_msm_topk"] = _bm25_sql(C1_QUERY, 10, min_match=2)
     sql["pr1_prefix_topk"] = _bm25_sql(PR_PREFIX + "*", None)
     sql["pp1_phrase_prefix_topk"] = _phrase_prefix_sql(PP_QUERY)
+    sql["fz1_fuzzy_topk"] = _bm25_sql(
+        FZ_TERM, None,
+        qterms_sql=(
+            "SELECT term FROM (SELECT DISTINCT term, "
+            f"levenshtein(term, '{FZ_TERM}') AS _d FROM tf) "
+            "WHERE _d <= 2 ORDER BY _d, term LIMIT 50"
+        ),
+    )
+    w_like = W_PATTERN.replace("*", "%").replace("?", "_")
+    sql["w1_wildcard_const"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+)
+SELECT DISTINCT doc_id, 1.0 AS score FROM tok WHERE term LIKE '{w_like}'
+"""
     sql["pr2_prefix_const"] = f"""
 WITH tok AS (
   SELECT doc_id, unnest({_TOK}) AS term FROM documents

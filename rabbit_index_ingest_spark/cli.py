@@ -46,7 +46,7 @@ def _parser() -> argparse.ArgumentParser:
     q.add_argument("--path", choices=["blockmax", "dataframe"], default="blockmax")
     q.add_argument("--mode",
                    choices=["or", "and", "phrase", "near", "prefix",
-                            "phrase_prefix"],
+                            "phrase_prefix", "fuzzy", "wildcard"],
                    default="or",
                    help="or = disjunctive BM25 (default); and = ES "
                         "operator:and (doc must contain every term); "
@@ -54,7 +54,13 @@ def _parser() -> argparse.ArgumentParser:
                         "postings; near = ordered proximity (span_near), "
                         "see --gap; prefix = ES prefix query (--q is the "
                         "prefix), see --rewrite; phrase_prefix = ES "
-                        "match_phrase_prefix (last --q term is a prefix)")
+                        "match_phrase_prefix (last --q term is a prefix); "
+                        "fuzzy = ES fuzzy query (see --fuzziness, "
+                        "--rewrite); wildcard = ES wildcard query "
+                        "(--q is the * / ? pattern, see --rewrite)")
+    q.add_argument("--fuzziness", type=int, default=None,
+                   help="fuzzy mode: max edit distance (default: ES AUTO "
+                        "by term length)")
     q.add_argument("--rewrite", choices=["constant_score", "scoring_boolean"],
                    default="constant_score",
                    help="prefix mode: Lucene multi-term rewrite — "
@@ -135,6 +141,15 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("--min-match applies to --mode or only")
         if args.mode == "prefix":
             top = s.topk_prefix(
+                args.q, args.k, rewrite=args.rewrite, allowed=allowed
+            )
+        elif args.mode == "fuzzy":
+            top = s.topk_fuzzy(
+                args.q, args.k, fuzziness=args.fuzziness,
+                rewrite=args.rewrite, allowed=allowed,
+            )
+        elif args.mode == "wildcard":
+            top = s.topk_wildcard(
                 args.q, args.k, rewrite=args.rewrite, allowed=allowed
             )
         elif args.mode == "phrase_prefix":

@@ -711,6 +711,19 @@ class Searcher:
         (``expand_prefix``), exactly Lucene's TermsEnum → BooleanQuery
         rewrite, with the same ``too_many_clauses`` bound."""
         terms = self.expand_prefix(prefix, max_expansions)
+        return self._topk_expanded(terms, k, rewrite, allowed, skip_acc)
+
+    def _topk_expanded(
+        self,
+        terms: list[str],
+        k: int,
+        rewrite: str,
+        allowed: DataFrame | None,
+        skip_acc=None,
+    ) -> DataFrame:
+        """Shared execution of an expanded multi-term query (prefix /
+        fuzzy / wildcard) under a Lucene rewrite method — see
+        ``topk_prefix`` for the two rewrites' contracts."""
         if not terms:
             return _empty_topk(self.spark)
         if rewrite == "scoring_boolean":
@@ -733,6 +746,126 @@ class Searcher:
             .orderBy(F.asc("doc_id"))
             .limit(k)
         )
+
+    def expand_fuzzy(
+        self,
+        term: str,
+        fuzziness: int | None = None,
+        prefix_length: int = 0,
+        max_expansions: int = 50,
+    ) -> list[str]:
+        """ES ``fuzzy`` expansion: dictionary terms within Levenshtein
+        edit distance ≤ ``fuzziness`` of the (analyzed) term. Computed as
+        ONE narrow JVM-codegen scan of the vocabulary table with Spark's
+        built-in ``levenshtein`` — the automaton-free analogue of
+        Lucene's FuzzyTermsEnum, linear in vocabulary size instead of
+        sub-linear, which is the right trade for a Spark engine: the
+        dictionary is the tiny table, and the scan is one column of it.
+        ``prefix_length`` (ES semantics: the first N chars must match
+        exactly) turns the scan into a pushed StartsWith range first.
+
+        ``fuzziness=None`` = ES AUTO: 0 for length ≤ 2, 1 for 3-5,
+        else 2. Expansions order by (distance, term) and truncate at
+        ``max_expansions`` — a deterministic stand-in for ES's
+        ``top_terms_blended_freqs_N`` pick (which orders by frequency;
+        the deviation only matters when the neighborhood exceeds
+        ``max_expansions``, and determinism is what the oracle needs)."""
+        toks = py_tokenize(term)
+        if len(toks) != 1:
+            raise ValueError(
+                f"fuzzy term must analyze to exactly one token, got {toks!r}"
+            )
+        t = toks[0]
+        if fuzziness is None:
+            fuzziness = 0 if len(t) <= 2 else (1 if len(t) <= 5 else 2)
+        cand = self.dictionary
+        if prefix_length > 0:
+            cand = cand.where(F.col("term").startswith(t[:prefix_length]))
+        # cheap length band before the levenshtein: |len(a)-len(b)| <= f
+        cand = cand.where(
+            F.abs(F.length("term") - F.lit(len(t))) <= fuzziness
+        )
+        rows = (
+            cand.select(
+                "term", F.levenshtein(F.col("term"), F.lit(t)).alias("_d")
+            )
+            .where(F.col("_d") <= fuzziness)
+            .distinct()
+            .orderBy("_d", "term")
+            .limit(max_expansions)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def topk_fuzzy(
+        self,
+        term: str,
+        k: int = 10,
+        fuzziness: int | None = None,
+        prefix_length: int = 0,
+        rewrite: str = "constant_score",
+        max_expansions: int = 50,
+        allowed: DataFrame | None = None,
+        skip_acc=None,
+    ) -> DataFrame:
+        """ES ``fuzzy`` query: the term's Levenshtein neighborhood
+        (``expand_fuzzy``) under a Lucene rewrite — ``constant_score``
+        (every matching doc scores 1.0) or ``scoring_boolean`` (BM25
+        disjunction over the expansion, each neighbor with its own idf).
+        Composes with tombstones and the bool-filter allow-list."""
+        terms = self.expand_fuzzy(
+            term, fuzziness, prefix_length, max_expansions
+        )
+        return self._topk_expanded(terms, k, rewrite, allowed, skip_acc)
+
+    def expand_wildcard(
+        self, pattern: str, max_expansions: int = 1024
+    ) -> list[str]:
+        """ES ``wildcard`` expansion: ``*`` = any run, ``?`` = one char,
+        matched against the dictionary in analyzer space via ONE
+        vocabulary scan (SQL LIKE after escaping; Lucene's WildcardQuery
+        automaton analogue). A leading wildcard prevents any prefix
+        pushdown — same caveat ES documents. Sorted; raises past
+        ``max_expansions`` (too_many_clauses)."""
+        p = pattern.strip().lower()
+        if not p or any(c.isspace() for c in p):
+            raise ValueError(f"wildcard pattern must be one token: {pattern!r}")
+        like = (
+            p.replace("\\", "\\\\")
+            .replace("%", "\\%")
+            .replace("_", "\\_")
+            .replace("*", "%")
+            .replace("?", "_")
+        )
+        rows = (
+            self.dictionary.where(F.col("term").like(like))
+            .select("term")
+            .distinct()
+            .orderBy("term")
+            .limit(max_expansions + 1)
+            .collect()
+        )
+        terms = [r["term"] for r in rows]
+        if len(terms) > max_expansions:
+            raise ValueError(
+                f"wildcard {pattern!r} expands to more than "
+                f"{max_expansions} terms (too_many_clauses)"
+            )
+        return terms
+
+    def topk_wildcard(
+        self,
+        pattern: str,
+        k: int = 10,
+        rewrite: str = "constant_score",
+        max_expansions: int = 1024,
+        allowed: DataFrame | None = None,
+        skip_acc=None,
+    ) -> DataFrame:
+        """ES ``wildcard`` query under a Lucene rewrite (see
+        ``topk_prefix`` for the rewrite contracts)."""
+        terms = self.expand_wildcard(pattern, max_expansions)
+        return self._topk_expanded(terms, k, rewrite, allowed, skip_acc)
 
     def topk_phrase_prefix(
         self,

@@ -221,3 +221,106 @@ def test_prefix_constant_score_masks_tombstones_and_filter(spark, pcorpus):
         "qu", 10_000_000, rewrite="constant_score", allowed=allowed
     ).collect()
     assert [r["doc_id"] for r in rows] == sorted(set(all_match[1:3]))
+
+
+# ---------------- fuzzy / wildcard (multi-term expansion family) ------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_expand_fuzzy_matches_python(spark, pcorpus):
+    pdf, _, s = pcorpus
+    vocab = sorted({t for txt in pdf["text"] for t in py_tokenize(txt)})
+    for term, f in [("zephyr", 1), ("quantum", 2), ("karo", 1)]:
+        want = sorted(
+            ((_lev(t, term), t) for t in vocab if _lev(t, term) <= f)
+        )
+        assert s.expand_fuzzy(term, fuzziness=f) == [t for _, t in want]
+    # ES AUTO band: len<=2 -> 0, 3-5 -> 1, else 2
+    assert s.expand_fuzzy("zephyr") == s.expand_fuzzy("zephyr", fuzziness=2)
+    assert s.expand_fuzzy("karo") == s.expand_fuzzy("karo", fuzziness=1)
+    # prefix_length pins the leading chars exactly
+    got = s.expand_fuzzy("quantum", fuzziness=2, prefix_length=2)
+    assert all(t.startswith("qu") for t in got) and "quantum" in got
+
+
+def test_fuzzy_scoring_boolean_equals_expanded_disjunction(spark, pcorpus):
+    _, _, s = pcorpus
+    terms = s.expand_fuzzy("quantum", fuzziness=2)
+    assert len(terms) >= 1
+    want = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_dataframe(" ".join(terms), 10).collect()
+    ]
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_fuzzy(
+            "quantum", 10, fuzziness=2, rewrite="scoring_boolean"
+        ).collect()
+    ]
+    assert got == want and got
+
+
+def test_fuzzy_constant_score_matches_python(spark, pcorpus):
+    pdf, _, s = pcorpus
+    exps = set(s.expand_fuzzy("zephyr", fuzziness=1))
+    want = sorted(
+        i
+        for i, txt in enumerate(pdf["text"])
+        if exps & set(py_tokenize(txt))
+    )
+    rows = s.topk_fuzzy(
+        "zephyr", 10_000_000, fuzziness=1, rewrite="constant_score"
+    ).collect()
+    assert [r["doc_id"] for r in rows] == want
+    assert all(r["score"] == 1.0 for r in rows)
+
+
+def test_expand_wildcard_matches_python(spark, pcorpus):
+    pdf, _, s = pcorpus
+    vocab = sorted({t for txt in pdf["text"] for t in py_tokenize(txt)})
+    import re
+
+    for pat in ["qu*", "*o", "k?ro", "z*r"]:
+        rx = re.compile(
+            "^" + re.escape(pat).replace(r"\*", ".*").replace(r"\?", ".") + "$"
+        )
+        want = sorted(t for t in vocab if rx.match(t))
+        assert s.expand_wildcard(pat) == want, pat
+    with pytest.raises(ValueError, match="one token"):
+        s.expand_wildcard("a b")
+    with pytest.raises(ValueError, match="too_many_clauses"):
+        s.expand_wildcard("*", max_expansions=1)
+
+
+def test_wildcard_rewrites(spark, pcorpus):
+    pdf, _, s = pcorpus
+    terms = s.expand_wildcard("qu*")
+    assert terms
+    want = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_dataframe(" ".join(terms), 10).collect()
+    ]
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_wildcard("qu*", 10, rewrite="scoring_boolean").collect()
+    ]
+    assert got == want
+    eset = set(terms)
+    want_c = sorted(
+        i
+        for i, txt in enumerate(pdf["text"])
+        if eset & set(py_tokenize(txt))
+    )
+    rows = s.topk_wildcard("qu*", 10_000_000).collect()
+    assert [r["doc_id"] for r in rows] == want_c
