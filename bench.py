@@ -165,12 +165,22 @@ def run_suite(cpus: int, quick: bool = False) -> dict:
         spark, transcripts,
         positions=not bool(int(os.environ.get("SPARK_GRAFT_NOPOS", "0"))),
     )
+    # build_index forces materialization (dictionary rollup + stats
+    # collect), so this split is a real phase boundary: build_core =
+    # doc ids + tokenize + pack shuffle; save = the 5-stage parquet write
+    timings["build_core"] = time.time() - t0
+    t1 = time.time()
     store = IndexStore(spark, idx_root)
     store.save(built, segment=0)
+    timings["save"] = time.time() - t1
     timings["build"] = time.time() - t0
     loaded = store.load()
     n_blocks = loaded.postings.count()
-    _log(f"build+save done in {timings['build']:.1f}s ({n_blocks} blocks)")
+    _log(
+        f"build+save done in {timings['build']:.1f}s "
+        f"(core {timings['build_core']:.1f} + save {timings['save']:.1f}; "
+        f"{n_blocks} blocks)"
+    )
 
     searcher = Searcher(
         spark, loaded.postings, loaded.dictionary, loaded.n_docs, loaded.avgdl
@@ -387,6 +397,17 @@ def main() -> None:
                     "scaling_efficiency": round(eff, 3),
                     "all_build_secs": {
                         str(c): [round(r["timings"]["build"], 2) for r in rs]
+                        for c, rs in runs.items()
+                    },
+                    # phase attribution (build_core = ids+tokenize+pack,
+                    # save = 5-stage parquet write) — which phase caps N→4N
+                    "phase_mins": {
+                        str(c): {
+                            ph: round(
+                                min(r["timings"].get(ph, 0.0) for r in rs), 2
+                            )
+                            for ph in ("build_core", "save")
+                        }
                         for c, rs in runs.items()
                     },
                 }
