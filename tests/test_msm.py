@@ -159,3 +159,68 @@ def test_msm_with_filter_and_tombstones(spark, corpus):
     full = {d: sc for d, sc in _py_msm_topk(pdf, q, 2, 10_000)}
     for d, _sc in fast:
         assert d % 2 == 0 and d not in dead_ids and d in full
+
+
+def test_msm_range_prune_plan_is_metadata_only(spark, corpus, tmp_path):
+    """The countDistinct range semi-join must read only metadata columns
+    of the postings scan (never the byte streams) on a written index."""
+    from rabbit_index_ingest_spark.index.store import IndexStore
+
+    _, built, _ = corpus
+    store = IndexStore(spark, str(tmp_path / "idx"))
+    store.save(built, segment=0)
+    loaded = store.load()
+    s = Searcher(
+        spark, loaded.postings, loaded.dictionary, loaded.n_docs, loaded.avgdl
+    )
+    plan = (
+        s.topk_msm("zephyr quantum lattice", 10, msm=2)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    scans = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln or "struct<" in ln
+    ]
+    meta_only = [
+        ln for ln in scans
+        if "range_id" in ln and "doc_bytes" not in ln and "pos_bytes" not in ln
+    ]
+    assert meta_only, f"no metadata-only postings scan in plan:\n{plan[:4000]}"
+    # saving released the module-scoped fixture's caches; rebuild them so
+    # later tests in this module keep their persisted frames
+    built.postings = built.postings.persist()
+    built.postings.count()
+
+
+def test_msm_and_expansions_on_multisegment_store(spark, tmp_path):
+    """Upserted (multi-segment) stores merge dictionary stats per term —
+    expansion (prefix/fuzzy) and msm must work unchanged on them."""
+    import pandas as pd
+
+    from rabbit_index_ingest_spark.index.store import IndexStore
+
+    rows = [("c%03d" % i, 0, "zephyr quantum drift") for i in range(20)]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    store = IndexStore(spark, str(tmp_path / "idx"))
+    store.save(build_index(spark, spark.createDataFrame(pdf)), segment=0)
+    up = pd.DataFrame(
+        [("d%03d" % i, 0, "zephyr lattice quill") for i in range(10)],
+        columns=["conv_id", "turn_idx", "text"],
+    )
+    store.upsert(spark.createDataFrame(up))
+    L = store.load()
+    s = Searcher(
+        spark, L.postings, L.dictionary, L.n_docs, L.avgdl,
+        deleted_df=L.deleted_df,
+    )
+    # dictionary merged per term: prefix expansion has NO duplicates and
+    # sees both segments' vocabulary
+    assert s.expand_prefix("qu") == ["quantum", "quill"]
+    assert s.expand_fuzzy("quill", fuzziness=1) == ["quill"]
+    # msm=2 across segment boundaries: every doc matches >=2 of the terms
+    got = s.topk_msm("zephyr quantum lattice", 50, msm=2).collect()
+    assert len(got) == 30  # all docs: 20 match {zephyr,quantum}, 10 {zephyr,lattice}
+    ref = s.topk_msm_dataframe("zephyr quantum lattice", 50, msm=2).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in ref
+    ]
