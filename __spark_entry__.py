@@ -738,6 +738,49 @@ def _q_g1_facets(spark, sf_dir):
 
 
 H1_WIDTH = 4
+G2_INTERVAL = 50  # n_chars histogram bucket width
+
+
+def _agg_attrs(spark, sf_dir, built, *cols):
+    """doc_id + the requested documents columns, keyed to internal ids."""
+    attrs = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("conv_id"),
+        *cols,
+    )
+    return built.doc_stats.select("doc_id", "conv_id").join(
+        F.broadcast(attrs), "conv_id"
+    ).select("doc_id", *cols)
+
+
+def _q_g2_histogram(spark, sf_dir):
+    """ES histogram aggregation: fixed-interval n_chars buckets over the
+    full BM25 match set (nulls out, empty buckets omitted)."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = _agg_attrs(spark, sf_dir, built, "n_chars")
+    return searcher.histogram_agg(
+        " ".join(BM25_QUERY_TERMS), attrs, "n_chars", G2_INTERVAL
+    )
+
+
+def _q_g3_stats(spark, sf_dir):
+    """ES stats aggregation: count/min/max/sum/avg of n_chars over the
+    match set — avg rounded (float summation-order differences)."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = _agg_attrs(spark, sf_dir, built, "n_chars")
+    row = searcher.stats_agg(" ".join(BM25_QUERY_TERMS), attrs, "n_chars")
+    return row.select(
+        "count", "min", "max", "sum", F.round("avg", 4).alias("avg")
+    )
+
+
+def _q_g4_cardinality(spark, sf_dir):
+    """ES cardinality aggregation (exact twin; the engine default is the
+    HLL-family approx_count_distinct — the 100 TB shape)."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = _agg_attrs(spark, sf_dir, built, "source")
+    return searcher.cardinality_agg(
+        " ".join(BM25_QUERY_TERMS), attrs, "source", exact=True
+    )
 
 
 def _q_h1_highlight(spark, sf_dir):
@@ -895,6 +938,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp1_phrase_prefix_topk": _q_pp1_phrase_prefix_topk,
         "fz1_fuzzy_topk": _q_fz1_fuzzy_topk,
         "w1_wildcard_const": _q_w1_wildcard_const,
+        "g2_histogram": _q_g2_histogram,
+        "g3_stats": _q_g3_stats,
+        "g4_cardinality": _q_g4_cardinality,
         "f1_filtered_topk": _q_f1_filtered_topk,
         "a2_decode_messages": _q_a2_decode_messages,
         "a4_routing": _q_a4_routing,
@@ -1382,6 +1428,38 @@ SELECT doc_id, array_to_string(snip, ' ') AS snippet FROM s
             "WHERE _d <= 2 ORDER BY _d, term LIMIT 50"
         ),
     )
+    q_bm25 = " ".join(BM25_QUERY_TERMS)
+    matched_cte = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+qterms AS (SELECT DISTINCT unnest({TOKEN_SQL.format(c=repr(q_bm25))}) AS term),
+matched AS (
+  SELECT DISTINCT doc_id FROM tok
+  WHERE term IN (SELECT term FROM qterms)
+)
+"""
+    sql["g2_histogram"] = matched_cte + f"""
+SELECT (floor(n_chars / {G2_INTERVAL}.0) * {G2_INTERVAL})::DOUBLE AS bucket,
+       count(*) AS doc_count
+FROM matched JOIN documents USING (doc_id)
+WHERE n_chars IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+    sql["g3_stats"] = matched_cte + """
+SELECT count(*) AS count,
+       min(n_chars)::DOUBLE AS min,
+       max(n_chars)::DOUBLE AS max,
+       sum(n_chars)::DOUBLE AS sum,
+       round(sum(n_chars)::DOUBLE / count(*), 4) AS avg
+FROM matched JOIN documents USING (doc_id)
+WHERE n_chars IS NOT NULL
+"""
+    sql["g4_cardinality"] = matched_cte + """
+SELECT count(DISTINCT source)::BIGINT AS value
+FROM matched JOIN documents USING (doc_id)
+WHERE source IS NOT NULL
+"""
     w_like = W_PATTERN.replace("*", "%").replace("?", "_")
     sql["w1_wildcard_const"] = f"""
 WITH tok AS (

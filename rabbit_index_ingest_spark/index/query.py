@@ -1309,6 +1309,112 @@ class Searcher:
         ).distinct()
         return None, cand, ranges
 
+    def _matched_docs(self, query_text: str) -> DataFrame | None:
+        """Distinct live doc_ids matching the (disjunctive) query — the
+        shared match-set base of every aggregation (facets / histogram /
+        stats / cardinality): one term+bucket-pruned decode, tombstones
+        masked, one distinct. None when no query term exists."""
+        plan = self._plan(query_text)
+        if plan is None:
+            return None
+        _, blocks, _ = plan
+        return self._mask_deleted(
+            flat_postings(blocks).select("doc_id")
+        ).distinct()
+
+    @staticmethod
+    def _attr_col(attrs: DataFrame, col: str):
+        """attrs column by name with fail-fast validation and canonical
+        backtick quoting (hostile names can't break or inject the plan)."""
+        if col not in attrs.columns:
+            raise ValueError(f"column {col!r} not in attrs {attrs.columns}")
+        return F.col("`" + col.replace("`", "``") + "`")
+
+    def histogram_agg(
+        self,
+        query_text: str,
+        attrs: DataFrame,
+        col: str,
+        interval: float,
+    ) -> DataFrame:
+        """ES ``histogram`` aggregation over the query's full match set:
+        fixed-``interval`` buckets of a numeric attribute, keyed by
+        ``bucket = floor(value / interval) * interval``, with matching-doc
+        counts. ES semantics: docs missing the field (null) fall out; only
+        non-empty buckets return (``min_doc_count: 1``). One decode + one
+        join + one groupBy — the aggregation never touches posting bytes
+        beyond the match-set decode."""
+        if interval <= 0:
+            raise ValueError(f"interval must be > 0, got {interval}")
+        out_schema = "bucket double, doc_count long"
+        matched = self._matched_docs(query_text)
+        if matched is None:
+            return self.spark.createDataFrame([], out_schema)
+        v = self._attr_col(attrs, col).cast("double")
+        return (
+            matched.join(attrs, "doc_id", "inner")
+            .where(v.isNotNull())
+            .select(
+                (F.floor(v / F.lit(float(interval))) * F.lit(float(interval)))
+                .cast("double")
+                .alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy("bucket")
+        )
+
+    def stats_agg(
+        self, query_text: str, attrs: DataFrame, col: str
+    ) -> DataFrame:
+        """ES ``stats`` aggregation over the match set: one row of
+        (count, min, max, sum, avg) for a numeric attribute — nulls
+        excluded from every statistic, exactly ES. One aggregation job."""
+        out_schema = (
+            "count long, min double, max double, sum double, avg double"
+        )
+        matched = self._matched_docs(query_text)
+        if matched is None:
+            return self.spark.createDataFrame([], out_schema)
+        v = self._attr_col(attrs, col).cast("double")
+        return (
+            matched.join(attrs, "doc_id", "inner")
+            .where(v.isNotNull())
+            .agg(
+                F.count("*").alias("count"),
+                F.min(v).alias("min"),
+                F.max(v).alias("max"),
+                F.sum(v).alias("sum"),
+                F.avg(v).alias("avg"),
+            )
+        )
+
+    def cardinality_agg(
+        self,
+        query_text: str,
+        attrs: DataFrame,
+        col: str,
+        exact: bool = False,
+        rsd: float = 0.05,
+    ) -> DataFrame:
+        """ES ``cardinality`` aggregation over the match set: distinct
+        values of an attribute among matching docs. ES uses HyperLogLog++
+        — the default here is Spark's same-family
+        ``approx_count_distinct`` (``rsd`` ≙ ES ``precision_threshold``
+        tuning); ``exact=True`` runs the exact countDistinct (the oracle
+        path — a full shuffle of the distinct values, fine at test scale,
+        the approx path is the 100 TB shape)."""
+        out_schema = "value long"
+        matched = self._matched_docs(query_text)
+        if matched is None:
+            return self.spark.createDataFrame([], out_schema)
+        v = self._attr_col(attrs, col)
+        joined = matched.join(attrs, "doc_id", "inner").where(v.isNotNull())
+        agg = (
+            F.count_distinct(v) if exact else F.approx_count_distinct(v, rsd)
+        )
+        return joined.agg(agg.cast("long").alias("value"))
+
     def facet_counts(
         self,
         query_text: str,
@@ -1331,13 +1437,9 @@ class Searcher:
         from pyspark.sql import Window
 
         out_schema = "facet string, value string, doc_count long"
-        plan = self._plan(query_text)
-        if plan is None:
+        matched = self._matched_docs(query_text)
+        if matched is None:
             return self.spark.createDataFrame([], out_schema)
-        _, blocks, _ = plan
-        matched = self._mask_deleted(
-            flat_postings(blocks).select("doc_id")
-        ).distinct()
         joined = matched.join(attrs, "doc_id", "inner")
         # typed-expression unpivot (explode over an array of structs) —
         # NOT a string-built stack(): a facet column named with a

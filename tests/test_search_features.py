@@ -324,3 +324,55 @@ def test_wildcard_rewrites(spark, pcorpus):
     )
     rows = s.topk_wildcard("qu*", 10_000_000).collect()
     assert [r["doc_id"] for r in rows] == want_c
+
+
+# ---------------- metric/bucket aggregations (ES aggs family) ---------------
+
+
+def test_histogram_and_stats_match_pandas(spark, pcorpus):
+    pdf, built, s = pcorpus
+    q = "zephyr quantum"
+    qt = set(py_tokenize(q))
+    matched = [
+        i for i, t in enumerate(pdf["text"]) if qt & set(py_tokenize(t))
+    ]
+    assert matched
+    # numeric attribute with a null to prove ES null exclusion
+    vals = {i: (None if j == 0 else len(pdf["text"][i])) for j, i in enumerate(matched)}
+    attrs = spark.createDataFrame(
+        [(i, vals.get(i)) for i in range(len(pdf))], "doc_id long, n long"
+    )
+    live = [i for i in matched if vals.get(i) is not None]
+    want_hist = Counter((len(pdf["text"][i]) // 20) * 20 for i in live)
+    got = s.histogram_agg(q, attrs, "n", 20).collect()
+    assert {(r["bucket"], r["doc_count"]) for r in got} == {
+        (float(b), c) for b, c in want_hist.items()
+    }
+    st = s.stats_agg(q, attrs, "n").collect()[0]
+    lens = [len(pdf["text"][i]) for i in live]
+    assert st["count"] == len(lens)
+    assert st["min"] == min(lens) and st["max"] == max(lens)
+    assert st["sum"] == sum(lens)
+    assert st["avg"] == pytest.approx(sum(lens) / len(lens), rel=1e-12)
+    with pytest.raises(ValueError, match="interval"):
+        s.histogram_agg(q, attrs, "n", 0)
+    with pytest.raises(ValueError, match="not in attrs"):
+        s.stats_agg(q, attrs, "nope")
+
+
+def test_cardinality_exact_and_approx(spark, pcorpus):
+    pdf, built, s = pcorpus
+    q = "zephyr quantum"
+    qt = set(py_tokenize(q))
+    matched = [
+        i for i, t in enumerate(pdf["text"]) if qt & set(py_tokenize(t))
+    ]
+    attrs = spark.createDataFrame(
+        [(i, f"g{i % 7}") for i in range(len(pdf))], "doc_id long, grp string"
+    )
+    want = len({f"g{i % 7}" for i in matched})
+    exact = s.cardinality_agg(q, attrs, "grp", exact=True).collect()[0]["value"]
+    assert exact == want
+    # the HLL default must land within the configured rsd at this tiny n
+    approx = s.cardinality_agg(q, attrs, "grp", rsd=0.01).collect()[0]["value"]
+    assert abs(approx - want) <= max(1, int(0.05 * want))
