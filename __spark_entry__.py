@@ -773,6 +773,25 @@ def _q_g3_stats(spark, sf_dir):
     )
 
 
+G5_RANGES = [
+    {"to": 120},
+    {"from": 120, "to": 200},
+    {"from": 150, "to": 260},  # deliberately overlapping (ES: independent)
+    {"from": 100000},          # deliberately empty (ES: still returned)
+]
+
+
+def _q_g5_range(spark, sf_dir):
+    """ES range aggregation: explicit n_chars buckets over the match set
+    — from inclusive / to exclusive, overlaps count independently, empty
+    buckets still return with doc_count 0."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = _agg_attrs(spark, sf_dir, built, "n_chars")
+    return searcher.range_agg(
+        " ".join(BM25_QUERY_TERMS), attrs, "n_chars", G5_RANGES
+    )
+
+
 def _q_g4_cardinality(spark, sf_dir):
     """ES cardinality aggregation (exact twin; the engine default is the
     HLL-family approx_count_distinct — the 100 TB shape)."""
@@ -941,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_histogram": _q_g2_histogram,
         "g3_stats": _q_g3_stats,
         "g4_cardinality": _q_g4_cardinality,
+        "g5_range": _q_g5_range,
         "f1_filtered_topk": _q_f1_filtered_topk,
         "a2_decode_messages": _q_a2_decode_messages,
         "a4_routing": _q_a4_routing,
@@ -1455,6 +1475,24 @@ SELECT count(*) AS count,
 FROM matched JOIN documents USING (doc_id)
 WHERE n_chars IS NOT NULL
 """
+    def _rng_row(r):
+        lo, hi = r.get("from"), r.get("to")
+        key = f"{'*' if lo is None else float(lo)}-{'*' if hi is None else float(hi)}"
+        cond = " AND ".join(
+            ([f"n_chars >= {float(lo)}"] if lo is not None else [])
+            + ([f"n_chars < {float(hi)}"] if hi is not None else [])
+        )
+        lo_sql = "NULL::DOUBLE" if lo is None else f"{float(lo)}::DOUBLE"
+        hi_sql = "NULL::DOUBLE" if hi is None else f"{float(hi)}::DOUBLE"
+        return (
+            f"SELECT '{key}' AS key, {lo_sql} AS \"from\", {hi_sql} AS \"to\", "
+            f"(SELECT count(*) FROM matched JOIN documents USING (doc_id) "
+            f"WHERE n_chars IS NOT NULL AND {cond})::BIGINT AS doc_count"
+        )
+
+    sql["g5_range"] = matched_cte + "\nUNION ALL\n".join(
+        _rng_row(r) for r in G5_RANGES
+    )
     sql["g4_cardinality"] = matched_cte + """
 SELECT count(DISTINCT source)::BIGINT AS value
 FROM matched JOIN documents USING (doc_id)

@@ -1415,6 +1415,79 @@ class Searcher:
         )
         return joined.agg(agg.cast("long").alias("value"))
 
+    def range_agg(
+        self,
+        query_text: str,
+        attrs: DataFrame,
+        col: str,
+        ranges: list[dict],
+    ) -> DataFrame:
+        """ES ``range`` aggregation over the match set: explicit buckets
+        ``[{"key"?, "from"?, "to"?}, ...]`` — ``from`` inclusive, ``to``
+        exclusive, overlapping ranges each count independently, and EVERY
+        specified bucket returns even when empty (doc_count 0) — the
+        three ways it differs from ``histogram``. Default keys follow
+        ES: ``"from-to"`` with ``*`` for an open side.
+
+        Plan: one conditional aggregation — each bucket is a
+        ``sum(when(cond, 1))`` on the SAME single agg over the joined
+        match set, then one explode back to bucket rows. No per-bucket
+        job, no crossJoin, all JVM."""
+        parsed = []
+        for r in ranges:
+            lo, hi = r.get("from"), r.get("to")
+            if lo is None and hi is None:
+                raise ValueError(f"range needs from and/or to: {r!r}")
+            key = r.get("key") or (
+                f"{'*' if lo is None else float(lo)}-"
+                f"{'*' if hi is None else float(hi)}"
+            )
+            parsed.append(
+                (key, None if lo is None else float(lo),
+                 None if hi is None else float(hi))
+            )
+        if not parsed:
+            raise ValueError("ranges must be non-empty")
+        matched = self._matched_docs(query_text)
+        if matched is None:
+            counts = [F.lit(0).cast("long").alias(f"_c{i}")
+                      for i in range(len(parsed))]
+            base = self.spark.range(1).select(*counts)
+        else:
+            v = self._attr_col(attrs, col).cast("double")
+            joined = matched.join(attrs, "doc_id", "inner").where(
+                v.isNotNull()
+            )
+            aggs = []
+            for i, (_k, lo, hi) in enumerate(parsed):
+                cond = F.lit(True)
+                if lo is not None:
+                    cond = cond & (v >= F.lit(lo))
+                if hi is not None:
+                    cond = cond & (v < F.lit(hi))
+                aggs.append(
+                    F.sum(F.when(cond, 1).otherwise(0))
+                    .cast("long")
+                    .alias(f"_c{i}")
+                )
+            base = joined.agg(*aggs)
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("key"),
+                    F.lit(lo).cast("double").alias("from"),
+                    F.lit(hi).cast("double").alias("to"),
+                    F.coalesce(F.col(f"_c{i}"), F.lit(0))
+                    .cast("long")
+                    .alias("doc_count"),
+                )
+                for i, (k, lo, hi) in enumerate(parsed)
+            ]
+        )
+        return base.select(F.explode(buckets).alias("_b")).select(
+            "_b.key", "_b.from", "_b.to", "_b.doc_count"
+        )
+
     def facet_counts(
         self,
         query_text: str,

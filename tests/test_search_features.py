@@ -376,3 +376,49 @@ def test_cardinality_exact_and_approx(spark, pcorpus):
     # the HLL default must land within the configured rsd at this tiny n
     approx = s.cardinality_agg(q, attrs, "grp", rsd=0.01).collect()[0]["value"]
     assert abs(approx - want) <= max(1, int(0.05 * want))
+
+
+def test_range_agg_matches_pandas(spark, pcorpus):
+    """ES range-agg semantics: from inclusive / to exclusive, overlapping
+    ranges count independently, empty and no-match buckets still return
+    with doc_count 0, nulls excluded."""
+    pdf, built, s = pcorpus
+    q = "zephyr quantum"
+    qt = set(py_tokenize(q))
+    matched = [
+        i for i, t in enumerate(pdf["text"]) if qt & set(py_tokenize(t))
+    ]
+    attrs = spark.createDataFrame(
+        [(i, None if i == matched[0] else len(pdf["text"][i]))
+         for i in range(len(pdf))],
+        "doc_id long, n long",
+    )
+    live = {i: len(pdf["text"][i]) for i in matched[1:]}
+    ranges = [
+        {"to": 150},
+        {"from": 100, "to": 300},  # overlaps the first
+        {"from": 10**6},           # empty
+        {"from": 50, "key": "tail"},
+    ]
+    got = {
+        r["key"]: (r["from"], r["to"], r["doc_count"])
+        for r in s.range_agg(q, attrs, "n", ranges).collect()
+    }
+    def cnt(lo, hi):
+        return sum(
+            1 for v in live.values()
+            if (lo is None or v >= lo) and (hi is None or v < hi)
+        )
+    assert got == {
+        "*-150.0": (None, 150.0, cnt(None, 150)),
+        "100.0-300.0": (100.0, 300.0, cnt(100, 300)),
+        "1000000.0-*": (1e6, None, 0),
+        "tail": (50.0, None, cnt(50, None)),
+    }
+    with pytest.raises(ValueError, match="from and/or to"):
+        s.range_agg(q, attrs, "n", [{}])
+    with pytest.raises(ValueError, match="non-empty"):
+        s.range_agg(q, attrs, "n", [])
+    # no query term exists: every bucket returns, all zero
+    z = s.range_agg("xyzzynope", attrs, "n", ranges).collect()
+    assert len(z) == 4 and all(r["doc_count"] == 0 for r in z)
