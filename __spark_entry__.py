@@ -792,6 +792,22 @@ def _q_g5_range(spark, sf_dir):
     )
 
 
+def _q_g6_date_histogram(spark, sf_dir):
+    """ES date_histogram (calendar_interval: day) over the events stream:
+    one truncation aggregation plus a sequence-generated spine that
+    zero-fills empty days between the first and last bucket
+    (min_doc_count: 0, the ES default). Bucket emitted as a string so
+    the cross-engine hash is timezone-representation-free."""
+    from rabbit_index_ingest_spark.operators.analytics import date_histogram
+
+    ev = _events(spark, sf_dir)
+    h = date_histogram(ev, "ts", calendar_interval="day")
+    return h.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "doc_count",
+    )
+
+
 def _q_g4_cardinality(spark, sf_dir):
     """ES cardinality aggregation (exact twin; the engine default is the
     HLL-family approx_count_distinct — the 100 TB shape)."""
@@ -961,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g3_stats": _q_g3_stats,
         "g4_cardinality": _q_g4_cardinality,
         "g5_range": _q_g5_range,
+        "g6_date_histogram": _q_g6_date_histogram,
         "f1_filtered_topk": _q_f1_filtered_topk,
         "a2_decode_messages": _q_a2_decode_messages,
         "a4_routing": _q_a4_routing,
@@ -1493,6 +1510,20 @@ WHERE n_chars IS NOT NULL
     sql["g5_range"] = matched_cte + "\nUNION ALL\n".join(
         _rng_row(r) for r in G5_RANGES
     )
+    sql["g6_date_histogram"] = """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS bucket, count(*)::BIGINT AS doc_count
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+series AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+  FROM bounds WHERE lo IS NOT NULL
+)
+SELECT strftime(series.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       coalesce(doc_count, 0)::BIGINT AS doc_count
+FROM series LEFT JOIN b USING (bucket)
+"""
     sql["g4_cardinality"] = matched_cte + """
 SELECT count(DISTINCT source)::BIGINT AS value
 FROM matched JOIN documents USING (doc_id)
