@@ -716,6 +716,34 @@ def _q_n1_near_topk(spark, sf_dir):
     )
 
 
+SP1_SLOP = 2  # sloppy-phrase budget for the sp1 entry (transpositions in)
+U1_TERMS = "slow scan"
+U1_SLOP = 2
+
+
+def _q_sp1_slop_topk(spark, sf_dir):
+    """Sloppy phrase (ES match_phrase slop=2, Lucene SloppyPhraseQuery):
+    minimal-window matcher over the positional postings, sloppy_freq =
+    Σ 1/(1+distance) accumulated as exact scaled integers. Full match set
+    (tie-order-free). Twin: DuckDB windowed-max minimal-window sweep."""
+    built, searcher = _searcher(spark, sf_dir)
+    top = searcher.topk_phrase(P1_PHRASE, 10_000_000, slop=SP1_SLOP)
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_u1_unordered_near(spark, sf_dir):
+    """Unordered proximity (ES span_near in_order=false, slop=2): one
+    occurrence of every term within <=2 slack tokens in any order. Full
+    match set. Twin: same minimal-window sweep on raw positions."""
+    built, searcher = _searcher(spark, sf_dir)
+    top = searcher.topk_near_unordered(U1_TERMS, 10_000_000, slop=U1_SLOP)
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 G1_FACETS = ["lang", "source"]
 
 
@@ -964,6 +992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_phrase_topk": _q_p1_phrase_topk,
         "p2_phrase3_topk": _q_p2_phrase3_topk,
         "n1_near_topk": _q_n1_near_topk,
+        "sp1_slop_topk": _q_sp1_slop_topk,
+        "u1_unordered_near": _q_u1_unordered_near,
         "g1_facets": _q_g1_facets,
         "h1_highlight": _q_h1_highlight,
         "c1_and_topk": _q_c1_and_topk,
@@ -1164,6 +1194,103 @@ JOIN dl ON dl.doc_id = ph.doc_id
 CROSS JOIN stats
 ORDER BY score DESC, ph.doc_id
 LIMIT {k}
+"""
+
+
+def _sloppy_sql(phrase: str, slop: int, ordered: bool = True) -> str:
+    """DuckDB twin of ``Searcher.topk_phrase(slop>0)`` (``ordered=True``)
+    / ``Searcher.topk_near_unordered`` (``ordered=False``): the
+    minimal-window sloppy matcher of ``_make_sloppy_range_scorer``,
+    evaluated relationally. Per query slot j an event stream of adjusted
+    positions (``pos - j`` ordered, raw ``pos`` unordered); per event the
+    latest position of every slot at-or-before it (windowed max, RANGE
+    frame so position ties are slot-order-free, same as the engine's
+    searchsorted side='right'); L = least of those; minimal windows =
+    ``GROUP BY doc, L → min(event)``; distance = width (ordered) or
+    width − (n_slots − 1) (unordered); sloppy_freq accumulates the exact
+    scaled integers LCM(1..slop+1)/(1+d) — float-sum-order-free, identical
+    to the engine — and scores as the pseudo-term BM25. Engine-identical
+    by construction: same analyzer regex, float64, round(…, 4)."""
+    import math
+
+    from rabbit_index_ingest_spark.analysis import py_tokenize
+
+    qt = py_tokenize(phrase)
+    assert qt and all(t.replace("_", "").isalnum() for t in qt)
+    uniq = sorted(set(qt))
+    slots = (
+        list(enumerate(qt)) if ordered else list(enumerate(uniq))
+    )  # (slot_idx, term); unordered collapses duplicates (engine contract)
+    n_slots = len(slots)
+    dist_base = 0 if ordered else n_slots - 1
+    lcm = math.lcm(*range(1, slop + 2))
+    terms_in = ", ".join(f"'{t}'" for t in uniq)
+    ev = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, pos - {j if ordered else 0} AS apos, {j} AS slot "
+        f"FROM tok WHERE term = '{t}'"
+        for j, t in slots
+    )
+    last_cols = ",\n    ".join(
+        f"max(CASE WHEN slot = {j} THEN apos END) OVER w AS l{j}"
+        for j, _ in slots
+    )
+    not_null = " AND ".join(f"l{j} IS NOT NULL" for j, _ in slots)
+    least = ", ".join(f"l{j}" for j, _ in slots)
+    idf_sum = " + ".join(
+        f"(SELECT idf FROM idfs WHERE term = '{t}')"
+        for t in (qt if ordered else uniq)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term,
+         generate_subscripts({_TOK}, 1) AS pos
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(dl), 0) FROM dl)
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+  WHERE term IN ({terms_in}) GROUP BY 1
+),
+idfs AS (
+  SELECT term, ln(1 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+  FROM dfs CROSS JOIN stats
+),
+ev AS (
+  {ev}
+),
+lasts AS (
+  SELECT doc_id, apos,
+    {last_cols}
+  FROM ev
+  WINDOW w AS (PARTITION BY doc_id ORDER BY apos
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+valid AS (
+  SELECT doc_id, apos, least({least}) AS lft
+  FROM lasts WHERE {not_null}
+),
+minw AS (SELECT doc_id, lft, min(apos) AS rgt FROM valid GROUP BY 1, 2),
+freq AS (
+  SELECT doc_id,
+         sum({lcm} // (1 + greatest(rgt - lft - {dist_base}, 0))) AS scaled
+  FROM minw
+  WHERE rgt - lft - {dist_base} <= {slop}
+  GROUP BY 1
+),
+ph AS (SELECT doc_id, scaled::DOUBLE / {lcm} AS ptf FROM freq WHERE scaled > 0)
+SELECT ph.doc_id,
+       round(({idf_sum}) * ptf * ({K1} + 1.0)
+             / (ptf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)),
+             4) AS score
+FROM ph
+JOIN dl ON dl.doc_id = ph.doc_id
+CROSS JOIN stats
+ORDER BY score DESC, ph.doc_id
 """
 
 
@@ -1414,6 +1541,8 @@ FROM dl
     sql["p1_phrase_topk"] = _phrase_sql(P1_PHRASE, 10)
     sql["p2_phrase3_topk"] = _phrase_sql(P2_PHRASE, 10)
     sql["n1_near_topk"] = _phrase_sql(N1_TERMS, 10, gap=N1_GAP)
+    sql["sp1_slop_topk"] = _sloppy_sql(P1_PHRASE, SP1_SLOP, ordered=True)
+    sql["u1_unordered_near"] = _sloppy_sql(U1_TERMS, U1_SLOP, ordered=False)
 
     qterms_in = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_TERMS)))
     sql["g1_facets"] = f"""

@@ -69,6 +69,15 @@ def _parser() -> argparse.ArgumentParser:
     q.add_argument("--gap", type=int, default=1,
                    help="near mode: max positions between consecutive "
                         "terms (1 = adjacent)")
+    q.add_argument("--slop", type=int, default=0,
+                   help="phrase mode: ES match_phrase slop (sloppy phrase "
+                        "— unordered within the budget, transposition "
+                        "costs 2); near mode with --unordered: max slack "
+                        "tokens between the span terms")
+    q.add_argument("--unordered", action="store_true",
+                   help="near mode: ES span_near(in_order=false) — terms "
+                        "in any order within --slop slack tokens "
+                        "(--gap is ignored)")
     q.add_argument("--min-match", type=int, default=None,
                    help="or mode: ES minimum_should_match — doc must "
                         "match at least this many query terms (scored "
@@ -155,9 +164,15 @@ def main(argv: list[str] | None = None) -> int:
         elif args.mode == "phrase_prefix":
             top = s.topk_phrase_prefix(args.q, args.k, allowed=allowed)
         elif args.mode == "phrase":
-            top = s.topk_phrase(args.q, args.k, allowed=allowed)
+            top = s.topk_phrase(args.q, args.k, allowed=allowed, slop=args.slop)
         elif args.mode == "near":
-            top = s.topk_near(args.q, args.k, gap=args.gap, allowed=allowed)
+            top = (
+                s.topk_near_unordered(
+                    args.q, args.k, slop=args.slop, allowed=allowed
+                )
+                if args.unordered
+                else s.topk_near(args.q, args.k, gap=args.gap, allowed=allowed)
+            )
         elif args.mode == "and":
             # conjunctions run inside the candidate-pruned scorer (ES runs
             # operator:and inside WAND); --path dataframe keeps the

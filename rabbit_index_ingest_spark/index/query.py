@@ -1055,6 +1055,7 @@ class Searcher:
         k: int = 10,
         allowed: DataFrame | None = None,
         skip_acc=None,
+        slop: int = 0,
     ) -> DataFrame:
         """Exact phrase top-k (ES ``match_phrase``) — the block-max
         positional path and the engine default. Semantics and scores are
@@ -1074,6 +1075,14 @@ class Searcher:
         cogroup per range exactly like ``topk_blockmax``; ``skip_acc``
         counts blocks skipped undecoded (span test) plus position streams
         never decoded.
+
+        ``slop`` (ES ``match_phrase`` slop; Lucene SloppyPhraseQuery):
+        with ``slop > 0`` the per-range scorer switches to the
+        minimal-window sloppy matcher (``_make_sloppy_range_scorer`` —
+        unordered-within-budget, transpositions cost 2, sloppy_freq sums
+        1/(1+distance) over minimal windows). Plan shape is unchanged:
+        the same block pruning applies (every phrase term is still
+        required), positions still decode per-range for candidates only.
         """
         qterms = py_tokenize(query_text)
         if not qterms:
@@ -1098,11 +1107,19 @@ class Searcher:
             )
             blocks = blocks.join(rare_ranges, "range_id", "left_semi")
         side = self._side_frame(allowed)
-        scorer = _make_phrase_range_scorer(
-            idf_phrase, self.avgdl, k, self.range_bits, order, offsets,
-            self.deleted, allowed_present=allowed is not None,
-            cogrouped=side is not None, skip_acc=skip_acc,
-        )
+        if slop > 0:
+            scorer = _make_sloppy_range_scorer(
+                idf_phrase, self.avgdl, k, self.range_bits, order,
+                [(t, i) for i, t in enumerate(qterms)], slop, True,
+                self.deleted, allowed_present=allowed is not None,
+                cogrouped=side is not None, skip_acc=skip_acc,
+            )
+        else:
+            scorer = _make_phrase_range_scorer(
+                idf_phrase, self.avgdl, k, self.range_bits, order, offsets,
+                self.deleted, allowed_present=allowed is not None,
+                cogrouped=side is not None, skip_acc=skip_acc,
+            )
         grouped = blocks.select(*_SCORE_COLS, "pos_bytes").groupBy("range_id")
         if side is not None:
             local = grouped.cogroup(side.groupBy("range_id")).applyInPandas(
@@ -1598,6 +1615,63 @@ class Searcher:
         side = self._side_frame(allowed)
         scorer = _make_near_range_scorer(
             idf_q, self.avgdl, k, self.range_bits, order, qterms, gap,
+            self.deleted, allowed_present=allowed is not None,
+            cogrouped=side is not None, skip_acc=skip_acc,
+        )
+        grouped = blocks.select(*_SCORE_COLS, "pos_bytes").groupBy("range_id")
+        if side is not None:
+            local = grouped.cogroup(side.groupBy("range_id")).applyInPandas(
+                scorer, TOPK_SCHEMA
+            )
+        else:
+            local = grouped.applyInPandas(scorer, TOPK_SCHEMA)
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def topk_near_unordered(
+        self,
+        query_text: str,
+        k: int = 10,
+        slop: int = 0,
+        allowed: DataFrame | None = None,
+        skip_acc=None,
+    ) -> DataFrame:
+        """Unordered proximity top-k (ES ``span_near(in_order=false)``):
+        a doc matches when one occurrence of every query term fits a
+        window with at most ``slop`` slack tokens between them, in ANY
+        order (``slop=0`` = the terms adjacent in some permutation).
+        Distance per minimal window is Lucene NearSpansUnordered's
+        matchWidth — ``(max_pos − min_pos) − (n_terms − 1)`` — and
+        sloppy_freq sums 1/(1+distance); full semantics and the
+        vectorized minimal-window sweep are documented on
+        ``_make_sloppy_range_scorer`` (ordered=False). Duplicate query
+        terms collapse to one slot (documented deviation: Lucene spans
+        would require distinct occurrences). idf sums over the distinct
+        slots. Plan shape, block pruning, tombstone/filter cogrouping and
+        ``skip_acc`` are exactly ``topk_near``'s.
+        """
+        qterms = py_tokenize(query_text)
+        if not qterms:
+            return _empty_topk(self.spark)
+        uniq = sorted(set(qterms))
+        meta = self._term_meta(uniq)
+        if any(meta[t][0] == 0 for t in uniq):
+            return _empty_topk(self.spark)
+        idf_q = sum(lucene_idf(self.n_docs, meta[t][0]) for t in uniq)
+        order = sorted(uniq, key=lambda t: (meta[t][0], t))
+        blocks = self.postings.where(
+            F.col("bucket").isin(_term_buckets(self.spark, uniq))
+        ).where(F.col("term").isin(uniq))
+        if len(uniq) > 1:
+            rare_ranges = (
+                blocks.where(F.col("term") == order[0])
+                .select("range_id")
+                .distinct()
+            )
+            blocks = blocks.join(rare_ranges, "range_id", "left_semi")
+        side = self._side_frame(allowed)
+        scorer = _make_sloppy_range_scorer(
+            idf_q, self.avgdl, k, self.range_bits, order,
+            [(t, 0) for t in uniq], slop, False,
             self.deleted, allowed_present=allowed is not None,
             cogrouped=side is not None, skip_acc=skip_acc,
         )
@@ -2708,6 +2782,196 @@ def _make_near_range_scorer(
         chain = np.bincount(inv, weights=prev_w.astype(np.float64))
         return _finish_positional_topk(
             docs, chain, dl_arr, base, idf_q, avgdl, k
+        )
+
+    def plain(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score(key[0], pdf, deleted, None)
+
+    def cg(key: tuple, pdf: pd.DataFrame, side: pd.DataFrame) -> pd.DataFrame:
+        dead = frozenset(side.loc[side["kind"] == 0, "doc_id"].tolist()) | deleted
+        allow = None
+        if allowed_present:
+            allow = side.loc[side["kind"] == 1, "doc_id"].to_numpy(np.int64)
+            if len(allow) == 0:
+                return _empty_topk_pdf()
+        return _score(key[0], pdf, dead, allow)
+
+    return cg if cogrouped else plain
+
+
+# slop is capped so the scaled-integer sloppy_freq (Σ LCM(1..slop+1)/(1+d))
+# stays exactly representable: LCM(1..21) ≈ 2.3e8, times any realistic
+# per-doc window count (≤ dl) stays far below 2^53, so the float64 bincount
+# sum is EXACT and the engine and the DuckDB oracle agree bit-for-bit with
+# no float-summation-order hazard. ES's own default is slop=0; real queries
+# use single digits.
+MAX_SLOP = 20
+
+
+def _slop_lcm(slop: int) -> int:
+    return math.lcm(*range(1, slop + 2))
+
+
+def _make_sloppy_range_scorer(
+    idf_q: float,
+    avgdl: float,
+    k: int,
+    range_bits: int,
+    term_order: list[str],
+    slots: list[tuple[str, int]],
+    slop: int,
+    ordered: bool,
+    deleted: frozenset,
+    allowed_present: bool = False,
+    cogrouped: bool = False,
+    skip_acc=None,
+):
+    """Positional block-max scorer for sloppy / unordered proximity over
+    one doc range — backs ``Searcher.topk_phrase(slop>0)`` (ES
+    ``match_phrase`` + ``slop``; Lucene SloppyPhraseQuery) and
+    ``Searcher.topk_near_unordered`` (ES ``span_near(in_order=false)``).
+    Same chassis as ``_make_phrase_range_scorer``: pass 1 is the shared
+    ``_pass1_intersect`` doc-level conjunction on the cheap streams (every
+    slot term is still REQUIRED — sloppiness relaxes adjacency, not
+    membership), pass 2 decodes positions for surviving candidates only
+    and decoded positions never cross an executor.
+
+    **Semantics (minimal-window interval model).** Each query slot j
+    contributes the set A_j of *adjusted* positions: ``pos - offset_j``
+    when ``ordered`` (the Lucene PhrasePositions shift — order violations
+    consume budget: "b a" vs query "a b" has width 2, so ES's documented
+    "slop=2 allows transposition" holds), raw ``pos`` when unordered. A
+    candidate window is, for each event e in ∪A_j, ``[L(e), e]`` with
+    ``L(e) = min_j max{a ∈ A_j : a ≤ e}`` (all slots present in the doc
+    at or before e). L(e) is non-decreasing in e, so the *minimal* windows
+    (those containing no smaller valid window) are exactly the first event
+    attaining each distinct L — computed here as ``group by L, min(e)``,
+    which is also what the DuckDB oracle twin evaluates. Per minimal
+    window, ``distance = width`` (ordered) or ``width - (n_slots - 1)``
+    (unordered: the slack tokens between the n span terms, Lucene
+    NearSpansUnordered's matchWidth); the doc matches iff some window has
+    distance ≤ slop and
+
+        sloppy_freq = Σ_{windows, d ≤ slop} 1 / (1 + d)
+
+    (Lucene SloppySimScorer slop factor), accumulated as exact scaled
+    integers (see MAX_SLOP) and scored as the pseudo-term BM25 of the
+    exact phrase path. ``slop=0`` ordered is bit-identical to
+    ``topk_phrase`` (width 0 ⟺ consecutive terms; one window per phrase
+    start). Documented deviation (docs/SCALE.md): a query term repeated
+    at several slots may satisfy two slots with ONE physical token inside
+    the slop budget (Lucene's repeats machinery forbids that); unordered
+    mode collapses duplicate terms to one slot.
+
+    Vectorized across all candidate docs at once: slot arrays are int64
+    keys ``local_doc << 32 | (pos + maxoff - offset_j)`` (sorted by
+    construction — blocks partition docs in first_doc order, positions
+    ascend within docs, constant slot shift preserves order), L(e) is one
+    ``np.searchsorted`` per slot over the merged unique event array, and
+    the minimal-window reduction is ``np.unique`` + ``bincount``.
+    """
+    if not 0 <= slop <= MAX_SLOP:
+        raise ValueError(f"slop must be in [0, {MAX_SLOP}], got {slop}")
+    range_size = 1 << range_bits
+    lcm = _slop_lcm(slop)
+    maxoff = max(off for _, off in slots)
+    dist_base = 0 if ordered else len(slots) - 1
+    int64_max = np.iinfo(np.int64).max
+    m32 = np.int64(0xFFFFFFFF)
+
+    def _score(
+        range_id: int,
+        pdf: pd.DataFrame,
+        dead: frozenset,
+        allow_ids: np.ndarray | None,
+    ) -> pd.DataFrame:
+        if len(pdf) == 0 or set(pdf["term"].tolist()) != set(term_order):
+            return _empty_topk_pdf()  # a required term absent from range
+        base = int(range_id) << range_bits
+        del_mask, allow_mask, range_empty = _range_masks(
+            base, range_size, dead, allow_ids
+        )
+        if range_empty:
+            return _empty_topk_pdf()
+        C: np.ndarray | None = allow_mask
+        if del_mask is not None:
+            C = ~del_mask if C is None else (C & ~del_mask)
+        C, dl_arr, kept, skipped = _pass1_intersect(
+            pdf, term_order, base, range_size, C
+        )
+
+        def _flush_empty() -> pd.DataFrame:
+            if skip_acc is not None and skipped:
+                skip_acc.add(skipped)
+            return _empty_topk_pdf()
+
+        if C is None:
+            return _flush_empty()
+        # pass 2a: occurrence keys per unique term, candidates only (the
+        # position stream decodes IF the block still holds candidates)
+        occ: dict[str, np.ndarray] = {}
+        for t in term_order:
+            parts = []
+            for pos_bytes, idx, tfs in kept[t]:
+                live = C[idx]
+                if not live.any():
+                    skipped += 1  # pos stream never decoded
+                    continue
+                if len(pos_bytes) == 0 and tfs.sum() > 0:
+                    raise ValueError(
+                        "posting block has no position stream — the index "
+                        "was built with positions=False; rebuild with "
+                        "build_index(..., positions=True) for sloppy/"
+                        "unordered proximity queries"
+                    )
+                flat, _ = codec.unpack_positions(pos_bytes, tfs)
+                occ_doc = np.repeat(idx, tfs).astype(np.int64)
+                occ_live = np.repeat(live, tfs)
+                keys = (occ_doc[occ_live] << 32) | flat[occ_live].astype(
+                    np.int64
+                )
+                if len(keys):
+                    parts.append(keys)
+            if not parts:
+                return _flush_empty()
+            occ[t] = np.concatenate(parts)
+        if skip_acc is not None and skipped:
+            skip_acc.add(skipped)
+        # pass 2b: minimal-window sweep, all docs at once. Slot keys shift
+        # by (maxoff - off) ≥ 0 so adjusted positions never borrow into
+        # the doc bits; a constant shift keeps each array sorted.
+        slot_keys = [
+            occ[t] + np.int64(maxoff - off) if maxoff - off else occ[t]
+            for t, off in slots
+        ]
+        events = np.unique(np.concatenate(slot_keys))
+        left = np.full(len(events), int64_max)
+        valid = np.ones(len(events), dtype=bool)
+        for keys in slot_keys:
+            pos = np.searchsorted(keys, events, side="right") - 1
+            ok = pos >= 0
+            last = keys[np.maximum(pos, 0)]
+            ok &= (last >> 32) == (events >> 32)  # same doc
+            valid &= ok
+            left = np.minimum(left, np.where(ok, last, int64_max))
+        events, left = events[valid], left[valid]
+        if not len(events):
+            return _empty_topk_pdf()
+        # minimal windows = first event per distinct L (events ascend, so
+        # np.unique's first-occurrence index IS min(e) per L group)
+        u_left, first = np.unique(left, return_index=True)
+        dist = ((events[first] & m32) - (u_left & m32)) - np.int64(dist_base)
+        # distinct terms occupy distinct positions, so dist ≥ 0 always for
+        # valid tokenizations; clamp defensively for degenerate inputs
+        dist = np.maximum(dist, 0)
+        hit = dist <= slop
+        if not hit.any():
+            return _empty_topk_pdf()
+        w_scaled = (lcm // (1 + dist[hit])).astype(np.float64)
+        docs, inv = np.unique(u_left[hit] >> 32, return_inverse=True)
+        freq = np.bincount(inv, weights=w_scaled) / float(lcm)
+        return _finish_positional_topk(
+            docs, freq, dl_arr, base, idf_q, avgdl, k
         )
 
     def plain(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
