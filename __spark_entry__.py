@@ -836,6 +836,29 @@ def _q_g6_date_histogram(spark, sf_dir):
     )
 
 
+def _q_g7_date_histogram_matched(spark, sf_dir):
+    """ES date_histogram UNDER a query (aggs alongside a match): quarter
+    calendar buckets of a deterministic per-doc timestamp over the BM25
+    match set — exercises Searcher.date_histogram_agg (shared
+    _matched_docs base) and the quarter→3-month spine step. Bucket
+    emitted as a string (timezone-representation-free hash)."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = built.doc_stats.select(
+        "doc_id",
+        F.expr(
+            "timestamp'2024-01-01' + make_interval(0, 0, 0, "
+            "cast(cast(conv_id AS long) % 300 AS int))"
+        ).alias("ts"),
+    )
+    h = searcher.date_histogram_agg(
+        " ".join(BM25_QUERY_TERMS), attrs, "ts", calendar_interval="quarter"
+    )
+    return h.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "doc_count",
+    )
+
+
 def _q_g4_cardinality(spark, sf_dir):
     """ES cardinality aggregation (exact twin; the engine default is the
     HLL-family approx_count_distinct — the 100 TB shape)."""
@@ -1008,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_cardinality": _q_g4_cardinality,
         "g5_range": _q_g5_range,
         "g6_date_histogram": _q_g6_date_histogram,
+        "g7_date_histogram_matched": _q_g7_date_histogram_matched,
         "f1_filtered_topk": _q_f1_filtered_topk,
         "a2_decode_messages": _q_a2_decode_messages,
         "a4_routing": _q_a4_routing,
@@ -1647,6 +1671,24 @@ WITH b AS (
 bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
 series AS (
   SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+  FROM bounds WHERE lo IS NOT NULL
+)
+SELECT strftime(series.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       coalesce(doc_count, 0)::BIGINT AS doc_count
+FROM series LEFT JOIN b USING (bucket)
+"""
+    sql["g7_date_histogram_matched"] = matched_cte.rstrip() + """,
+ts AS (
+  SELECT TIMESTAMP '2024-01-01' + INTERVAL ((doc_id % 300)) DAY AS ts
+  FROM matched
+),
+b AS (
+  SELECT date_trunc('quarter', ts) AS bucket, count(*)::BIGINT AS doc_count
+  FROM ts GROUP BY 1
+),
+bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+series AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 3 MONTH)) AS bucket
   FROM bounds WHERE lo IS NOT NULL
 )
 SELECT strftime(series.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,

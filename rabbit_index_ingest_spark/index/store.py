@@ -508,7 +508,14 @@ class IndexStore:
         corpus = stats_df.agg(*aggs).collect()[0]
         n_docs = int(corpus["n_docs"])
         avgdl = (int(corpus["tt"]) / n_docs) if n_docs else 0.0
-        positions = bool(corpus["pos"]) if has_pos_col else True
+        # null-safe: on a mixed-schema store (pre-flag segments) min()
+        # ignores nulls, and an all-null aggregate must keep the
+        # documented positions=True default, not flip to False
+        positions = (
+            True
+            if not has_pos_col or corpus["pos"] is None
+            else bool(corpus["pos"])
+        )
         dictionary = self._merged_dictionary()
         postings = self._read_all("postings")
         docs = self._read_all("docs")
@@ -578,8 +585,13 @@ class IndexStore:
         stats_row = stats_df.agg(*aggs).collect()[0]
         next_doc_id = int(stats_row["next_id"])
         # follow the index's positions setting — a positionless index must
-        # not silently become mixed-format after an upsert (round-3 ADVICE)
-        positions = bool(stats_row["pos"]) if has_pos else True
+        # not silently become mixed-format after an upsert (round-3 ADVICE);
+        # null-safe: an all-null flag column keeps the True default
+        positions = (
+            True
+            if not has_pos or stats_row["pos"] is None
+            else bool(stats_row["pos"])
+        )
         existing_keys = self._read_all("docs").select(
             "doc_id", "conv_id", "turn_idx"
         )
@@ -714,7 +726,12 @@ class IndexStore:
         if has_pos_col:
             stat_aggs.append(F.min("positions").alias("pos"))
         stats = stats_df.agg(*stat_aggs).collect()[0]
-        has_positions = bool(stats["pos"]) if has_pos_col else True
+        # null-safe: an all-null flag column keeps the True default
+        has_positions = (
+            True
+            if not has_pos_col or stats["pos"] is None
+            else bool(stats["pos"])
+        )
         new_seg = max(have) + 1
         built = build_index_prenumbered(
             self.spark, docs, next_doc_id=int(stats["hi"]),

@@ -26,17 +26,31 @@ def date_histogram(
     calendar_interval: str | None = None,
     fixed_interval_s: int | None = None,
     min_doc_count: int = 0,
+    time_zone: str | None = None,
 ) -> DataFrame:
     """ES ``date_histogram``: bucket rows by time and count per bucket.
 
     * ``calendar_interval`` — one of ``CALENDAR_UNITS`` (ES
       ``calendar_interval: day`` etc.): bucket = ``date_trunc(unit, ts)``.
+      ``quarter`` truncates to quarter starts and steps the zero-fill
+      spine by 3 months (Spark intervals have no quarter unit;
+      ``date_trunc('quarter')`` buckets are month-aligned so the spine
+      stays on quarter starts).
     * ``fixed_interval_s`` — ES ``fixed_interval`` in seconds: bucket =
       ``floor(epoch / n) * n`` as a timestamp.
     * ``min_doc_count=0`` (the ES default): empty buckets BETWEEN the
       first and last populated bucket are returned zero-filled — the
       spine comes from ``sequence(min_bucket, max_bucket, interval)``;
       raise it to 1 to drop gaps (ES parity).
+    * ``time_zone`` (ES ``time_zone``, calendar intervals only): bucket
+      boundaries fall on the named zone's local calendar — timestamps
+      convert to zone wall-clock, truncate, spine-step (calendar
+      arithmetic on wall-clock, so DST transitions keep day/month
+      boundaries correct), and the returned bucket keys convert back to
+      UTC instants (what ES returns as epoch keys). A wall-clock bucket
+      made ambiguous/nonexistent by a DST jump resolves the way Spark's
+      ``to_utc_timestamp`` does (deterministic). Fixed intervals stay
+      epoch-aligned (documented deviation: ES shifts those too).
     * Null timestamps are excluded (ES: missing field).
 
     Returns ``(bucket timestamp, doc_count long)`` ordered by bucket.
@@ -45,20 +59,28 @@ def date_histogram(
         raise ValueError(
             "exactly one of calendar_interval / fixed_interval_s required"
         )
+    ts = F.col(ts_col)
+    to_local = bool(time_zone) and calendar_interval is not None
+    if to_local:
+        ts = F.from_utc_timestamp(ts, time_zone)
     if calendar_interval is not None:
         if calendar_interval not in CALENDAR_UNITS:
             raise ValueError(
                 f"calendar_interval must be one of {CALENDAR_UNITS}, "
                 f"got {calendar_interval!r}"
             )
-        bucket = F.date_trunc(calendar_interval, F.col(ts_col))
-        step = F.expr(f"INTERVAL 1 {calendar_interval}")
+        bucket = F.date_trunc(calendar_interval, ts)
+        step = F.expr(
+            "INTERVAL 3 MONTH"
+            if calendar_interval == "quarter"
+            else f"INTERVAL 1 {calendar_interval}"
+        )
     else:
         n = int(fixed_interval_s)
         if n <= 0:
             raise ValueError(f"fixed_interval_s must be > 0, got {n}")
         bucket = F.timestamp_seconds(
-            F.floor(F.unix_timestamp(F.col(ts_col)) / n) * n
+            F.floor(F.unix_timestamp(ts) / n) * n
         )
         step = F.expr(f"INTERVAL {n} SECONDS")
     counts = (
@@ -67,10 +89,17 @@ def date_histogram(
         .groupBy("bucket")
         .agg(F.count("*").alias("doc_count"))
     )
+
+    def _finish(res: DataFrame) -> DataFrame:
+        if to_local:  # back to UTC instants only at the very end
+            res = res.select(
+                F.to_utc_timestamp("bucket", time_zone).alias("bucket"),
+                "doc_count",
+            )
+        return res.orderBy("bucket")
+
     if min_doc_count >= 1:
-        return counts.where(F.col("doc_count") >= min_doc_count).orderBy(
-            "bucket"
-        )
+        return _finish(counts.where(F.col("doc_count") >= min_doc_count))
     spine = (
         counts.agg(
             F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
@@ -82,11 +111,10 @@ def date_histogram(
             )
         )
     )
-    return (
+    return _finish(
         spine.join(counts, "bucket", "left")
         .select(
             "bucket",
             F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count"),
         )
-        .orderBy("bucket")
     )

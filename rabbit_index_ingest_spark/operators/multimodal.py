@@ -9,6 +9,7 @@ are not in this container) — swap one function to go live.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Iterator
 
 import numpy as np
@@ -64,9 +65,12 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
     return arr.reshape(8, 8)
 
 
+@functools.lru_cache(maxsize=1)
 def pil_available() -> bool:
     """True when a real image codec (Pillow) is importable — probed at
-    runtime, never assumed (this sandbox ships none)."""
+    runtime, never assumed (this sandbox ships none). Cached: decode loops
+    call this per payload, and a FAILED import is not free (sys.path scan
+    per call)."""
     try:
         import PIL.Image  # noqa: F401
 

@@ -81,3 +81,103 @@ def test_date_histogram_validation(spark):
     # all-null timestamps: empty result, no error
     allnull = spark.createDataFrame([(1, None)], "id long, ts timestamp")
     assert date_histogram(allnull, "ts", calendar_interval="day").count() == 0
+
+
+def test_calendar_quarter(spark):
+    """quarter: Spark has no INTERVAL quarter unit — the spine must step
+    by 3 months and stay on quarter starts (round-4 advice item)."""
+    rows = [
+        (0, dt.datetime(2024, 1, 15)),
+        (1, dt.datetime(2024, 2, 1)),
+        # Q2 2024 empty — zero-filled
+        (2, dt.datetime(2024, 8, 30)),
+        (3, dt.datetime(2025, 1, 2)),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    got = [
+        (r["bucket"], r["doc_count"])
+        for r in date_histogram(df, "ts", calendar_interval="quarter").collect()
+    ]
+    assert got == [
+        (dt.datetime(2024, 1, 1), 2),
+        (dt.datetime(2024, 4, 1), 0),
+        (dt.datetime(2024, 7, 1), 1),
+        (dt.datetime(2024, 10, 1), 0),
+        (dt.datetime(2025, 1, 1), 1),
+    ]
+
+
+def test_time_zone_buckets(spark):
+    """ES time_zone: day boundaries fall on the named zone's local
+    midnight; keys return as UTC instants of those local midnights."""
+    rows = [
+        # 02:00 UTC = 21:00 previous day in America/New_York (EST, UTC-5)
+        (0, dt.datetime(2024, 1, 2, 2, 0)),
+        (1, dt.datetime(2024, 1, 2, 12, 0)),  # same UTC day, NY same day
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    got = [
+        (r["bucket"], r["doc_count"])
+        for r in date_histogram(
+            df, "ts", calendar_interval="day", time_zone="America/New_York"
+        ).collect()
+    ]
+    # NY local days: Jan 1 (the 02:00 UTC event) and Jan 2; keys are the
+    # local midnights expressed in UTC (+5h in January)
+    assert got == [
+        (dt.datetime(2024, 1, 1, 5, 0), 1),
+        (dt.datetime(2024, 1, 2, 5, 0), 1),
+    ]
+    # UTC default: both land on Jan 2
+    got_utc = [
+        (r["bucket"], r["doc_count"])
+        for r in date_histogram(df, "ts", calendar_interval="day").collect()
+    ]
+    assert got_utc == [(dt.datetime(2024, 1, 2), 2)]
+
+
+def test_date_histogram_agg_composes_with_query(spark):
+    """Searcher.date_histogram_agg buckets ONLY the query's match set
+    (shared _matched_docs base with the other aggregations)."""
+    import pandas as pd
+
+    from rabbit_index_ingest_spark.index.build import build_index
+    from rabbit_index_ingest_spark.index.query import Searcher
+
+    texts = ["alpha beta", "alpha", "gamma delta", "alpha gamma"]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"{i:04d}" for i in range(len(texts))],
+            "turn_idx": [0] * len(texts),
+            "text": texts,
+        }
+    )
+    built = build_index(spark, spark.createDataFrame(pdf))
+    s = Searcher(
+        spark, built.postings, built.dictionary, built.n_docs, built.avgdl
+    )
+    base = dt.datetime(2024, 3, 1)
+    attrs = spark.createDataFrame(
+        [(i, base + dt.timedelta(days=i)) for i in range(len(texts))],
+        "doc_id long, ts timestamp",
+    )
+    got = [
+        (r["bucket"], r["doc_count"])
+        for r in s.date_histogram_agg(
+            "alpha", attrs, "ts", calendar_interval="day"
+        ).collect()
+    ]
+    # docs 0, 1, 3 match "alpha"; day 3/2 (doc 2) zero-fills
+    assert got == [
+        (base, 1),
+        (base + dt.timedelta(days=1), 1),
+        (base + dt.timedelta(days=2), 0),
+        (base + dt.timedelta(days=3), 1),
+    ]
+    # absent term: empty frame with the contract schema
+    empty = s.date_histogram_agg(
+        "nosuchterm", attrs, "ts", calendar_interval="day"
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["bucket", "doc_count"]
+    built.release()
