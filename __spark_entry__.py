@@ -957,6 +957,38 @@ def _q_fz1_fuzzy_topk(spark, sf_dir):
     )
 
 
+RX_PATTERN = "s[ct].*|sl.w"  # scan, stream, slow — class + alternation + dot
+C3_QUERY = "table hash value join"  # 4 distinct terms
+C3_SPEC = "75%"  # resolves to 3 of 4 (ES trunc semantics)
+
+
+def _q_rx1_regexp_topk(spark, sf_dir):
+    """ES ``regexp`` query, ``rewrite: scoring_boolean``: the Lucene-style
+    implicitly-anchored pattern expands against the dictionary via ONE
+    vocabulary RLIKE scan and runs as a BM25 disjunction. Full scored set
+    — tie-order-free hash-compare. Twin: DuckDB regexp_full_match over
+    the vocabulary (same anchor semantics)."""
+    built, searcher = _searcher(spark, sf_dir)
+    top = searcher.topk_regexp(
+        RX_PATTERN, 10_000_000, rewrite="scoring_boolean"
+    )
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_c3_msm_pct(spark, sf_dir):
+    """minimum_should_match percentage form (ES spec '75%' over 4 query
+    terms → 3 required, Java trunc semantics): docs matching >=3 of the
+    4 terms, scored by the full BM25 sum over matched terms. Twin: the
+    msm SQL with the pre-resolved integer."""
+    built, searcher = _searcher(spark, sf_dir)
+    top = searcher.topk_msm(C3_QUERY, 10, msm=C3_SPEC)
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def _q_w1_wildcard_const(spark, sf_dir):
     """ES ``wildcard`` query, ``rewrite: constant_score``: the pattern
     expands against the dictionary via one LIKE scan; every doc holding
@@ -1026,6 +1058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp1_phrase_prefix_topk": _q_pp1_phrase_prefix_topk,
         "fz1_fuzzy_topk": _q_fz1_fuzzy_topk,
         "w1_wildcard_const": _q_w1_wildcard_const,
+        "rx1_regexp_topk": _q_rx1_regexp_topk,
+        "c3_msm_pct": _q_c3_msm_pct,
         "g2_histogram": _q_g2_histogram,
         "g3_stats": _q_g3_stats,
         "g4_cardinality": _q_g4_cardinality,
@@ -1608,6 +1642,16 @@ SELECT doc_id, array_to_string(snip, ' ') AS snippet FROM s
 """
     sql["c1_and_topk"] = _bm25_sql(C1_QUERY, 10, require_all=True)
     sql["c2_msm_topk"] = _bm25_sql(C1_QUERY, 10, min_match=2)
+    # percentage spec pre-resolved: '75%' of 4 distinct terms -> 3 (the
+    # resolution itself is unit-tested against the ES documentation table)
+    sql["c3_msm_pct"] = _bm25_sql(C3_QUERY, 10, min_match=3)
+    sql["rx1_regexp_topk"] = _bm25_sql(
+        RX_PATTERN, None,
+        qterms_sql=(
+            "SELECT DISTINCT term FROM tf "
+            f"WHERE regexp_full_match(term, '{RX_PATTERN}')"
+        ),
+    )
     sql["pr1_prefix_topk"] = _bm25_sql(PR_PREFIX + "*", None)
     sql["pp1_phrase_prefix_topk"] = _phrase_prefix_sql(PP_QUERY)
     sql["fz1_fuzzy_topk"] = _bm25_sql(

@@ -46,18 +46,21 @@ def _parser() -> argparse.ArgumentParser:
     q.add_argument("--path", choices=["blockmax", "dataframe"], default="blockmax")
     q.add_argument("--mode",
                    choices=["or", "and", "phrase", "near", "prefix",
-                            "phrase_prefix", "fuzzy", "wildcard"],
+                            "phrase_prefix", "fuzzy", "wildcard", "regexp"],
                    default="or",
                    help="or = disjunctive BM25 (default); and = ES "
                         "operator:and (doc must contain every term); "
                         "phrase = ES match_phrase over the positional "
-                        "postings; near = ordered proximity (span_near), "
-                        "see --gap; prefix = ES prefix query (--q is the "
-                        "prefix), see --rewrite; phrase_prefix = ES "
+                        "postings (see --slop); near = ordered proximity "
+                        "(span_near), see --gap / --unordered; prefix = "
+                        "ES prefix query (--q is the prefix), see "
+                        "--rewrite; phrase_prefix = ES "
                         "match_phrase_prefix (last --q term is a prefix); "
                         "fuzzy = ES fuzzy query (see --fuzziness, "
                         "--rewrite); wildcard = ES wildcard query "
-                        "(--q is the * / ? pattern, see --rewrite)")
+                        "(--q is the * / ? pattern, see --rewrite); "
+                        "regexp = ES regexp query (--q is a Lucene-style "
+                        "anchored regexp, see --rewrite)")
     q.add_argument("--fuzziness", type=int, default=None,
                    help="fuzzy mode: max edit distance (default: ES AUTO "
                         "by term length)")
@@ -78,10 +81,12 @@ def _parser() -> argparse.ArgumentParser:
                    help="near mode: ES span_near(in_order=false) — terms "
                         "in any order within --slop slack tokens "
                         "(--gap is ignored)")
-    q.add_argument("--min-match", type=int, default=None,
-                   help="or mode: ES minimum_should_match — doc must "
-                        "match at least this many query terms (scored "
-                        "over all terms it matches)")
+    q.add_argument("--min-match", type=str, default=None,
+                   help="or mode: ES minimum_should_match — every ES "
+                        "spec form: '3', '-2', '75%%', '-25%%', "
+                        "conditionals like '2<-25%% 9<-3' (doc must "
+                        "match the resolved number of query terms, "
+                        "scored over all terms it matches)")
     q.add_argument("--filter", default=None,
                    help="SQL predicate over the docs table (e.g. "
                         "\"turn_idx = 0\") — ES bool-filter analogue; "
@@ -159,6 +164,10 @@ def main(argv: list[str] | None = None) -> int:
             )
         elif args.mode == "wildcard":
             top = s.topk_wildcard(
+                args.q, args.k, rewrite=args.rewrite, allowed=allowed
+            )
+        elif args.mode == "regexp":
+            top = s.topk_regexp(
                 args.q, args.k, rewrite=args.rewrite, allowed=allowed
             )
         elif args.mode == "phrase_prefix":

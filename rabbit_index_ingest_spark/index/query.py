@@ -79,6 +79,50 @@ def lucene_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def parse_min_should_match(spec: int | str, n: int) -> int:
+    """ES ``minimum_should_match`` spec → required clause count, the
+    Lucene/ES ``Queries.calculateMinShouldMatch`` contract over ``n``
+    optional clauses:
+
+    * positive int ``"3"``/``3`` — that many;
+    * negative int ``"-2"`` — ``n - 2`` (that many may be missing);
+    * percentage ``"75%"`` — ``trunc(n · 75 / 100)``;
+    * negative percentage ``"-25%"`` — ``n + trunc(n · -25 / 100)``
+      (Java ``(int)`` casts truncate TOWARD ZERO: -25% of 10 is -2.5 →
+      -2 → 8, matching the documented ES examples);
+    * conditionals ``"3<90%"`` (space-separated multiples allowed,
+      e.g. ``"2<-25% 9<-3"``) — evaluated left to right; the first
+      bound with ``n <= bound`` returns the result computed SO FAR
+      (initially ``n`` = all), otherwise the right-hand spec applies.
+
+    A computed value ≤ 0 means "no minimum" — clamped to 1, which is
+    retrieval-identical (a doc matching zero clauses never scores). A
+    value > n is returned as-is (the query can then match nothing,
+    Lucene's behavior)."""
+    if isinstance(spec, int):
+        result = n + spec if spec < 0 else spec
+        return max(result, 1)
+    s = spec.strip()
+    if "<" in s:
+        result = n
+        for cond in s.split():
+            bound_s, _, sub = cond.partition("<")
+            if not sub:
+                raise ValueError(f"bad minimum_should_match spec: {spec!r}")
+            if n <= int(bound_s):
+                return max(result, 1)
+            result = parse_min_should_match(sub, n)
+        return max(result, 1)
+    if s.endswith("%"):
+        percent = int(s[:-1])
+        calc = n * percent / 100.0
+        result = n + int(calc) if calc < 0 else int(calc)
+    else:
+        calc = int(s)
+        result = n + calc if calc < 0 else calc
+    return max(result, 1)
+
+
 def _empty_topk(spark: SparkSession) -> DataFrame:
     """Empty (doc_id, score) result as a pure plan — createDataFrame([],
     schema) takes seconds on first use (Arrow/py4j init); range(0) is free."""
@@ -563,7 +607,7 @@ class Searcher:
         self,
         query_text: str,
         k: int = 10,
-        msm: int = 1,
+        msm: int | str = 1,
         allowed: DataFrame | None = None,
         skip_acc=None,
     ) -> DataFrame:
@@ -591,7 +635,17 @@ class Searcher:
         ``msm`` terms; scores accumulate over ALL matched terms of the
         surviving docs (full BM25 sums). ``allowed`` composes the
         bool-filter: viability starts from the allow/tombstone masks.
+
+        ``msm`` accepts every ES spec form — int, negative int, ``"75%"``,
+        ``"-25%"``, conditionals ``"3<90%"`` — resolved against the
+        DISTINCT query-term count (absent terms included: they are
+        unmatchable clauses that still count toward the requirement, the
+        ES contract) via ``parse_min_should_match``.
         """
+        if isinstance(msm, str) or msm < 0:
+            msm = parse_min_should_match(
+                msm, len(set(py_tokenize(query_text)))
+            )
         if msm < 1:
             raise ValueError(f"msm must be >= 1, got {msm}")
         plan = self._plan(query_text)
@@ -719,8 +773,16 @@ class Searcher:
         skip_acc=None,
     ) -> DataFrame:
         """Shared execution of an expanded multi-term query (prefix /
-        fuzzy / wildcard) under a Lucene rewrite method — see
-        ``topk_prefix`` for the two rewrites' contracts."""
+        fuzzy / wildcard / regexp) under a Lucene rewrite method — see
+        ``topk_prefix`` for the two rewrites' contracts.
+
+        constant_score runs the per-range early-terminating scorer
+        (``_make_constscore_range_scorer``): the result is doc_id-
+        ascending, so each range stops decoding after its first ``k``
+        live/allowed distinct docs instead of decoding the whole
+        expansion set (round-4 verdict: the one query path left with
+        zero pruning). Tombstones/allow-list cogroup per range like
+        every other scorer."""
         if not terms:
             return _empty_topk(self.spark)
         if rewrite == "scoring_boolean":
@@ -734,15 +796,20 @@ class Searcher:
         blocks = self.postings.where(
             F.col("bucket").isin(_term_buckets(self.spark, terms))
         ).where(F.col("term").isin(terms))
-        docs = self._mask_deleted(flat_postings(blocks)).select("doc_id")
-        if allowed is not None:
-            docs = docs.join(allowed.select("doc_id"), "doc_id", "left_semi")
-        return (
-            docs.distinct()
-            .select("doc_id", F.lit(1.0).alias("score"))
-            .orderBy(F.asc("doc_id"))
-            .limit(k)
+        side = self._side_frame(allowed)
+        scorer = _make_constscore_range_scorer(
+            k, self.range_bits, self.deleted,
+            allowed_present=allowed is not None,
+            cogrouped=side is not None, skip_acc=skip_acc,
         )
+        grouped = blocks.select(*_SCORE_COLS).groupBy("range_id")
+        if side is not None:
+            local = grouped.cogroup(side.groupBy("range_id")).applyInPandas(
+                scorer, TOPK_SCHEMA
+            )
+        else:
+            local = grouped.applyInPandas(scorer, TOPK_SCHEMA)
+        return local.orderBy(F.asc("doc_id")).limit(k)
 
     def expand_fuzzy(
         self,
@@ -813,6 +880,102 @@ class Searcher:
         terms = self.expand_fuzzy(
             term, fuzziness, prefix_length, max_expansions
         )
+        return self._topk_expanded(terms, k, rewrite, allowed, skip_acc)
+
+    def expand_regexp(
+        self, pattern: str, max_expansions: int = 1024
+    ) -> list[str]:
+        """ES ``regexp`` expansion (Lucene RegexpQuery): dictionary terms
+        whose ENTIRE text matches the pattern — Lucene regexps are
+        implicitly anchored, so the scan wraps the translated pattern in
+        ``^(?:...)$`` before ONE vocabulary RLIKE scan (Spark ``rlike``
+        is find()-anywhere, Java regex).
+
+        Supported operator subset (identical syntax and semantics in
+        Lucene default + Java regex + RE2, so engine and DuckDB oracle
+        agree): literals, ``.``, ``?``, ``+``, ``*``, ``|``, ``(...)``,
+        ``[...]`` classes, ``{n,m}`` repetition, ``\\`` escapes. Lucene
+        treats ``^`` and ``$`` as LITERAL characters (anchoring is
+        implicit) — they are escaped in translation. Lucene's optional
+        operators (``~`` complement, ``&`` intersection, ``<n-m>``
+        numeric interval, ``@`` any-string, ``#`` empty-language,
+        ``\"...\"`` quoting) have no Java/RE2 equivalent and raise
+        ``ValueError`` unescaped. Patterns are lowercased (vocabulary is
+        analyzer-space, same convention as ``expand_wildcard``). Sorted;
+        raises past ``max_expansions`` (too_many_clauses)."""
+        import re as _re
+
+        p = pattern.strip().lower()
+        if not p or any(c.isspace() for c in p):
+            raise ValueError(f"regexp pattern must be one token: {pattern!r}")
+        out: list[str] = []
+        in_class = False
+        i = 0
+        while i < len(p):
+            c = p[i]
+            if c == "\\":
+                if i + 1 >= len(p):
+                    raise ValueError(f"dangling escape in regexp: {pattern!r}")
+                # Lucene: a backslash makes the NEXT char literal (no perl
+                # classes) — re.escape keeps it literal in Java/RE2 too
+                # (otherwise e.g. \d would silently become a digit class)
+                out.append(_re.escape(p[i + 1]))
+                i += 2
+                continue
+            if in_class:
+                if c == "]":
+                    in_class = False
+                out.append(c)
+            elif c == "[":
+                in_class = True
+                out.append(c)
+            elif c in "^$":
+                out.append("\\" + c)  # Lucene literal, Java anchor
+            elif c in '~&<>@#"':
+                raise ValueError(
+                    f"Lucene optional operator {c!r} is not supported; "
+                    f"escape it with a backslash to match literally "
+                    f"(pattern: {pattern!r})"
+                )
+            else:
+                out.append(c)
+            i += 1
+        if in_class:
+            raise ValueError(f"unterminated character class: {pattern!r}")
+        java_rx = "^(?:" + "".join(out) + ")$"
+        try:  # fail fast with a clean error (the subset is re-compatible)
+            _re.compile(java_rx)
+        except _re.error as e:
+            raise ValueError(f"invalid regexp {pattern!r}: {e}") from e
+        rows = (
+            self.dictionary.where(F.col("term").rlike(java_rx))
+            .select("term")
+            .distinct()
+            .orderBy("term")
+            .limit(max_expansions + 1)
+            .collect()
+        )
+        terms = [r["term"] for r in rows]
+        if len(terms) > max_expansions:
+            raise ValueError(
+                f"regexp {pattern!r} expands to more than "
+                f"{max_expansions} terms (too_many_clauses)"
+            )
+        return terms
+
+    def topk_regexp(
+        self,
+        pattern: str,
+        k: int = 10,
+        rewrite: str = "constant_score",
+        max_expansions: int = 1024,
+        allowed: DataFrame | None = None,
+        skip_acc=None,
+    ) -> DataFrame:
+        """ES ``regexp`` query under a Lucene rewrite (see ``topk_prefix``
+        for the rewrite contracts) — the last member of the multi-term
+        expansion family (prefix/fuzzy/wildcard landed in round 4)."""
+        terms = self.expand_regexp(pattern, max_expansions)
         return self._topk_expanded(terms, k, rewrite, allowed, skip_acc)
 
     def expand_wildcard(
@@ -998,7 +1161,7 @@ class Searcher:
         self,
         query_text: str,
         k: int = 10,
-        msm: int = 1,
+        msm: int | str = 1,
         allowed: DataFrame | None = None,
     ) -> DataFrame:
         """``minimum_should_match`` BM25 top-k — the pure-DataFrame
@@ -1014,7 +1177,12 @@ class Searcher:
         requirement).
 
         Same single aggregation as ``topk_and`` with the HAVING relaxed
-        to ``count >= msm`` — no extra shuffle."""
+        to ``count >= msm`` — no extra shuffle. ``msm`` accepts every ES
+        spec form (see ``topk_msm``)."""
+        if isinstance(msm, str) or msm < 0:
+            msm = parse_min_should_match(
+                msm, len(set(py_tokenize(query_text)))
+            )
         if msm < 1:
             raise ValueError(f"msm must be >= 1, got {msm}")
         plan = self._plan(query_text)
@@ -3013,6 +3181,102 @@ def _make_sloppy_range_scorer(
         freq = np.bincount(inv, weights=w_scaled) / float(lcm)
         return _finish_positional_topk(
             docs, freq, dl_arr, base, idf_q, avgdl, k
+        )
+
+    def plain(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score(key[0], pdf, deleted, None)
+
+    def cg(key: tuple, pdf: pd.DataFrame, side: pd.DataFrame) -> pd.DataFrame:
+        dead = frozenset(side.loc[side["kind"] == 0, "doc_id"].tolist()) | deleted
+        allow = None
+        if allowed_present:
+            allow = side.loc[side["kind"] == 1, "doc_id"].to_numpy(np.int64)
+            if len(allow) == 0:
+                return _empty_topk_pdf()
+        return _score(key[0], pdf, dead, allow)
+
+    return cg if cogrouped else plain
+
+
+def _make_constscore_range_scorer(
+    k: int,
+    range_bits: int,
+    deleted: frozenset,
+    allowed_present: bool = False,
+    cogrouped: bool = False,
+    skip_acc=None,
+):
+    """Early-terminating constant_score scorer for one doc range
+    (``Searcher._topk_expanded`` rewrite="constant_score"; round-4 verdict
+    item 3). The result contract is the first ``k`` live/allowed DISTINCT
+    doc_ids in ascending order, so per range the scan can stop exactly:
+    blocks (across every expansion term) are processed in ``first_doc``
+    order; once ``k`` distinct docs are found, any later block whose
+    ``first_doc`` exceeds the current kth-smallest found doc can only
+    contain larger doc_ids — the remaining blocks are skipped undecoded
+    and counted in ``skip_acc``. Within the scan, blocks whose doc span
+    holds no still-eligible doc (tombstoned / outside the allow-list)
+    skip undecoded too. Each range emits at most ``k`` rows; the global
+    ``orderBy(doc_id).limit(k)`` is a TakeOrdered over ≤ k·n_ranges tiny
+    rows. Replaces the decode-everything shape (flat_postings over every
+    expansion block, then distinct→order→limit), which on a hot prefix
+    with small k decoded the entire expansion set."""
+    range_size = 1 << range_bits
+
+    def _score(
+        range_id: int,
+        pdf: pd.DataFrame,
+        dead: frozenset,
+        allow_ids: np.ndarray | None,
+    ) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return _empty_topk_pdf()
+        base = int(range_id) << range_bits
+        del_mask, allow_mask, range_empty = _range_masks(
+            base, range_size, dead, allow_ids
+        )
+        if range_empty:
+            return _empty_topk_pdf()
+        C: np.ndarray | None = allow_mask
+        if del_mask is not None:
+            C = ~del_mask if C is None else (C & ~del_mask)
+        found = np.zeros(range_size, dtype=bool)
+        n_found = 0
+        kth = range_size  # local index of the kth-smallest found doc
+        skipped = 0
+        rows = list(
+            pdf.sort_values("first_doc").itertuples(index=False)
+        )
+        for i, row in enumerate(rows):
+            lo, hi = row.first_doc - base, row.last_doc - base
+            if n_found >= k and lo > kth:
+                # sorted by first_doc: no remaining block can hold a doc
+                # smaller than the kth found — the tail is never decoded
+                skipped += len(rows) - i
+                break
+            if C is not None and not C[lo : hi + 1].any():
+                skipped += 1
+                continue
+            ids, _ = codec.unpack_block(row.doc_bytes, row.tf_bytes)
+            idx = ids - base
+            if C is not None:
+                idx = idx[C[idx]]
+            new = idx[~found[idx]]
+            if len(new):
+                found[new] = True
+                n_found += len(new)
+                if n_found >= k:
+                    kth = int(np.flatnonzero(found)[k - 1])
+        if skip_acc is not None and skipped:
+            skip_acc.add(skipped)
+        nz = np.flatnonzero(found)[:k]
+        if not len(nz):
+            return _empty_topk_pdf()
+        return pd.DataFrame(
+            {
+                "doc_id": (nz + base).astype("int64"),
+                "score": np.ones(len(nz), dtype=np.float64),
+            }
         )
 
     def plain(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -462,3 +462,144 @@ def test_wildcard_unicode_pattern_normalization(spark):
     # ß: neither lower() maps it to ss — consistently itself
     assert s.expand_wildcard("stra*") == ["straße"]
     built.release()
+
+
+# ---------------- regexp query (ES regexp / Lucene RegexpQuery) ----------------
+
+
+def test_expand_regexp_matches_python(spark, pcorpus):
+    pdf, _, s = pcorpus
+    import re
+
+    vocab = sorted({t for txt in pdf["text"] for t in py_tokenize(txt)})
+    for pat in ["k.ro", "z.*", "quantum|karo", "qu[a-z]+", "t.{2,4}", "ka?ro"]:
+        want = sorted(t for t in vocab if re.fullmatch(pat, t))
+        assert s.expand_regexp(pat) == want, pat
+    # Lucene treats ^ and $ as LITERALS (anchoring is implicit): a pattern
+    # containing them matches nothing in an alnum vocabulary, not everything
+    assert s.expand_regexp("^karo$") == []
+    # uppercase input is lowered into analyzer space
+    assert s.expand_regexp("KARO") == ["karo"]
+    # Lucene optional operators are rejected unescaped, accepted escaped
+    for bad in ["a~b", "a&b", "a<b", "term@", '#x', 'a"b']:
+        with pytest.raises(ValueError, match="optional operator"):
+            s.expand_regexp(bad)
+    assert s.expand_regexp(r"a\&b") == []  # literal & — valid, matches nothing
+    # perl classes do NOT exist in Lucene: \d is a literal 'd'
+    assert s.expand_regexp(r"\d") == []
+    with pytest.raises(ValueError, match="too_many_clauses"):
+        s.expand_regexp(".*", max_expansions=1)
+    with pytest.raises(ValueError, match="one token"):
+        s.expand_regexp("a b")
+    with pytest.raises(ValueError, match="invalid regexp"):
+        s.expand_regexp("a{2,1}")
+
+
+def test_topk_regexp_rewrites(spark, pcorpus):
+    pdf, _, s = pcorpus
+    terms = s.expand_regexp("qu.*")
+    assert terms
+    want = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_dataframe(" ".join(terms), 10).collect()
+    ]
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_regexp("qu.*", 10, rewrite="scoring_boolean").collect()
+    ]
+    assert got == want
+    eset = set(terms)
+    want_c = sorted(
+        i for i, txt in enumerate(pdf["text"]) if eset & set(py_tokenize(txt))
+    )
+    rows = s.topk_regexp("qu.*", 10_000_000).collect()
+    assert [r["doc_id"] for r in rows] == want_c
+    assert all(r["score"] == 1.0 for r in rows)
+
+
+# ---------------- minimum_should_match spec forms ----------------
+
+
+def test_parse_min_should_match_es_examples():
+    from rabbit_index_ingest_spark.index.query import parse_min_should_match
+
+    # the ES minimum-should-match documentation table
+    assert parse_min_should_match("3", 5) == 3
+    assert parse_min_should_match(3, 5) == 3
+    assert parse_min_should_match("-2", 5) == 3
+    assert parse_min_should_match(-2, 5) == 3
+    assert parse_min_should_match("75%", 10) == 7    # trunc(7.5)
+    assert parse_min_should_match("-25%", 10) == 8   # 10 + trunc(-2.5)
+    assert parse_min_should_match("75%", 5) == 3     # trunc(3.75)
+    # conditional: n <= bound -> ALL required
+    assert parse_min_should_match("3<90%", 3) == 3
+    assert parse_min_should_match("3<90%", 2) == 2
+    assert parse_min_should_match("3<90%", 11) == 9  # trunc(9.9)
+    # multiple conditionals, left to right
+    spec = "2<-25% 9<-3"
+    assert parse_min_should_match(spec, 2) == 2      # all
+    assert parse_min_should_match(spec, 5) == 4      # 5 + trunc(-1.25)
+    assert parse_min_should_match(spec, 11) == 8     # 11 - 3
+    # <=0 resolves to 1 (retrieval-identical to "no minimum")
+    assert parse_min_should_match("-5", 3) == 1
+    assert parse_min_should_match("25%", 2) == 1     # trunc(0.5) = 0 -> 1
+    # over-demanding spec passes through (query then matches nothing)
+    assert parse_min_should_match("7", 3) == 7
+    with pytest.raises(ValueError, match="spec"):
+        parse_min_should_match("3<", 5)
+
+
+def test_msm_spec_forms_end_to_end(spark, pcorpus):
+    pdf, _, s = pcorpus
+    q = "zephyr quantum lattice karo"  # 4 distinct terms
+    want = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_msm(q, 10, msm=3).collect()
+    ]
+    for spec in ("75%", "-25%", "-1", "2<75%"):
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in s.topk_msm(q, 10, msm=spec).collect()
+        ]
+        assert got == want, spec
+    # DataFrame twin accepts the same forms
+    got_df = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_msm_dataframe(q, 10, msm="75%").collect()
+    ]
+    assert got_df == want
+
+
+def test_constant_score_early_termination(spark, pcorpus):
+    """The constant_score rewrite must stop decoding once k allowed
+    distinct docs are found (round-4 verdict item 3): results identical
+    to the decode-everything reference, with blocks provably skipped on
+    a hot expansion with small k."""
+    from rabbit_index_ingest_spark.index.query import (
+        _term_buckets,
+        flat_postings,
+    )
+
+    pdf, built, s = pcorpus
+    # hottest possible expansion: the entire vocabulary
+    terms = s.expand_wildcard("*", max_expansions=1_000_000)
+    # reference: every live doc containing any expansion, doc_id asc
+    blocks = s.postings.where(
+        F.col("bucket").isin(_term_buckets(spark, terms))
+    ).where(F.col("term").isin(terms))
+    want_all = sorted(
+        r["doc_id"]
+        for r in flat_postings(blocks).select("doc_id").distinct().collect()
+    )
+    for k in (3, 10):
+        acc = spark.sparkContext.accumulator(0)
+        got = s._topk_expanded(terms, k, "constant_score", None, skip_acc=acc)
+        rows = got.collect()
+        assert [r["doc_id"] for r in rows] == want_all[:k]
+        assert all(r["score"] == 1.0 for r in rows)
+        assert acc.value > 0, "no blocks skipped on a hot expansion"
+    # allow-list composes: only allowed docs, still doc_id asc
+    allow_ids = want_all[1::2][:5]
+    allowed = spark.createDataFrame([(int(d),) for d in allow_ids], "doc_id long")
+    got = s._topk_expanded(terms, 3, "constant_score", allowed).collect()
+    assert [r["doc_id"] for r in got] == sorted(allow_ids)[:3]
