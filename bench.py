@@ -268,6 +268,12 @@ def run_suite(cpus: int, quick: bool = False) -> dict:
          lambda q, kk: searcher.topk_near(q, kk, gap=4)),
         ("q_near_hot_df", f"{VOCAB[0]} {VOCAB[1]}",
          lambda q, kk: searcher.topk_near_dataframe(q, kk, gap=4)),
+        # round 5: sloppy phrase / unordered span_near on the hot×hot
+        # worst case — the minimal-window scorer next to q_phrase_hot
+        ("q_slop_hot", f"{VOCAB[0]} {VOCAB[1]}",
+         lambda q, kk: searcher.topk_phrase(q, kk, slop=2)),
+        ("q_unordered_hot", f"{VOCAB[0]} {VOCAB[1]}",
+         lambda q, kk: searcher.topk_near_unordered(q, kk, slop=2)),
     ):
         t0 = time.time()
         fn(q, 10).collect()

@@ -50,6 +50,21 @@ TABLES = ("corpus_stats", "dictionary", "postings", "docs")
 MANIFEST_DIR = "_manifest"
 
 
+def iceberg_jars_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the JVM classpath —
+    probed at runtime against the live JVM (the Pillow-probe pattern:
+    never assumed, never configured blind). Used by the live-write test
+    to self-activate the Iceberg path the moment jars appear in an
+    environment, with no env-var ceremony."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def merge_into_sql(
     target: str, source_view: str, key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
 ) -> str:
