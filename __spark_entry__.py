@@ -1034,6 +1034,26 @@ def _q_f1_filtered_topk(spark, sf_dir):
     )
 
 
+def _q_f2_must_not_topk(spark, sf_dir):
+    """ES bool must_not: docs whose source is in F1_SOURCES never rank —
+    the deny-list masks inside the block-max scorer exactly like
+    tombstones (kind-0 side rows); stats/idf stay corpus-wide. Full
+    scored set (tie-order-free)."""
+    built, searcher = _searcher(spark, sf_dir)
+    excl_orig = _docs(spark, sf_dir).where(
+        F.col("source").isin(*F1_SOURCES)
+    ).select(F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("conv_id"))
+    excluded = built.doc_stats.join(
+        F.broadcast(excl_orig), "conv_id", "left_semi"
+    ).select("doc_id")
+    top = searcher.topk_blockmax(
+        " ".join(BM25_QUERY_TERMS), 10_000_000, excluded=excluded
+    )
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "b1_doc_lengths": _q_b1_doc_lengths,
@@ -1067,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g6_date_histogram": _q_g6_date_histogram,
         "g7_date_histogram_matched": _q_g7_date_histogram_matched,
         "f1_filtered_topk": _q_f1_filtered_topk,
+        "f2_must_not_topk": _q_f2_must_not_topk,
         "a2_decode_messages": _q_a2_decode_messages,
         "a4_routing": _q_a4_routing,
         "a5_prefix_filter": _q_a5_prefix_filter,
@@ -1762,6 +1783,16 @@ SELECT DISTINCT doc_id, 1.0 AS score FROM tok WHERE term LIKE '{PR_PREFIX}%'
         10,
         doc_filter="source IN ({})".format(
             ", ".join(f"'{s}'" for s in F1_SOURCES)
+        ),
+    )
+    # must_not twin: doc_id-level anti-join (NOT `source NOT IN (...)`,
+    # which would also drop NULL-source docs — ES must_not keeps them)
+    sql["f2_must_not_topk"] = _bm25_sql(
+        q,
+        None,
+        doc_filter=(
+            "doc_id NOT IN (SELECT doc_id FROM documents WHERE source IN "
+            "({}))".format(", ".join(f"'{s}'" for s in F1_SOURCES))
         ),
     )
 

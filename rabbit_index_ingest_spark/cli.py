@@ -91,6 +91,11 @@ def _parser() -> argparse.ArgumentParser:
                    help="SQL predicate over the docs table (e.g. "
                         "\"turn_idx = 0\") — ES bool-filter analogue; "
                         "restricts ranked docs, never the stats")
+    q.add_argument("--exclude", default=None,
+                   help="SQL predicate over the docs table — ES bool "
+                        "must_not analogue: docs matching it never rank "
+                        "(masked inside the scorer like tombstones); "
+                        "composes with --filter")
     q.add_argument("--probe-min-blocks", type=int, default=2048,
                    help="estimated-decode-volume gate for the global "
                         "theta0 seed probe (lower = seed more queries)")
@@ -150,44 +155,66 @@ def main(argv: list[str] | None = None) -> int:
         allowed = None
         if args.filter:
             allowed = L.docs.where(args.filter).select("doc_id")
+        excluded = None
+        if args.exclude:
+            # ES bool must_not: docs matching the predicate are masked
+            # inside the scorers exactly like tombstones
+            excluded = L.docs.where(args.exclude).select("doc_id")
         fast = args.path == "blockmax"
         if args.min_match is not None and args.mode != "or":
             raise SystemExit("--min-match applies to --mode or only")
+        if excluded is not None and not fast:
+            raise SystemExit("--exclude requires --path blockmax (the "
+                             "scorer-masked must_not path)")
         if args.mode == "prefix":
             top = s.topk_prefix(
-                args.q, args.k, rewrite=args.rewrite, allowed=allowed
+                args.q, args.k, rewrite=args.rewrite, allowed=allowed,
+                excluded=excluded,
             )
         elif args.mode == "fuzzy":
             top = s.topk_fuzzy(
                 args.q, args.k, fuzziness=args.fuzziness,
-                rewrite=args.rewrite, allowed=allowed,
+                rewrite=args.rewrite, allowed=allowed, excluded=excluded,
             )
         elif args.mode == "wildcard":
             top = s.topk_wildcard(
-                args.q, args.k, rewrite=args.rewrite, allowed=allowed
+                args.q, args.k, rewrite=args.rewrite, allowed=allowed,
+                excluded=excluded,
             )
         elif args.mode == "regexp":
             top = s.topk_regexp(
-                args.q, args.k, rewrite=args.rewrite, allowed=allowed
+                args.q, args.k, rewrite=args.rewrite, allowed=allowed,
+                excluded=excluded,
             )
         elif args.mode == "phrase_prefix":
-            top = s.topk_phrase_prefix(args.q, args.k, allowed=allowed)
+            top = s.topk_phrase_prefix(
+                args.q, args.k, allowed=allowed, excluded=excluded
+            )
         elif args.mode == "phrase":
-            top = s.topk_phrase(args.q, args.k, allowed=allowed, slop=args.slop)
+            top = s.topk_phrase(
+                args.q, args.k, allowed=allowed, slop=args.slop,
+                excluded=excluded,
+            )
         elif args.mode == "near":
             top = (
                 s.topk_near_unordered(
-                    args.q, args.k, slop=args.slop, allowed=allowed
+                    args.q, args.k, slop=args.slop, allowed=allowed,
+                    excluded=excluded,
                 )
                 if args.unordered
-                else s.topk_near(args.q, args.k, gap=args.gap, allowed=allowed)
+                else s.topk_near(
+                    args.q, args.k, gap=args.gap, allowed=allowed,
+                    excluded=excluded,
+                )
             )
         elif args.mode == "and":
             # conjunctions run inside the candidate-pruned scorer (ES runs
             # operator:and inside WAND); --path dataframe keeps the
             # decode-everything reference path
             top = (
-                s.topk_blockmax_and(args.q, args.k, allowed=allowed)
+                s.topk_blockmax_and(
+                    args.q, args.k, allowed=allowed, excluded=excluded
+                )
                 if fast
                 else s.topk_and(args.q, args.k, allowed=allowed)
             )
@@ -195,17 +222,22 @@ def main(argv: list[str] | None = None) -> int:
             # ES minimum_should_match: count-pruned scorer (composes with
             # --filter via the same cogrouped allow side)
             top = (
-                s.topk_msm(args.q, args.k, msm=args.min_match, allowed=allowed)
+                s.topk_msm(
+                    args.q, args.k, msm=args.min_match, allowed=allowed,
+                    excluded=excluded,
+                )
                 if fast
                 else s.topk_msm_dataframe(
                     args.q, args.k, msm=args.min_match, allowed=allowed
                 )
             )
-        elif allowed is not None:
-            # bool filter masks at block-decode time on the fast path —
-            # blocks with no allowed doc in span are skipped undecoded
+        elif allowed is not None or excluded is not None:
+            # bool filter / must_not mask at block-decode time on the fast
+            # path — blocks with no eligible doc in span skip undecoded
             top = (
-                s.topk_blockmax(args.q, args.k, allowed=allowed)
+                s.topk_blockmax(
+                    args.q, args.k, allowed=allowed, excluded=excluded
+                )
                 if fast
                 else s.topk_filtered(args.q, allowed, args.k)
             )

@@ -452,16 +452,30 @@ class Searcher:
 
     # ---------------- block-max fast path ----------------
 
-    def _side_frame(self, allowed: DataFrame | None) -> DataFrame | None:
+    def _side_frame(
+        self,
+        allowed: DataFrame | None,
+        excluded: DataFrame | None = None,
+    ) -> DataFrame | None:
         """Per-range side input for the cogrouped scorers: tombstoned
         doc_ids (kind=0) unioned with the allow-list (kind=1), each keyed
-        by doc range. Both sets stay distributed — the ES analogue is
+        by doc range. All sets stay distributed — the ES analogue is
         running bool filters *inside* WAND instead of post-filtering, and
-        at 10^12 docs neither set can ever be driver-side."""
+        at 10^12 docs none of them can ever be driver-side.
+
+        ``excluded`` (ES bool ``must_not``): a doc excluded by a negative
+        clause masks EXACTLY like a tombstone — it must never score, never
+        hold θ, and blocks whose whole span is excluded must skip
+        undecoded — so the must_not set rides the same kind=0 stream and
+        every scorer supports it with zero new code."""
         parts = []
         if self.deleted_df is not None:
             parts.append(
                 self.deleted_df.select("doc_id", F.lit(0).alias("kind"))
+            )
+        if excluded is not None:
+            parts.append(
+                excluded.select("doc_id", F.lit(0).alias("kind"))
             )
         if allowed is not None:
             parts.append(
@@ -484,6 +498,7 @@ class Searcher:
         k: int = 10,
         skip_acc=None,
         allowed: DataFrame | None = None,
+        excluded: DataFrame | None = None,
     ) -> DataFrame:
         """``skip_acc``: optional SparkContext accumulator incremented by the
         number of posting blocks the scorer proved sub-θ and never decoded
@@ -497,19 +512,28 @@ class Searcher:
         sums of allowed docs remain lower bounds on allowed finals —
         exactness preserved). Results are score-identical to
         ``topk_filtered``; a selective filter prunes most of a hot term's
-        blocks instead of decoding them."""
+        blocks instead of decoding them.
+
+        ``excluded``: optional doc_id deny-list (ES bool ``must_not``) —
+        excluded docs mask exactly like tombstones (kind-0 side rows):
+        never scored, never hold θ, whole-span-excluded blocks skip
+        undecoded. Composes freely with ``allowed`` (ES bool with both
+        ``filter`` and ``must_not``); since any query in this engine
+        returns a doc_id frame, the negative clause can itself be another
+        query's match set."""
         plan = self._plan(query_text)
         if plan is None:
             return _empty_topk(self.spark)
         idfs, blocks, meta = plan
         # θ₀ seed probes the best blocks corpus-wide; a probed doc outside
-        # the allow-list would make the seed invalid, so filtered queries
-        # start unseeded (per-range θ still prunes)
+        # the allow-list (or inside the deny-list) would make the seed
+        # invalid, so filtered/negated queries start unseeded (per-range θ
+        # still prunes)
         theta0 = (
-            0.0 if allowed is not None
+            0.0 if allowed is not None or excluded is not None
             else self._seed_theta0(idfs, meta, blocks, k)
         )
-        side = self._side_frame(allowed)
+        side = self._side_frame(allowed, excluded)
         if side is not None:
             # tombstones/filters at scale: cogroup each doc-range's blocks
             # with its side rows — neither set ever leaves the cluster
@@ -543,6 +567,7 @@ class Searcher:
         k: int = 10,
         skip_acc=None,
         allowed: DataFrame | None = None,
+        excluded: DataFrame | None = None,
     ) -> DataFrame:
         """Conjunctive (ES ``match`` operator:and) top-k through the
         block-pruned scorer — score-identical to ``topk_and`` but never
@@ -588,7 +613,7 @@ class Searcher:
                 .distinct()
             )
             blocks = blocks.join(rare_ranges, "range_id", "left_semi")
-        side = self._side_frame(allowed)
+        side = self._side_frame(allowed, excluded)
         scorer = _make_conjunctive_range_scorer(
             idfs, self.avgdl, k, self.range_bits, order, self.deleted,
             allowed_present=allowed is not None,
@@ -610,6 +635,7 @@ class Searcher:
         msm: int | str = 1,
         allowed: DataFrame | None = None,
         skip_acc=None,
+        excluded: DataFrame | None = None,
     ) -> DataFrame:
         """``minimum_should_match`` top-k through the block-pruned scorer
         — the engine default for msm queries, score-identical to
@@ -657,14 +683,16 @@ class Searcher:
             return _empty_topk(self.spark)
         if msm == 1:
             return self.topk_blockmax(
-                query_text, k, skip_acc=skip_acc, allowed=allowed
+                query_text, k, skip_acc=skip_acc, allowed=allowed,
+                excluded=excluded,
             )
         # delegate to the conjunctive scorer only when every query term is
         # present: with an absent (df=0) term, operator:and returns empty
         # but msm == n_present must still match on the present terms
         if msm == n and n == len(set(py_tokenize(query_text))):
             return self.topk_blockmax_and(
-                query_text, k, skip_acc=skip_acc, allowed=allowed
+                query_text, k, skip_acc=skip_acc, allowed=allowed,
+                excluded=excluded,
             )
         order = sorted(idfs, key=lambda t: (meta[t][0], t))
         # range-level prune: metadata-only countDistinct over the already
@@ -676,7 +704,7 @@ class Searcher:
             .select("range_id")
         )
         blocks = blocks.join(viable_ranges, "range_id", "left_semi")
-        side = self._side_frame(allowed)
+        side = self._side_frame(allowed, excluded)
         scorer = _make_msm_range_scorer(
             idfs, self.avgdl, k, self.range_bits, order, msm, self.deleted,
             allowed_present=allowed is not None,
@@ -744,6 +772,7 @@ class Searcher:
         max_expansions: int = 1024,
         allowed: DataFrame | None = None,
         skip_acc=None,
+        excluded: DataFrame | None = None,
     ) -> DataFrame:
         """ES ``prefix`` query over the indexed text. ``rewrite`` follows
         Lucene's multi-term rewrite methods:
@@ -762,7 +791,7 @@ class Searcher:
         (``expand_prefix``), exactly Lucene's TermsEnum → BooleanQuery
         rewrite, with the same ``too_many_clauses`` bound."""
         terms = self.expand_prefix(prefix, max_expansions)
-        return self._topk_expanded(terms, k, rewrite, allowed, skip_acc)
+        return self._topk_expanded(terms, k, rewrite, allowed, skip_acc, excluded)
 
     def _topk_expanded(
         self,
@@ -771,6 +800,7 @@ class Searcher:
         rewrite: str,
         allowed: DataFrame | None,
         skip_acc=None,
+        excluded: DataFrame | None = None,
     ) -> DataFrame:
         """Shared execution of an expanded multi-term query (prefix /
         fuzzy / wildcard / regexp) under a Lucene rewrite method — see
@@ -789,14 +819,15 @@ class Searcher:
             # analyzer tokens re-tokenize to themselves, so the joined
             # string IS the expanded disjunction
             return self.topk_blockmax(
-                " ".join(terms), k, skip_acc=skip_acc, allowed=allowed
+                " ".join(terms), k, skip_acc=skip_acc, allowed=allowed,
+                excluded=excluded,
             )
         if rewrite != "constant_score":
             raise ValueError(f"unknown rewrite {rewrite!r}")
         blocks = self.postings.where(
             F.col("bucket").isin(_term_buckets(self.spark, terms))
         ).where(F.col("term").isin(terms))
-        side = self._side_frame(allowed)
+        side = self._side_frame(allowed, excluded)
         scorer = _make_constscore_range_scorer(
             k, self.range_bits, self.deleted,
             allowed_present=allowed is not None,
@@ -871,6 +902,7 @@ class Searcher:
         max_expansions: int = 50,
         allowed: DataFrame | None = None,
         skip_acc=None,
+        excluded: DataFrame | None = None,
     ) -> DataFrame:
         """ES ``fuzzy`` query: the term's Levenshtein neighborhood
         (``expand_fuzzy``) under a Lucene rewrite — ``constant_score``
@@ -880,7 +912,7 @@ class Searcher:
         terms = self.expand_fuzzy(
             term, fuzziness, prefix_length, max_expansions
         )
-        return self._topk_expanded(terms, k, rewrite, allowed, skip_acc)
+        return self._topk_expanded(terms, k, rewrite, allowed, skip_acc, excluded)
 
     def expand_regexp(
         self, pattern: str, max_expansions: int = 1024
@@ -971,12 +1003,13 @@ class Searcher:
         max_expansions: int = 1024,
         allowed: DataFrame | None = None,
         skip_acc=None,
+        excluded: DataFrame | None = None,
     ) -> DataFrame:
         """ES ``regexp`` query under a Lucene rewrite (see ``topk_prefix``
         for the rewrite contracts) — the last member of the multi-term
         expansion family (prefix/fuzzy/wildcard landed in round 4)."""
         terms = self.expand_regexp(pattern, max_expansions)
-        return self._topk_expanded(terms, k, rewrite, allowed, skip_acc)
+        return self._topk_expanded(terms, k, rewrite, allowed, skip_acc, excluded)
 
     def expand_wildcard(
         self, pattern: str, max_expansions: int = 1024
@@ -1028,11 +1061,12 @@ class Searcher:
         max_expansions: int = 1024,
         allowed: DataFrame | None = None,
         skip_acc=None,
+        excluded: DataFrame | None = None,
     ) -> DataFrame:
         """ES ``wildcard`` query under a Lucene rewrite (see
         ``topk_prefix`` for the rewrite contracts)."""
         terms = self.expand_wildcard(pattern, max_expansions)
-        return self._topk_expanded(terms, k, rewrite, allowed, skip_acc)
+        return self._topk_expanded(terms, k, rewrite, allowed, skip_acc, excluded)
 
     def topk_phrase_prefix(
         self,
@@ -1041,6 +1075,7 @@ class Searcher:
         max_expansions: int = 50,
         allowed: DataFrame | None = None,
         skip_acc=None,
+        excluded: DataFrame | None = None,
     ) -> DataFrame:
         """ES ``match_phrase_prefix`` (the autocomplete phrase): the
         analyzed terms must occur at consecutive positions, with the LAST
@@ -1099,7 +1134,7 @@ class Searcher:
                 .distinct()
             )
             blocks = blocks.join(rare_ranges, "range_id", "left_semi")
-        side = self._side_frame(allowed)
+        side = self._side_frame(allowed, excluded)
         scorer = _make_multiphrase_range_scorer(
             idf_q, self.avgdl, k, self.range_bits, groups, slots,
             self.deleted, allowed_present=allowed is not None,
@@ -1228,6 +1263,7 @@ class Searcher:
         allowed: DataFrame | None = None,
         skip_acc=None,
         slop: int = 0,
+        excluded: DataFrame | None = None,
     ) -> DataFrame:
         """Exact phrase top-k (ES ``match_phrase``) — the block-max
         positional path and the engine default. Semantics and scores are
@@ -1278,7 +1314,7 @@ class Searcher:
                 .distinct()
             )
             blocks = blocks.join(rare_ranges, "range_id", "left_semi")
-        side = self._side_frame(allowed)
+        side = self._side_frame(allowed, excluded)
         if slop > 0:
             scorer = _make_sloppy_range_scorer(
                 idf_phrase, self.avgdl, k, self.range_bits, order,
@@ -1787,6 +1823,7 @@ class Searcher:
         gap: int = 1,
         allowed: DataFrame | None = None,
         skip_acc=None,
+        excluded: DataFrame | None = None,
     ) -> DataFrame:
         """Ordered proximity top-k (ES ``span_near(in_order=true)``) — the
         block-max positional path and the engine default. Semantics and
@@ -1821,7 +1858,7 @@ class Searcher:
                 .distinct()
             )
             blocks = blocks.join(rare_ranges, "range_id", "left_semi")
-        side = self._side_frame(allowed)
+        side = self._side_frame(allowed, excluded)
         scorer = _make_near_range_scorer(
             idf_q, self.avgdl, k, self.range_bits, order, qterms, gap,
             self.deleted, allowed_present=allowed is not None,
@@ -1843,6 +1880,7 @@ class Searcher:
         slop: int = 0,
         allowed: DataFrame | None = None,
         skip_acc=None,
+        excluded: DataFrame | None = None,
     ) -> DataFrame:
         """Unordered proximity top-k (ES ``span_near(in_order=false)``):
         a doc matches when one occurrence of every query term fits a
@@ -1877,7 +1915,7 @@ class Searcher:
                 .distinct()
             )
             blocks = blocks.join(rare_ranges, "range_id", "left_semi")
-        side = self._side_frame(allowed)
+        side = self._side_frame(allowed, excluded)
         scorer = _make_sloppy_range_scorer(
             idf_q, self.avgdl, k, self.range_bits, order,
             [(t, 0) for t in uniq], slop, False,
@@ -2192,6 +2230,9 @@ def _make_range_scorer(
                 if allow_mask is not None and not allow_mask[lo : hi + 1].any():
                     skipped += 1
                     continue  # no allowed doc in this block's span
+                if del_mask is not None and del_mask[lo : hi + 1].all():
+                    skipped += 1
+                    continue  # whole span tombstoned / must_not-excluded
                 if theta > 0.0:
                     # ub-desc order: if even the best-scoring doc anywhere
                     # can't reach θ with this block's ub, no later block can

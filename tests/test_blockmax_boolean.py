@@ -224,3 +224,68 @@ def test_and_blockmax_range_prune_plan_is_metadata_only(spark, skewed, tmp_path)
         if "range_id" in ln and "doc_bytes" not in ln and "pos_bytes" not in ln
     ]
     assert meta_only, f"no metadata-only postings scan in plan:\n{plan[:4000]}"
+
+
+# ---------------- must_not (ES bool negative clause) ----------------
+
+
+def test_must_not_equals_set_difference(spark, skewed):
+    """topk_blockmax(excluded=E) == the unrestricted full result minus E
+    (scores unchanged — must_not never affects stats or scoring)."""
+    _, s = skewed
+    big = 10_000_000
+    full = _top(s.topk_blockmax("rare", big).collect())
+    assert full
+    excl = [d for d, _ in full[::2]]
+    e_df = spark.createDataFrame([(int(d),) for d in excl], "doc_id long")
+    got = _top(s.topk_blockmax("rare", big, excluded=e_df).collect())
+    assert got == [(d, sc) for d, sc in full if d not in set(excl)]
+
+
+def test_must_not_composes_with_filter(spark, skewed):
+    """allowed ∧ ¬excluded — ES bool with both filter and must_not."""
+    _, s = skewed
+    big = 10_000_000
+    allowed = spark.createDataFrame(
+        [(i,) for i in range(100, 160)], "doc_id long"
+    )
+    e_df = spark.createDataFrame([(i,) for i in range(100, 105)], "doc_id long")
+    base = _top(s.topk_blockmax("hot", big, allowed=allowed).collect())
+    got = _top(
+        s.topk_blockmax("hot", big, allowed=allowed, excluded=e_df).collect()
+    )
+    assert got == [(d, sc) for d, sc in base if not (100 <= d < 105)]
+
+
+def test_must_not_skips_whole_span_blocks(spark, skewed):
+    """Excluding a contiguous prefix covering whole posting blocks must
+    SKIP those blocks undecoded (the must_not set masks at block-span
+    level like tombstones); 'hot' is in every doc, so blocks partition
+    doc_ids in 128-doc spans — excluding 0..255 makes the first two
+    blocks span-empty."""
+    _, s = skewed
+    n_excl = 256
+    e_df = spark.createDataFrame([(i,) for i in range(n_excl)], "doc_id long")
+    acc = spark.sparkContext.accumulator(0)
+    got = s.topk_blockmax("hot", 10, excluded=e_df, skip_acc=acc).collect()
+    assert got and all(r["doc_id"] >= n_excl for r in got)
+    assert acc.value > 0
+
+
+def test_must_not_other_modes(spark, skewed):
+    """excluded threads through and/msm/phrase/near/expansion paths."""
+    _, s = skewed
+    big = 10_000_000
+    e_df = spark.createDataFrame([(i,) for i in range(100, 105)], "doc_id long")
+    eset = set(range(100, 105))
+    for fn in (
+        lambda: s.topk_blockmax_and("hot rare", big, excluded=e_df),
+        lambda: s.topk_msm("hot rare", big, msm=2, excluded=e_df),
+        lambda: s.topk_phrase("hot rare", big, excluded=e_df),
+        lambda: s.topk_near("hot rare", big, gap=2, excluded=e_df),
+        lambda: s.topk_near_unordered("hot rare", big, slop=1, excluded=e_df),
+        lambda: s.topk_prefix("rar", big, excluded=e_df),
+    ):
+        ids = {r["doc_id"] for r in fn().collect()}
+        assert ids, "mode returned nothing — fixture assumption broken"
+        assert not (ids & eset), fn
