@@ -1054,6 +1054,23 @@ def _q_f2_must_not_topk(spark, sf_dir):
     )
 
 
+B8_BOOSTS = {"spark": 2.0, "shuffle": 0.5}  # ES query-time clause boosts
+
+
+def _q_b8_boost_topk(spark, sf_dir):
+    """ES query-time boost (Lucene BoostQuery): per-term score
+    multipliers folded into the effective idf before planning, so the
+    theta0 seed and every block-max bound stay exact. Full scored set
+    (tie-order-free). Twin: the BM25 SQL with a CASE multiplier."""
+    built, searcher = _searcher(spark, sf_dir)
+    top = searcher.topk_blockmax(
+        " ".join(BM25_QUERY_TERMS), 10_000_000, boosts=B8_BOOSTS
+    )
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "b1_doc_lengths": _q_b1_doc_lengths,
@@ -1088,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g7_date_histogram_matched": _q_g7_date_histogram_matched,
         "f1_filtered_topk": _q_f1_filtered_topk,
         "f2_must_not_topk": _q_f2_must_not_topk,
+        "b8_boost_topk": _q_b8_boost_topk,
         "a2_decode_messages": _q_a2_decode_messages,
         "a4_routing": _q_a4_routing,
         "a5_prefix_filter": _q_a5_prefix_filter,
@@ -1162,6 +1180,7 @@ def _bm25_sql(
     doc_filter: str | None = None,
     min_match: int | None = None,
     qterms_sql: str | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> str:
     """DuckDB BM25 twin. ``require_all`` adds the conjunctive
     (operator:and) predicate: a doc must match every DISTINCT query term —
@@ -1178,6 +1197,18 @@ def _bm25_sql(
     """
     assert not (require_all and min_match is not None)
     base = _BM25_BASE.replace("__QUERY__", query_text)
+    if boosts:
+        # ES query-time boost twin: multiply each clause's idf by its
+        # boost (same fold the engine applies before planning)
+        cases = " ".join(
+            f"WHEN '{t}' THEN {float(b)!r}" for t, b in sorted(boosts.items())
+        )
+        idf_expr = "ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))"
+        assert idf_expr in base
+        base = base.replace(
+            idf_expr,
+            f"(CASE tf.term {cases} ELSE 1.0 END) * {idf_expr}",
+        )
     if query_text.endswith("*") and qterms_sql is None:
         # prefix twin (Searcher.topk_prefix rewrite=scoring_boolean): the
         # clause set is every CORPUS term with the prefix
@@ -1785,6 +1816,7 @@ SELECT DISTINCT doc_id, 1.0 AS score FROM tok WHERE term LIKE '{PR_PREFIX}%'
             ", ".join(f"'{s}'" for s in F1_SOURCES)
         ),
     )
+    sql["b8_boost_topk"] = _bm25_sql(q, None, boosts=B8_BOOSTS)
     # must_not twin: doc_id-level anti-join (NOT `source NOT IN (...)`,
     # which would also drop NULL-source docs — ES must_not keeps them)
     sql["f2_must_not_topk"] = _bm25_sql(

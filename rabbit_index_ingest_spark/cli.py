@@ -91,6 +91,11 @@ def _parser() -> argparse.ArgumentParser:
                    help="SQL predicate over the docs table (e.g. "
                         "\"turn_idx = 0\") — ES bool-filter analogue; "
                         "restricts ranked docs, never the stats")
+    q.add_argument("--boost", action="append", default=None,
+                   metavar="TERM=W",
+                   help="or mode: ES query-time boost — multiply a "
+                        "term clause's score by W (repeatable, e.g. "
+                        "--boost spark=2 --boost shuffle=0.5)")
     q.add_argument("--exclude", default=None,
                    help="SQL predicate over the docs table — ES bool "
                         "must_not analogue: docs matching it never rank "
@@ -163,6 +168,16 @@ def main(argv: list[str] | None = None) -> int:
         fast = args.path == "blockmax"
         if args.min_match is not None and args.mode != "or":
             raise SystemExit("--min-match applies to --mode or only")
+        boosts = None
+        if args.boost:
+            if args.mode != "or" or args.min_match is not None:
+                raise SystemExit("--boost applies to plain --mode or only")
+            boosts = {}
+            for spec in args.boost:
+                t, sep, w = spec.partition("=")
+                if not sep:
+                    raise SystemExit(f"--boost expects TERM=W, got {spec!r}")
+                boosts[t] = float(w)
         if excluded is not None and not fast:
             raise SystemExit("--exclude requires --path blockmax (the "
                              "scorer-masked must_not path)")
@@ -236,13 +251,18 @@ def main(argv: list[str] | None = None) -> int:
             # path — blocks with no eligible doc in span skip undecoded
             top = (
                 s.topk_blockmax(
-                    args.q, args.k, allowed=allowed, excluded=excluded
+                    args.q, args.k, allowed=allowed, excluded=excluded,
+                    boosts=boosts,
                 )
                 if fast
                 else s.topk_filtered(args.q, allowed, args.k)
             )
         else:
-            top = (s.topk_blockmax if fast else s.topk_dataframe)(args.q, args.k)
+            top = (
+                s.topk_blockmax(args.q, args.k, boosts=boosts)
+                if fast
+                else s.topk_dataframe(args.q, args.k, boosts=boosts)
+            )
         rows = (
             top
             .join(L.doc_stats.select("doc_id", "conv_id", "turn_idx"), "doc_id")

@@ -440,11 +440,18 @@ class Searcher:
             .drop("_nt")
         )
 
-    def topk_dataframe(self, query_text: str, k: int = 10) -> DataFrame:
+    def topk_dataframe(
+        self,
+        query_text: str,
+        k: int = 10,
+        boosts: dict[str, float] | None = None,
+    ) -> DataFrame:
         plan = self._plan(query_text)
         if plan is None:
             return _empty_topk(self.spark)
         idfs, blocks, _ = plan
+        if boosts:  # ES query-time boost — see topk_blockmax
+            idfs = {t: v * float(boosts.get(t, 1.0)) for t, v in idfs.items()}
         scored = self._bm25_scored(
             self._mask_deleted(flat_postings(blocks)), idfs
         )
@@ -499,6 +506,7 @@ class Searcher:
         skip_acc=None,
         allowed: DataFrame | None = None,
         excluded: DataFrame | None = None,
+        boosts: dict[str, float] | None = None,
     ) -> DataFrame:
         """``skip_acc``: optional SparkContext accumulator incremented by the
         number of posting blocks the scorer proved sub-θ and never decoded
@@ -520,11 +528,24 @@ class Searcher:
         undecoded. Composes freely with ``allowed`` (ES bool with both
         ``filter`` and ``must_not``); since any query in this engine
         returns a doc_id frame, the negative clause can itself be another
-        query's match set."""
+        query's match set.
+
+        ``boosts``: optional per-term multiplier (ES query-time ``boost``
+        on a clause: the clause's score is multiplied — Lucene
+        BoostQuery). Folded into the effective idf BEFORE planning, so
+        every downstream bound stays exact: the θ₀ seed, the per-term
+        upper bounds U_t and the partial-score lower bounds all scale
+        with the boosted idf. Boosts must be ≥ 0; unlisted terms default
+        to 1.0."""
         plan = self._plan(query_text)
         if plan is None:
             return _empty_topk(self.spark)
         idfs, blocks, meta = plan
+        if boosts:
+            bad = {t: b for t, b in boosts.items() if float(b) < 0}
+            if bad:
+                raise ValueError(f"boosts must be >= 0, got {bad}")
+            idfs = {t: v * float(boosts.get(t, 1.0)) for t, v in idfs.items()}
         # θ₀ seed probes the best blocks corpus-wide; a probed doc outside
         # the allow-list (or inside the deny-list) would make the seed
         # invalid, so filtered/negated queries start unseeded (per-range θ

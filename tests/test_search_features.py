@@ -603,3 +603,38 @@ def test_constant_score_early_termination(spark, pcorpus):
     allowed = spark.createDataFrame([(int(d),) for d in allow_ids], "doc_id long")
     got = s._topk_expanded(terms, 3, "constant_score", allowed).collect()
     assert [r["doc_id"] for r in got] == sorted(allow_ids)[:3]
+
+
+# ---------------- query-time boost (ES clause boost) ----------------
+
+
+def test_boost_parity_and_semantics(spark, pcorpus):
+    pdf, _, s = pcorpus
+    q = "zephyr quantum"
+    boosts = {"zephyr": 2.0, "quantum": 0.5}
+    big = 10_000_000
+    fast = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_blockmax(q, big, boosts=boosts).collect()
+    ]
+    twin = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_dataframe(q, big, boosts=boosts).collect()
+    ]
+    assert fast == twin and fast
+    # boost factors fold multiplicatively per clause: recompute from the
+    # unboosted per-term scores via single-term queries
+    zep = {r["doc_id"]: r["score"] for r in s.topk_dataframe("zephyr", big).collect()}
+    qua = {r["doc_id"]: r["score"] for r in s.topk_dataframe("quantum", big).collect()}
+    for d, sc in fast:
+        want = 2.0 * zep.get(d, 0.0) + 0.5 * qua.get(d, 0.0)
+        assert sc == pytest.approx(want, rel=1e-9), d
+    # all-ones boost is the identity
+    base = [(r["doc_id"], r["score"]) for r in s.topk_blockmax(q, big).collect()]
+    one = [
+        (r["doc_id"], r["score"])
+        for r in s.topk_blockmax(q, big, boosts={"zephyr": 1.0}).collect()
+    ]
+    assert one == base
+    with pytest.raises(ValueError, match="boosts"):
+        s.topk_blockmax(q, 10, boosts={"zephyr": -1.0}).collect()
