@@ -1054,6 +1054,52 @@ def _q_f2_must_not_topk(spark, sf_dir):
     )
 
 
+B9_DELETE_TERM = "hash"  # delete_by_query target term
+
+
+def _q_b9_delete_by_query_topk(spark, sf_dir):
+    """ES _delete_by_query composed with B6: save a fresh index over the
+    documents table, tombstone every doc containing B9_DELETE_TERM (one
+    Searcher match-set decode -> one distributed tombstone write), then
+    run the reference BM25 query through the tombstone-masked path.
+    Lucene/ES segment semantics: corpus stats and df KEEP the deleted
+    docs until merge/compact — the twin ranks live docs only but
+    computes stats corpus-wide. Full scored set (tie-order-free)."""
+    import shutil
+
+    from rabbit_index_ingest_spark.index.build import build_index
+    from rabbit_index_ingest_spark.index.query import Searcher
+    from rabbit_index_ingest_spark.index.store import IndexStore
+
+    root = f"/tmp/riis_entry_b9_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("doc_key"),
+        F.lit(0).alias("ord"),
+        "text",
+    )
+    store = IndexStore(spark, root)
+    store.save(
+        build_index(spark, docs, id_col="doc_key", order_col="ord"),
+        segment=0,
+    )
+    n = store.delete_by_query(B9_DELETE_TERM)
+    assert n > 0, "delete_by_query entry needs matches"
+    L = store.load()
+    s = Searcher(
+        spark, L.postings, L.dictionary, L.n_docs, L.avgdl,
+        deleted_df=L.deleted_df,
+    )
+    top = s.topk_blockmax(" ".join(BM25_QUERY_TERMS), 10_000_000)
+    m = L.doc_stats.select(
+        "doc_id", F.col("conv_id").cast("long").alias("orig_doc_id")
+    )
+    return top.join(m, "doc_id").drop("doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 B8_BOOSTS = {"spark": 2.0, "shuffle": 0.5}  # ES query-time clause boosts
 
 
@@ -1106,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_filtered_topk": _q_f1_filtered_topk,
         "f2_must_not_topk": _q_f2_must_not_topk,
         "b8_boost_topk": _q_b8_boost_topk,
+        "b9_delete_by_query_topk": _q_b9_delete_by_query_topk,
         "a2_decode_messages": _q_a2_decode_messages,
         "a4_routing": _q_a4_routing,
         "a5_prefix_filter": _q_a5_prefix_filter,
@@ -1817,6 +1864,18 @@ SELECT DISTINCT doc_id, 1.0 AS score FROM tok WHERE term LIKE '{PR_PREFIX}%'
         ),
     )
     sql["b8_boost_topk"] = _bm25_sql(q, None, boosts=B8_BOOSTS)
+    # delete_by_query twin: live docs = docs NOT containing the deleted
+    # term; stats stay corpus-wide (unmerged-tombstone Lucene semantics,
+    # which _bm25_sql's doc_filter already implements — it restricts the
+    # RANKED docs only)
+    sql["b9_delete_by_query_topk"] = _bm25_sql(
+        q,
+        None,
+        doc_filter=(
+            "doc_id NOT IN (SELECT doc_id FROM tok WHERE term = "
+            f"'{B9_DELETE_TERM}')"
+        ),
+    )
     # must_not twin: doc_id-level anti-join (NOT `source NOT IN (...)`,
     # which would also drop NULL-source docs — ES must_not keeps them)
     sql["f2_must_not_topk"] = _bm25_sql(

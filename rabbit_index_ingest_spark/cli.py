@@ -108,6 +108,16 @@ def _parser() -> argparse.ArgumentParser:
     c = sub.add_parser("compact", help="force-merge to one segment, drop tombstones")
     c.add_argument("--index", required=True)
 
+    d = sub.add_parser(
+        "delete-by-query",
+        help="ES _delete_by_query: tombstone every live doc matching "
+             "the query (one distributed tombstone write; stats keep the "
+             "deleted docs until merge/compact, the Lucene contract)",
+    )
+    d.add_argument("--index", required=True)
+    d.add_argument("--q", required=True)
+    d.add_argument("--mode", choices=["or", "and", "phrase"], default="or")
+
     m = sub.add_parser("merge", help="tiered merge: fold smallest segments")
     m.add_argument("--index", required=True)
     m.add_argument("--max-segments", type=int, default=10,
@@ -279,6 +289,14 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+
+    elif args.cmd == "delete-by-query":
+        from .index.store import IndexStore
+
+        n = IndexStore(spark, args.index).delete_by_query(
+            args.q, mode=args.mode
+        )
+        print(json.dumps({"deleted": n}))
 
     elif args.cmd == "compact":
         from .index.store import IndexStore

@@ -503,6 +503,73 @@ class IndexStore:
         df = self.tombstones_df()
         return {r["doc_id"] for r in df.collect()} if df is not None else set()
 
+    def _next_segment(self) -> int:
+        """Next free segment id across BOTH namespaces — data segments and
+        tombstone files. delete_by_query writes a tombstone file with no
+        data segment, so an allocator that only looked at data segments
+        would hand the same id to a later upsert/merge, whose
+        mode("overwrite") tombstone write would CLOBBER the delete's file
+        and resurrect the deleted docs."""
+        ids = list(self.segments())
+        for p in self._tomb_segments():
+            ids.append(int(p.rsplit("seg=", 1)[-1]))
+        return max(ids, default=-1) + 1
+
+    def delete_matching(self, doc_ids: DataFrame) -> tuple[int, int]:
+        """Tombstone an arbitrary doc_id frame (the primitive under
+        ``delete_by_query``): one distributed parquet write into a fresh
+        tombstone segment — the ids never touch the driver; the count is
+        observed ON the write action (no separate count job). Returns
+        ``(tombstone_segment_id, n_tombstoned)``. Deleting an
+        already-dead or nonexistent id is a harmless no-op at query time
+        (masking a missing id does nothing), exactly like ES deletes."""
+        from pyspark.sql import Observation
+
+        seg = self._next_segment()
+        obs = Observation()
+        w = doc_ids.select(F.col("doc_id").cast("long")).observe(
+            obs, F.count(F.lit(1)).alias("n")
+        )
+        w.write.mode("overwrite").parquet(self._tomb_path(seg))
+        n = int(obs.get["n"])
+        self.log_manifest(f"seg{seg}/delete", "done", new_tombstones=n)
+        return seg, n
+
+    def delete_by_query(self, query_text: str, mode: str = "or") -> int:
+        """ES ``_delete_by_query``: tombstone every LIVE doc matching the
+        query (``mode``: ``or`` = ES match, ``and`` = operator:and,
+        ``phrase`` = match_phrase). The match set is computed through the
+        same Searcher the read path uses — already-dead docs are masked,
+        so the returned count is NEW tombstones only — and flows straight
+        into one distributed tombstone write (never driver-side). Corpus
+        stats keep the deleted docs until a merge/compact sheds them
+        (Lucene/ES segment semantics). Returns the number of docs
+        tombstoned."""
+        from .query import Searcher
+
+        loaded = self.load()
+        searcher = Searcher(
+            self.spark, loaded.postings, loaded.dictionary,
+            loaded.n_docs, loaded.avgdl, deleted_df=loaded.deleted_df,
+        )
+        if mode == "or":
+            matched = searcher._matched_docs(query_text)
+        elif mode == "and":
+            # k caps at int32 (JVM limit()); 2^31-1 = the whole match set
+            matched = searcher.topk_blockmax_and(
+                query_text, (1 << 31) - 1
+            ).select("doc_id")
+        elif mode == "phrase":
+            matched = searcher.topk_phrase(query_text, (1 << 31) - 1).select(
+                "doc_id"
+            )
+        else:
+            raise ValueError(f"unknown delete_by_query mode {mode!r}")
+        if matched is None:
+            return 0
+        _seg, n = self.delete_matching(matched)
+        return n
+
     def load(self) -> LoadedIndex:
         # doc_stats = column-pruned projection of the docs table (columnar
         # storage: reading 4 narrow columns skips the text entirely)
@@ -591,7 +658,8 @@ class IndexStore:
         """
         from pyspark.sql import Observation
 
-        seg = (self.segments()[-1] + 1) if self.segments() else 0
+        # allocator spans tombstone files too — see _next_segment
+        seg = self._next_segment()
         stats_df = self._read_all("corpus_stats")
         has_pos = "positions" in stats_df.columns
         aggs = [F.max("next_doc_id").alias("next_id")]
@@ -747,7 +815,8 @@ class IndexStore:
             if not has_pos_col or stats["pos"] is None
             else bool(stats["pos"])
         )
-        new_seg = max(have) + 1
+        # allocator spans tombstone files too — see _next_segment
+        new_seg = self._next_segment()
         built = build_index_prenumbered(
             self.spark, docs, next_doc_id=int(stats["hi"]),
             positions=has_positions,
