@@ -1100,6 +1100,34 @@ def _q_b9_delete_by_query_topk(spark, sf_dir):
     )
 
 
+def _q_q1_match_count(spark, sf_dir):
+    """ES _count: live-doc match count for the reference query — one
+    term-pruned decode + one count, no scoring."""
+    built, searcher = _searcher(spark, sf_dir)
+    return searcher.match_count(" ".join(BM25_QUERY_TERMS))
+
+
+PII_SUFFIX = (
+    " contact john.doe+x@corp.example.org via https://ex.io/a?b=c"
+    " from 192.168.0.1 or +1 (555) 123-4567"
+)
+
+
+def _q_t6_pii_scrub(spark, sf_dir):
+    """PII redaction (training-data pre-processing): URLs, emails, IPv4s
+    and phone-like runs masked by ONE dialect-neutral regex list applied
+    in a fixed order — pure-JVM chained regexp_replace; the twin applies
+    the identical list in DuckDB RE2. Synthetic PII is appended to every
+    doc (the corpus itself contains none) so the masking is exercised,
+    not just the identity path."""
+    from rabbit_index_ingest_spark.functions.text import pii_scrub_expr
+
+    withpii = F.concat(F.col("text"), F.lit(PII_SUFFIX))
+    return _docs(spark, sf_dir).select(
+        "doc_id", pii_scrub_expr(withpii).alias("scrubbed")
+    )
+
+
 B8_BOOSTS = {"spark": 2.0, "shuffle": 0.5}  # ES query-time clause boosts
 
 
@@ -1153,6 +1181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_must_not_topk": _q_f2_must_not_topk,
         "b8_boost_topk": _q_b8_boost_topk,
         "b9_delete_by_query_topk": _q_b9_delete_by_query_topk,
+        "q1_match_count": _q_q1_match_count,
+        "t6_pii_scrub": _q_t6_pii_scrub,
         "a2_decode_messages": _q_a2_decode_messages,
         "a4_routing": _q_a4_routing,
         "a5_prefix_filter": _q_a5_prefix_filter,
@@ -1843,6 +1873,16 @@ SELECT count(DISTINCT source)::BIGINT AS value
 FROM matched JOIN documents USING (doc_id)
 WHERE source IS NOT NULL
 """
+    sql["q1_match_count"] = matched_cte + """
+SELECT count(*)::BIGINT AS n FROM matched
+"""
+    from rabbit_index_ingest_spark.functions.text import pii_scrub_sql
+
+    sql["t6_pii_scrub"] = (
+        "SELECT doc_id, "
+        + pii_scrub_sql(f"(text || '{PII_SUFFIX}')")
+        + " AS scrubbed FROM documents"
+    )
     w_like = W_PATTERN.replace("*", "%").replace("?", "_")
     sql["w1_wildcard_const"] = f"""
 WITH tok AS (

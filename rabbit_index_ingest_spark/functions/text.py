@@ -172,3 +172,42 @@ def highlight_expr(
         ).otherwise(x),
     )
     return F.when(j.isNotNull(), F.array_join(wrapped, " "))
+
+
+# PII scrub patterns — ONE dialect-neutral regex set shared verbatim by
+# the Spark expression (Java regex) and the DuckDB oracle twin (RE2):
+# no lookarounds (RE2 has none), no backreferences, only \d/\s/\b and
+# plain classes, which the two engines interpret identically. Order
+# matters and is part of the contract: URLs first (they may embed
+# emails/hosts), then emails, then IPs, then phone-like runs.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"https?://[^\s]+", "<url>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<email>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<ip>"),
+    (r"\+?\d[\d\-\s()]{6,}\d", "<phone>"),
+)
+
+
+def pii_scrub_expr(text: Column | str) -> Column:
+    """Mask common PII shapes (URLs, emails, IPv4s, phone-like digit
+    runs) — the standard pre-training redaction pass, as a pure-JVM
+    chained ``regexp_replace`` (whole-stage codegen; no Python in the
+    hot path). Heuristic by design: the contract is the exact
+    ``PII_PATTERNS`` list, applied in order, global replacement — the
+    DuckDB twin applies the same list with the same flags, so the two
+    engines agree byte-for-byte on any input, false positives included.
+    At 100 TB this is a narrow projection fused into whatever scan or
+    write surrounds it."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_scrub_sql(col: str) -> str:
+    """DuckDB twin of ``pii_scrub_expr`` — same patterns, same order,
+    global ('g') replacement."""
+    expr = col
+    for pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr

@@ -1568,6 +1568,18 @@ class Searcher:
             flat_postings(blocks).select("doc_id")
         ).distinct()
 
+    def match_count(self, query_text: str) -> DataFrame:
+        """ES ``_count``: the number of LIVE docs matching the query (OR
+        match semantics, tombstones masked) as a one-row ``(n long)``
+        frame — one term-pruned decode + one count, no scoring, no
+        top-k machinery."""
+        matched = self._matched_docs(query_text)
+        if matched is None:
+            return self.spark.range(1).select(
+                F.lit(0).cast("long").alias("n")
+            )
+        return matched.agg(F.count("*").cast("long").alias("n"))
+
     @staticmethod
     def _attr_col(attrs: DataFrame, col: str):
         """attrs column by name with fail-fast validation and canonical

@@ -389,3 +389,75 @@ def test_decode_image_real_codec():
     assert real.shape == (8, 8)
     # a real decode is NOT the byte-gather stub
     assert not (real == _decode_image_stub(buf.getvalue())).all()
+
+
+def test_pii_scrub_matches_duckdb_twin(spark):
+    """pii_scrub_expr (Java regex) and pii_scrub_sql (DuckDB RE2) must
+    agree byte-for-byte — the dialect-neutrality contract of
+    PII_PATTERNS (no lookarounds, fixed order, global replace)."""
+    import duckdb
+
+    from rabbit_index_ingest_spark.functions.text import (
+        pii_scrub_expr,
+        pii_scrub_sql,
+    )
+
+    cases = [
+        "mail john.doe+x@corp.example.org now",
+        "see https://example.com/a?b=c#d and http://x.io then stop",
+        "server at 192.168.0.1 port 80",
+        "call +1 (555) 123-4567 or 07700-900123",
+        "no pii here, just 3.14 and v2",
+        "edge: a@b.co 1.2.3.4.5 999",
+        "",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    got = [
+        r["o"] for r in df.select(pii_scrub_expr("t").alias("o")).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            f"SELECT {pii_scrub_sql('?::VARCHAR')} "
+        , [c]).fetchone()[0]
+        for c in cases
+    ]
+    assert got == want
+    # masking actually happened
+    assert "<email>" in got[0] and "<url>" in got[1]
+    assert "<ip>" in got[2] and "<phone>" in got[3]
+    assert got[4] == cases[4]  # clean text untouched
+
+
+def test_match_count(spark):
+    import pandas as pd
+
+    from rabbit_index_ingest_spark.analysis import py_tokenize
+    from rabbit_index_ingest_spark.index.build import build_index
+    from rabbit_index_ingest_spark.index.query import Searcher
+
+    texts = ["alpha beta", "alpha", "gamma", "beta gamma", "pad"]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"{i:04d}" for i in range(len(texts))],
+            "turn_idx": [0] * len(texts),
+            "text": texts,
+        }
+    )
+    built = build_index(spark, spark.createDataFrame(pdf))
+    s = Searcher(
+        spark, built.postings, built.dictionary, built.n_docs, built.avgdl
+    )
+    qt = lambda q: {
+        i for i, t in enumerate(texts)
+        if set(py_tokenize(q)) & set(py_tokenize(t))
+    }
+    for q in ("alpha", "alpha gamma", "nosuchterm", ""):
+        assert s.match_count(q).collect()[0]["n"] == len(qt(q)), q
+    # tombstones masked: delete one alpha doc via the deleted_df path
+    s2 = Searcher(
+        spark, built.postings, built.dictionary, built.n_docs, built.avgdl,
+        deleted_df=spark.createDataFrame([(0,)], "doc_id long"),
+    )
+    assert s2.match_count("alpha").collect()[0]["n"] == len(qt("alpha")) - 1
+    built.release()
