@@ -1128,6 +1128,54 @@ def _q_t6_pii_scrub(spark, sf_dir):
     )
 
 
+E1_GAP_S = 21600  # 6h session gap (median per-user event gap ~7h)
+
+
+def _q_e1_sessions(spark, sf_dir):
+    """Gap-based sessionization over the events stream (training-data /
+    clickstream staple): per (user, session) event count + bounds. ONE
+    shuffle (window partitionBy user) + one same-key aggregation;
+    event_id tiebreak makes the window order total. Timestamps emitted
+    as formatted strings (timezone-representation-free hash)."""
+    from rabbit_index_ingest_spark.operators.analytics import session_summary
+
+    s = session_summary(
+        _events(spark, sf_dir), gap_s=E1_GAP_S, tiebreak_col="event_id"
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return s.select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+    )
+
+
+def _q_p3_page2(spark, sf_dir):
+    """ES from/size pagination: page 2 (from=10, size=10) of the BM25
+    ranking — rows 11-20 of the deterministic (score desc, doc_id asc)
+    global order. Twin: the same SQL ranking with LIMIT/OFFSET."""
+    built, searcher = _searcher(spark, sf_dir)
+    pg = searcher.page(" ".join(BM25_QUERY_TERMS), from_=10, size=10)
+    return _with_orig_doc_id(pg, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_srt1_sort_by(spark, sf_dir):
+    """ES sort-by-field over the match set (track_scores: false): the
+    10 shortest matching docs by n_chars (nulls last, doc_id tie-break —
+    internal ids preserve original doc_id order, so the tie-break is
+    id-space-consistent with the twin)."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = _agg_attrs(spark, sf_dir, built, "n_chars")
+    top = searcher.sort_by(
+        " ".join(BM25_QUERY_TERMS), attrs, "n_chars", k=10, ascending=True
+    )
+    return _with_orig_doc_id(top, built).select("doc_id", "n_chars")
+
+
 B8_BOOSTS = {"spark": 2.0, "shuffle": 0.5}  # ES query-time clause boosts
 
 
@@ -1182,6 +1230,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b8_boost_topk": _q_b8_boost_topk,
         "b9_delete_by_query_topk": _q_b9_delete_by_query_topk,
         "q1_match_count": _q_q1_match_count,
+        "p3_page2": _q_p3_page2,
+        "srt1_sort_by": _q_srt1_sort_by,
+        "e1_sessions": _q_e1_sessions,
         "t6_pii_scrub": _q_t6_pii_scrub,
         "a2_decode_messages": _q_a2_decode_messages,
         "a4_routing": _q_a4_routing,
@@ -1875,6 +1926,40 @@ WHERE source IS NOT NULL
 """
     sql["q1_match_count"] = matched_cte + """
 SELECT count(*)::BIGINT AS n FROM matched
+"""
+    sql["p3_page2"] = _bm25_sql(q, None).rstrip() + """
+ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10
+"""
+    sql["srt1_sort_by"] = matched_cte + """
+SELECT doc_id, n_chars
+FROM matched JOIN documents USING (doc_id)
+ORDER BY n_chars ASC NULLS LAST, doc_id
+LIMIT 10
+"""
+    sql["e1_sessions"] = f"""
+WITH e AS (
+  SELECT user_id, event_id, ts FROM events WHERE ts IS NOT NULL
+),
+f AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {E1_GAP_S}::BIGINT * 1000000
+         THEN 1 ELSE 0 END AS ns
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT user_id, ts,
+    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS session_idx
+  FROM f
+)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       count(*)::BIGINT AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+FROM g GROUP BY 1, 2
 """
     from rabbit_index_ingest_spark.functions.text import pii_scrub_sql
 

@@ -1568,6 +1568,59 @@ class Searcher:
             flat_postings(blocks).select("doc_id")
         ).distinct()
 
+    def page(
+        self,
+        query_text: str,
+        from_: int = 0,
+        size: int = 10,
+        **kwargs,
+    ) -> DataFrame:
+        """ES ``from``/``size`` pagination over BM25 results: page N is
+        rows ``from_+1 .. from_+size`` of the deterministic global order
+        ``(score desc, doc_id asc)``. Runs ``topk_blockmax(from_+size)``
+        (ES does the same — deep paging costs grow with ``from``; its
+        ``max_result_window`` guard is the caller's ``from_+size``
+        budget) and drops the first ``from_`` rows with a row_number over
+        the ≤ from_+size collected candidates (a single tiny partition by
+        construction, never the corpus). ``kwargs`` pass through to
+        ``topk_blockmax`` (allowed/excluded/boosts/...)."""
+        from pyspark.sql import Window
+
+        if from_ < 0 or size <= 0:
+            raise ValueError(f"need from_ >= 0 and size > 0, got {from_}/{size}")
+        top = self.topk_blockmax(query_text, from_ + size, **kwargs)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            top.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") > from_)
+            .drop("_rn")
+        )
+
+    def sort_by(
+        self,
+        query_text: str,
+        attrs: DataFrame,
+        col: str,
+        k: int = 10,
+        ascending: bool = True,
+    ) -> DataFrame:
+        """ES ``sort`` by a field (scoring skipped, like ES with
+        ``track_scores: false``): the query's live match set joins
+        ``attrs`` once and orders by the attribute (nulls last, doc_id
+        tie-break — a total order, so rank-k is deterministic). Returns
+        ``(doc_id, <col>)``."""
+        matched = self._matched_docs(query_text)
+        v = self._attr_col(attrs, col)
+        if matched is None:
+            return attrs.select("doc_id", v).limit(0)
+        key = v.asc_nulls_last() if ascending else v.desc_nulls_last()
+        return (
+            matched.join(attrs, "doc_id", "inner")
+            .select("doc_id", v)
+            .orderBy(key, F.asc("doc_id"))
+            .limit(k)
+        )
+
     def match_count(self, query_text: str) -> DataFrame:
         """ES ``_count``: the number of LIVE docs matching the query (OR
         match semantics, tombstones masked) as a one-row ``(n long)``

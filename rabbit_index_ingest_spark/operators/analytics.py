@@ -118,3 +118,73 @@ def date_histogram(
             F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count"),
         )
     )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization (the training-data / clickstream staple;
+    the batch twin of a Structured-Streaming session window): events of
+    one user belong to the same session while consecutive gaps are
+    ≤ ``gap_s`` seconds; a longer gap starts a new session. Adds
+    ``session_idx`` (1-based per user, in time order).
+
+    Scale shape: ONE shuffle — ``Window.partitionBy(user)`` — then two
+    window functions (lag diff → new-session flag, running sum → session
+    index); no self-joins, no iteration, and a user's events are exactly
+    one partition's worth of state. Determinism: equal-timestamp events
+    always share a session (their gap is 0), so the output is
+    tie-order-free even though lag's order among ties isn't;
+    ``tiebreak_col`` (e.g. an event id) makes the window order total for
+    plan-stability purists. Null timestamps are dropped (no time, no
+    session)."""
+    from pyspark.sql import Window
+
+    if gap_s <= 0:
+        raise ValueError(f"gap_s must be > 0, got {gap_s}")
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev = F.lag(ts_col).over(w)
+    # exact integer-microsecond gap arithmetic (unix_micros; NTZ inputs
+    # cast through TIMESTAMP under the pinned-UTC session) — float
+    # epoch-seconds would round and could disagree with the integer
+    # oracle exactly at the gap boundary; unix_timestamp would TRUNCATE
+    # to whole seconds, worse
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    new_session = F.when(
+        prev.isNull()
+        | (us(F.col(ts_col)) - us(prev) > F.lit(int(gap_s) * 1_000_000)),
+        1,
+    ).otherwise(0)
+    return (
+        df.where(F.col(ts_col).isNotNull())
+        .withColumn("session_idx", F.sum(new_session).over(w).cast("long"))
+    )
+
+
+def session_summary(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """One row per (user, session): event count + start/end timestamps —
+    ``sessionize`` plus ONE aggregation (same single shuffle key, so AQE
+    keeps it co-partitioned)."""
+    s = sessionize(df, user_col, ts_col, gap_s, tiebreak_col)
+    return (
+        s.groupBy(user_col, "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .orderBy(user_col, "session_idx")
+    )

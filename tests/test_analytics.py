@@ -181,3 +181,40 @@ def test_date_histogram_agg_composes_with_query(spark):
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == ["bucket", "doc_count"]
     built.release()
+
+
+def test_sessionize_gap_semantics(spark):
+    """Hand-built timeline: gaps <= gap_s chain, longer gaps split; the
+    boundary is EXCLUSIVE-above (diff == gap_s stays in-session); ties
+    share a session; nulls drop; per-user independence."""
+    from rabbit_index_ingest_spark.operators.analytics import (
+        session_summary,
+        sessionize,
+    )
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        # user 1: [0s, 60s, 120s] | gap 3601 | [3721s, 3721s tie]
+        (1, 0, t0),
+        (1, 1, t0 + dt.timedelta(seconds=60)),
+        (1, 2, t0 + dt.timedelta(seconds=120)),
+        (1, 3, t0 + dt.timedelta(seconds=120 + 3601)),
+        (1, 4, t0 + dt.timedelta(seconds=120 + 3601)),  # tie
+        # exactly gap_s later: same session (boundary is > gap_s)
+        (1, 5, t0 + dt.timedelta(seconds=120 + 3601 + 3600)),
+        # user 2: one event; plus a null-ts event that must vanish
+        (2, 6, t0),
+        (2, 7, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(df, gap_s=3600, tiebreak_col="event_id").collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 2, 6: 1}
+    summ = session_summary(df, gap_s=3600, tiebreak_col="event_id").collect()
+    assert [
+        (r["user_id"], r["session_idx"], r["n_events"]) for r in summ
+    ] == [(1, 1, 3), (1, 2, 3), (2, 1, 1)]
+    with pytest.raises(ValueError, match="gap_s"):
+        sessionize(df, gap_s=0)

@@ -638,3 +638,65 @@ def test_boost_parity_and_semantics(spark, pcorpus):
     assert one == base
     with pytest.raises(ValueError, match="boosts"):
         s.topk_blockmax(q, 10, boosts={"zephyr": -1.0}).collect()
+
+
+def test_page_from_size(spark, pcorpus):
+    """from/size pagination: pages tile the global ranking exactly and
+    compose with filters."""
+    _, _, s = pcorpus
+    q = "zephyr quantum karo"
+    full = [
+        (r["doc_id"], r["score"])
+        for r in s.topk_blockmax(q, 10_000_000).collect()
+    ]
+    assert len(full) > 7
+    pages = []
+    step = 3
+    for frm in range(0, len(full) + step, step):
+        pages.extend(
+            (r["doc_id"], r["score"])
+            for r in s.page(q, from_=frm, size=step).collect()
+        )
+        if frm >= len(full):
+            break
+    assert pages == full
+    with pytest.raises(ValueError, match="from_"):
+        s.page(q, from_=-1).collect()
+
+
+def test_sort_by_field(spark, pcorpus):
+    pdf, built, s = pcorpus
+    q = "zephyr quantum"
+    qt = set(py_tokenize(q))
+    matched = [
+        i for i, t in enumerate(pdf["text"]) if qt & set(py_tokenize(t))
+    ]
+    assert matched
+    # attribute with one null to prove nulls-last
+    vals = {i: (None if j == 0 else len(pdf["text"][i]))
+            for j, i in enumerate(matched)}
+    attrs = spark.createDataFrame(
+        [(i, vals.get(i)) for i in range(len(pdf))], "doc_id long, n long"
+    )
+    want = sorted(
+        matched,
+        key=lambda i: (vals[i] is None, vals[i] if vals[i] is not None else 0, i),
+    )
+    got = [r["doc_id"] for r in s.sort_by(q, attrs, "n", k=100).collect()]
+    assert got == want
+    got_desc = [
+        r["doc_id"]
+        for r in s.sort_by(q, attrs, "n", k=100, ascending=False).collect()
+    ]
+    want_desc = sorted(
+        matched,
+        key=lambda i: (
+            vals[i] is None,
+            -(vals[i] if vals[i] is not None else 0),
+            i,
+        ),
+    )
+    assert got_desc == want_desc
+    # absent term: empty with contract schema
+    empty = s.sort_by("qzx_absent", attrs, "n", k=5)
+    assert empty.count() == 0 and empty.columns == ["doc_id", "n"]
