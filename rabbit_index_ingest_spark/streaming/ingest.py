@@ -138,3 +138,101 @@ def start_enriched_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long"
+)
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    gap_s: int = 1800,
+    watermark: str = "10 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stateful streaming sessionization — the Structured-Streaming twin
+    of ``operators.analytics.sessionize`` via ``applyInPandasWithState``
+    (the custom-stateful-operator escape hatch; Arrow-batched, one state
+    row per user).
+
+    Contract: a finalized session row ``(user, start, end, n_events)``
+    is emitted when (a) a same-user event arrives more than ``gap_s``
+    seconds after the open session's end — the old session closes and a
+    new one opens — or (b) the event-time WATERMARK passes
+    ``session_end + gap_s`` (EventTimeTimeout), which finalizes an open
+    session no new event can legally extend. State per user is three
+    int64s (start/end micros + count), so 10^9 users is ~24 GB of state
+    across the cluster — state-store-friendly.
+
+    Exactness caveat (the standard streaming-sessionization trade,
+    documented against the batch twin): an event that is late WITHIN the
+    watermark but belongs to a session already closed by rule (a) starts
+    a NEW session rather than reopening the closed one; the batch
+    operator is the exact-ground-truth path and the two agree whenever
+    per-user event time is monotone across micro-batches (test-asserted).
+    Gap arithmetic is integer microseconds — identical to the batch twin.
+    """
+    import pandas as pd
+
+    gap_us = int(gap_s) * 1_000_000
+
+    def fn(key, pdfs, state):
+        user = int(key[0])
+
+        def finalize(start_us: int, end_us: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [user],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield finalize(start, end, n)
+            return
+        ts_parts = [
+            pdf[ts_col].dropna().astype("datetime64[us]").astype("int64")
+            for pdf in pdfs
+        ]
+        ts = pd.concat(ts_parts).sort_values().to_numpy()
+        if not len(ts):
+            return
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start, end, n = 0, 0, 0
+        for t in ts:  # per-user per-batch event counts are small
+            t = int(t)
+            if n and t - end > gap_us:
+                yield finalize(start, end, n)
+                n = 0
+            if n == 0:
+                start = end = t
+            else:
+                # a late-within-watermark event may precede the open
+                # session's start; it still belongs (gap <= budget)
+                start = min(start, t)
+                end = max(end, t)
+            n += 1
+        state.update((start, end, n))
+        # finalize via event-time timeout once no event can extend us
+        state.setTimeoutTimestamp((end + gap_us) // 1000 + 1)
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT_SCHEMA,
+            "start long, end long, n long",
+            "update",
+            "EventTimeTimeout",
+        )
+    )

@@ -320,3 +320,31 @@ def test_unordered_superset_of_ordered_sloppy(spark, corpus):
         ).collect()
     }
     assert ordered <= unordered
+
+
+def test_sloppy_randomized_parity(spark):
+    """Randomized cross-check (seeded): small random corpora over a tiny
+    alphabet maximize window collisions — repeated terms, ties, overlaps
+    — and the engine must match the independent forward-scan oracle on
+    every (query, slop, ordered) combination."""
+    import random
+
+    rng = random.Random(4242)
+    alphabet = ["aa", "bb", "cc", "dd"]
+    texts = [
+        " ".join(rng.choice(alphabet) for _ in range(rng.randint(3, 24)))
+        for _ in range(40)
+    ]
+    pdf, built, searcher = _mk_corpus(spark, texts)
+    try:
+        queries = ["aa bb", "bb aa cc", "aa aa", "cc dd bb"]
+        for q in queries:
+            for slop in (0, 1, 2, 5):
+                want = _py_sloppy_topk(pdf, q, slop, 1000, ordered=True)
+                got = searcher.topk_phrase(q, 1000, slop=slop).collect()
+                _assert_topk_equal(got, want, 1000)
+                want_u = _py_sloppy_topk(pdf, q, slop, 1000, ordered=False)
+                got_u = searcher.topk_near_unordered(q, 1000, slop=slop).collect()
+                _assert_topk_equal(got_u, want_u, 1000)
+    finally:
+        built.release()

@@ -478,3 +478,96 @@ def test_load_on_missing_root_raises_clear_error(spark, tmp_path):
     store = IndexStore(spark, str(tmp_path / "nope"))
     with pytest.raises(FileNotFoundError, match="no index segments"):
         store.load()
+
+
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization (the custom stateful
+    streaming operator): sessions close on an over-gap same-user event
+    AND on event-time timeout once the watermark passes session_end+gap;
+    results match the batch twin (operators.analytics.session_summary)
+    on the same monotone event stream."""
+    import datetime as dt
+
+    from rabbit_index_ingest_spark.operators.analytics import session_summary
+    from rabbit_index_ingest_spark.streaming.ingest import (
+        streaming_sessionize,
+    )
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, event_id long, ts timestamp"
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    # batch 1: user 1 session A (2 events), user 2 session A (1 event)
+    drop("b1", [
+        (1, 0, t0),
+        (1, 1, t0 + dt.timedelta(seconds=60)),
+        (2, 2, t0 + dt.timedelta(seconds=5)),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    sess = streaming_sessionize(stream, gap_s=600, watermark="1 minute")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: user 1 over-gap event -> closes session A inline
+        drop("b2", [(1, 3, t0 + dt.timedelta(seconds=60 + 601))])
+        q.processAllAvailable()
+        got1 = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.table("sessions_out").collect()
+        }
+        assert (1, t0, t0 + dt.timedelta(seconds=60), 2) in got1, got1
+        # batches 3+4: far-future events push the WATERMARK past every
+        # open session's end+gap; the following trigger fires the
+        # event-time timeouts for users 1 and 2
+        far = t0 + dt.timedelta(days=2)
+        drop("b3", [(9, 8, far)])
+        q.processAllAvailable()
+        drop("b4", [(9, 9, far + dt.timedelta(seconds=1))])
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.table("sessions_out").collect()
+        }
+    finally:
+        q.stop()
+    want_closed = {
+        (1, t0, t0 + dt.timedelta(seconds=60), 2),
+        (1, t0 + dt.timedelta(seconds=661), t0 + dt.timedelta(seconds=661), 1),
+        (2, t0 + dt.timedelta(seconds=5), t0 + dt.timedelta(seconds=5), 1),
+    }
+    assert want_closed <= got, got
+    # parity with the batch twin on users 1/2 (monotone per-user stream)
+    batch_rows = spark.createDataFrame(
+        [
+            (1, 0, t0),
+            (1, 1, t0 + dt.timedelta(seconds=60)),
+            (2, 2, t0 + dt.timedelta(seconds=5)),
+            (1, 3, t0 + dt.timedelta(seconds=661)),
+        ],
+        schema,
+    )
+    twin = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in session_summary(
+            batch_rows, gap_s=600, tiebreak_col="event_id"
+        ).collect()
+    }
+    assert twin <= got, (twin, got)
