@@ -1176,6 +1176,23 @@ def _q_srt1_sort_by(spark, sf_dir):
     return _with_orig_doc_id(top, built).select("doc_id", "n_chars")
 
 
+DM1_TIEBREAK = 0.3
+
+
+def _q_dm1_dismax_topk(spark, sf_dir):
+    """ES dis_max over the query's term clauses (Lucene
+    DisjunctionMaxQuery, tie_breaker=0.3): a doc scores its best clause
+    plus 0.3x the rest; theta runs over dis_max partials (exactness
+    argument on Searcher.topk_dismax). Full scored set."""
+    built, searcher = _searcher(spark, sf_dir)
+    top = searcher.topk_dismax(
+        " ".join(BM25_QUERY_TERMS), 10_000_000, tie_breaker=DM1_TIEBREAK
+    )
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 B8_BOOSTS = {"spark": 2.0, "shuffle": 0.5}  # ES query-time clause boosts
 
 
@@ -1228,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_filtered_topk": _q_f1_filtered_topk,
         "f2_must_not_topk": _q_f2_must_not_topk,
         "b8_boost_topk": _q_b8_boost_topk,
+        "dm1_dismax_topk": _q_dm1_dismax_topk,
         "b9_delete_by_query_topk": _q_b9_delete_by_query_topk,
         "q1_match_count": _q_q1_match_count,
         "p3_page2": _q_p3_page2,
@@ -1367,6 +1385,44 @@ def _bm25_sql(
     if topk:
         tail += f" ORDER BY score DESC, doc_id LIMIT {topk}"
     return base + tail
+
+
+def _dismax_sql(query_text: str, tie_breaker: float) -> str:
+    """DuckDB twin of ``Searcher.topk_dismax``: per (doc, term) BM25
+    contributions combined as ``max + tb·(sum − max)`` (Lucene
+    DisjunctionMaxQuery). Full scored set, round(…, 4)."""
+    c = (
+        "ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))"
+        " * tf.tf * ({K1} + 1.0)"
+        " / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))"
+    ).format(K1=K1, B=B)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(dl), 0) FROM dl)
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+qterms AS (SELECT DISTINCT unnest({TOKEN_SQL.format(c=repr(query_text))}) AS term),
+dft AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+scored AS (
+  SELECT tf.doc_id,
+         max({c}) + {float(tie_breaker)!r} * (sum({c}) - max({c})) AS score
+  FROM tf
+  JOIN dft USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scored
+"""
 
 
 def _phrase_sql(phrase: str, k: int, gap: int | None = None) -> str:
@@ -1989,6 +2045,7 @@ SELECT DISTINCT doc_id, 1.0 AS score FROM tok WHERE term LIKE '{PR_PREFIX}%'
         ),
     )
     sql["b8_boost_topk"] = _bm25_sql(q, None, boosts=B8_BOOSTS)
+    sql["dm1_dismax_topk"] = _dismax_sql(q, DM1_TIEBREAK)
     # delete_by_query twin: live docs = docs NOT containing the deleted
     # term; stats stay corpus-wide (unmerged-tombstone Lucene semantics,
     # which _bm25_sql's doc_filter already implements — it restricts the

@@ -45,8 +45,9 @@ def _parser() -> argparse.ArgumentParser:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--path", choices=["blockmax", "dataframe"], default="blockmax")
     q.add_argument("--mode",
-                   choices=["or", "and", "phrase", "near", "prefix",
-                            "phrase_prefix", "fuzzy", "wildcard", "regexp"],
+                   choices=["or", "and", "dismax", "phrase", "near",
+                            "prefix", "phrase_prefix", "fuzzy", "wildcard",
+                            "regexp"],
                    default="or",
                    help="or = disjunctive BM25 (default); and = ES "
                         "operator:and (doc must contain every term); "
@@ -91,6 +92,9 @@ def _parser() -> argparse.ArgumentParser:
                    help="SQL predicate over the docs table (e.g. "
                         "\"turn_idx = 0\") — ES bool-filter analogue; "
                         "restricts ranked docs, never the stats")
+    q.add_argument("--tie-breaker", type=float, default=0.0,
+                   help="dismax mode: ES dis_max tie_breaker in [0,1] — "
+                        "score = best clause + tie_breaker * the rest")
     q.add_argument("--boost", action="append", default=None,
                    metavar="TERM=W",
                    help="or mode: ES query-time boost — multiply a "
@@ -230,6 +234,18 @@ def main(argv: list[str] | None = None) -> int:
                 else s.topk_near(
                     args.q, args.k, gap=args.gap, allowed=allowed,
                     excluded=excluded,
+                )
+            )
+        elif args.mode == "dismax":
+            # ES dis_max over the term clauses (Lucene DisjunctionMaxQuery)
+            top = (
+                s.topk_dismax(
+                    args.q, args.k, tie_breaker=args.tie_breaker,
+                    allowed=allowed, excluded=excluded,
+                )
+                if fast
+                else s.topk_dismax_dataframe(
+                    args.q, args.k, tie_breaker=args.tie_breaker
                 )
             )
         elif args.mode == "and":

@@ -582,6 +582,108 @@ class Searcher:
             )
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def topk_dismax(
+        self,
+        query_text: str,
+        k: int = 10,
+        tie_breaker: float = 0.0,
+        skip_acc=None,
+        allowed: DataFrame | None = None,
+        excluded: DataFrame | None = None,
+    ) -> DataFrame:
+        """ES ``dis_max`` over the query's term clauses (Lucene
+        DisjunctionMaxQuery): a doc scores its BEST clause plus
+        ``tie_breaker`` × the remaining clauses —
+        ``max_t c_t + tb · (Σ c_t − max_t c_t)``; ``tie_breaker=0`` is
+        pure best-of, ``1.0`` degenerates to the plain BM25 sum.
+
+        Same block-max machinery as ``topk_blockmax`` with a per-doc
+        best-clause tracker: θ is maintained over dis_max partials
+        (``mx·(1−tb) + tb·total`` — a valid lower bound on any final,
+        since the combine is increasing in both arguments for tb ≤ 1)
+        while block-skip tests keep the SUM-based upper bound (final
+        dis_max ≤ final sum) — exactness preserved. The θ₀ seed stays
+        valid too: a probed doc's final dis_max is ≥ its best single-term
+        partial. Composes with ``allowed``/``excluded``."""
+        if not 0.0 <= tie_breaker <= 1.0:
+            raise ValueError(
+                f"tie_breaker must be in [0, 1], got {tie_breaker}"
+            )
+        plan = self._plan(query_text)
+        if plan is None:
+            return _empty_topk(self.spark)
+        idfs, blocks, meta = plan
+        theta0 = (
+            0.0 if allowed is not None or excluded is not None
+            else self._seed_theta0(idfs, meta, blocks, k)
+        )
+        side = self._side_frame(allowed, excluded)
+        scorer = _make_range_scorer(
+            idfs, self.avgdl, k, self.range_bits, self.deleted,
+            cogrouped=side is not None, skip_acc=skip_acc, theta0=theta0,
+            allowed_present=allowed is not None,
+            tie_breaker=float(tie_breaker),
+        )
+        grouped = blocks.select(*_SCORE_COLS).groupBy("range_id")
+        if side is not None:
+            local = grouped.cogroup(side.groupBy("range_id")).applyInPandas(
+                scorer, TOPK_SCHEMA
+            )
+        else:
+            local = grouped.applyInPandas(scorer, TOPK_SCHEMA)
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def topk_dismax_dataframe(
+        self, query_text: str, k: int = 10, tie_breaker: float = 0.0
+    ) -> DataFrame:
+        """Pure-DataFrame reference twin of ``topk_dismax`` (score- and
+        rank-identical; test-asserted): per-term BM25 contributions
+        aggregated as ``max + tb·(sum − max)`` in one groupBy."""
+        if not 0.0 <= tie_breaker <= 1.0:
+            raise ValueError(
+                f"tie_breaker must be in [0, 1], got {tie_breaker}"
+            )
+        plan = self._plan(query_text)
+        if plan is None:
+            return _empty_topk(self.spark)
+        idfs, blocks, _ = plan
+        flat = self._mask_deleted(flat_postings(blocks))
+        # per (doc, term) contribution rows, then one aggregation
+        per = flat.select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * (codec.K1 + 1.0)
+                / (
+                    F.col("tf").cast("double")
+                    + codec.K1
+                    * (
+                        1.0
+                        - codec.B
+                        + codec.B * F.col("dl") / F.lit(self.avgdl)
+                    )
+                )
+            ).alias("_norm"),
+        )
+        idf_map = F.create_map(
+            *[x for t in sorted(idfs) for x in (F.lit(t), F.lit(idfs[t]))]
+        )
+        per = per.select(
+            "doc_id", (idf_map[F.col("term")] * F.col("_norm")).alias("_c")
+        )
+        agg = per.groupBy("doc_id").agg(
+            F.max("_c").alias("_mx"), F.sum("_c").alias("_sum")
+        )
+        scored = agg.select(
+            "doc_id",
+            (
+                F.col("_mx") * F.lit(1.0 - tie_breaker)
+                + F.lit(float(tie_breaker)) * F.col("_sum")
+            ).alias("score"),
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def topk_blockmax_and(
         self,
         query_text: str,
@@ -2203,6 +2305,7 @@ def _make_range_scorer(
     theta0: float = 0.0,
     allowed_present: bool = False,
     allow_ids: np.ndarray | None = None,
+    tie_breaker: float | None = None,
 ):
     """Exact MaxScore/block-max scorer for one doc range (applyInPandas;
     with ``cogrouped=True`` the second frame carries this range's
@@ -2258,6 +2361,7 @@ def _make_range_scorer(
             skip_acc=skip_acc,
             theta0=theta0,
             allow_ids=allow,
+            tie_breaker=tie_breaker,
         )
         return local(key, pdf)
 
@@ -2291,6 +2395,16 @@ def _make_range_scorer(
             suffix[i] = suffix[i + 1] + U[order[i]]
 
         total = np.zeros(range_size, dtype=np.float64)
+        # dis_max mode (tie_breaker set): per-doc best-clause tracker —
+        # partial dismax = mx·(1−tb) + tb·total is a valid lower bound on
+        # the final dismax (increasing in both arguments for tb ≤ 1), so
+        # θ stays sound; block-skip tests keep the SUM-based upper bound
+        # (final dismax ≤ final sum when tb ≤ 1)
+        mx = (
+            np.zeros(range_size, dtype=np.float64)
+            if tie_breaker is not None
+            else None
+        )
         per_term: dict[str, np.ndarray] = {}
         theta = theta0
         skipped = 0
@@ -2298,6 +2412,9 @@ def _make_range_scorer(
 
         def kth_partial(extra: np.ndarray | None) -> float:
             combined = total if extra is None else total + extra
+            if mx is not None:
+                cmx = mx if extra is None else np.maximum(mx, extra)
+                combined = cmx * (1.0 - tie_breaker) + tie_breaker * combined
             touched = combined[combined > 0.0]
             if len(touched) >= k:
                 return float(np.partition(touched, -k)[-k])
@@ -2357,6 +2474,8 @@ def _make_range_scorer(
                         total_max = float(total.max())
             per_term[t] = arr
             total += arr
+            if mx is not None:
+                np.maximum(mx, arr, out=mx)
             theta = max(theta, kth_partial(None))
 
         if skip_acc is not None and skipped:
@@ -2364,8 +2483,13 @@ def _make_range_scorer(
 
         # deterministic final accumulation: sorted-term order (oracle parity)
         final = np.zeros(range_size, dtype=np.float64)
+        fmx = np.zeros(range_size, dtype=np.float64) if mx is not None else None
         for t in sorted(per_term):
             final += per_term[t]
+            if fmx is not None:
+                np.maximum(fmx, per_term[t], out=fmx)
+        if fmx is not None:  # dis_max: best clause + tb · the rest
+            final = fmx * (1.0 - tie_breaker) + tie_breaker * final
         nz = np.flatnonzero(final > 0.0)
         if len(nz) == 0:
             return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),

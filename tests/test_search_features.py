@@ -700,3 +700,86 @@ def test_sort_by_field(spark, pcorpus):
     # absent term: empty with contract schema
     empty = s.sort_by("qzx_absent", attrs, "n", k=5)
     assert empty.count() == 0 and empty.columns == ["doc_id", "n"]
+
+
+# ---------------- dis_max (Lucene DisjunctionMaxQuery) ----------------
+
+
+def test_dismax_parity_and_semantics(spark, pcorpus):
+    pdf, _, s = pcorpus
+    q = "zephyr quantum karo"
+    big = 10_000_000
+    per_term = [
+        {r["doc_id"]: r["score"] for r in s.topk_dataframe(t, big).collect()}
+        for t in sorted(set(py_tokenize(q)))
+    ]
+    for tb in (0.0, 0.3, 1.0):
+        fast = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in s.topk_dismax(q, big, tie_breaker=tb).collect()
+        ]
+        twin = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in s.topk_dismax_dataframe(q, big, tie_breaker=tb).collect()
+        ]
+        assert fast == twin and fast, tb
+        # recompose from single-term scores: max + tb*(sum - max)
+        for d, sc in fast:
+            cs = [m.get(d, 0.0) for m in per_term]
+            want = max(cs) + tb * (sum(cs) - max(cs))
+            assert sc == pytest.approx(want, rel=1e-9), (d, tb)
+    # tb=1.0 degenerates to the plain BM25 sum (rank AND score)
+    plain = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_blockmax(q, big).collect()
+    ]
+    one = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_dismax(q, big, tie_breaker=1.0).collect()
+    ]
+    assert one == plain
+    with pytest.raises(ValueError, match="tie_breaker"):
+        s.topk_dismax(q, 10, tie_breaker=1.5).collect()
+
+
+def test_dismax_prunes_blocks(spark):
+    """θ over dis_max partials still prunes: skewed corpus, rare+hot
+    query, results exact vs the twin with blocks skipped."""
+    import pandas as pd
+
+    from rabbit_index_ingest_spark.index.build import build_index
+
+    pad = " ".join(f"p{j}" for j in range(20))
+    texts = []
+    for i in range(3000):
+        if i < 15:
+            texts.append(("hot " * 9).strip())
+        elif 200 <= i < 210:
+            texts.append(f"hot rare {pad}")
+        else:
+            texts.append(f"hot {pad}")
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i:05d}" for i in range(len(texts))],
+            "turn_idx": 0,
+            "text": texts,
+        }
+    )
+    built = build_index(spark, spark.createDataFrame(pdf))
+    s = Searcher(
+        spark, built.postings, built.dictionary, built.n_docs, built.avgdl
+    )
+    acc = spark.sparkContext.accumulator(0)
+    fast = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_dismax(
+            "hot rare", 5, tie_breaker=0.2, skip_acc=acc
+        ).collect()
+    ]
+    twin = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_dismax_dataframe("hot rare", 5, tie_breaker=0.2).collect()
+    ]
+    assert fast == twin and fast
+    assert acc.value > 0, "no pruning on the skewed corpus"
+    built.release()
