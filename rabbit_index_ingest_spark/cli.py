@@ -281,7 +281,7 @@ def main(argv: list[str] | None = None) -> int:
                     boosts=boosts,
                 )
                 if fast
-                else s.topk_filtered(args.q, allowed, args.k)
+                else s.topk_filtered(args.q, allowed, args.k, boosts=boosts)
             )
         else:
             top = (

@@ -123,6 +123,23 @@ def parse_min_should_match(spec: int | str, n: int) -> int:
     return max(result, 1)
 
 
+def _fold_boosts(
+    idfs: dict[str, float], boosts: dict[str, float] | None
+) -> dict[str, float]:
+    """ES query-time boost fold (Lucene BoostQuery): multiply each term's
+    idf by its boost BEFORE planning so every downstream bound (θ₀ seed,
+    per-term upper bounds, partial-score lower bounds) scales with the
+    boosted idf. Shared by the block-max AND DataFrame paths so both
+    validate identically — a negative boost must raise everywhere, never
+    silently corrupt one twin's ranking (round-5 ADVICE)."""
+    if not boosts:
+        return idfs
+    bad = {t: b for t, b in boosts.items() if float(b) < 0}
+    if bad:
+        raise ValueError(f"boosts must be >= 0, got {bad}")
+    return {t: v * float(boosts.get(t, 1.0)) for t, v in idfs.items()}
+
+
 def _empty_topk(spark: SparkSession) -> DataFrame:
     """Empty (doc_id, score) result as a pure plan — createDataFrame([],
     schema) takes seconds on first use (Arrow/py4j init); range(0) is free."""
@@ -450,8 +467,7 @@ class Searcher:
         if plan is None:
             return _empty_topk(self.spark)
         idfs, blocks, _ = plan
-        if boosts:  # ES query-time boost — see topk_blockmax
-            idfs = {t: v * float(boosts.get(t, 1.0)) for t, v in idfs.items()}
+        idfs = _fold_boosts(idfs, boosts)  # ES query-time boost
         scored = self._bm25_scored(
             self._mask_deleted(flat_postings(blocks)), idfs
         )
@@ -541,11 +557,7 @@ class Searcher:
         if plan is None:
             return _empty_topk(self.spark)
         idfs, blocks, meta = plan
-        if boosts:
-            bad = {t: b for t, b in boosts.items() if float(b) < 0}
-            if bad:
-                raise ValueError(f"boosts must be >= 0, got {bad}")
-            idfs = {t: v * float(boosts.get(t, 1.0)) for t, v in idfs.items()}
+        idfs = _fold_boosts(idfs, boosts)
         # θ₀ seed probes the best blocks corpus-wide; a probed doc outside
         # the allow-list (or inside the deny-list) would make the seed
         # invalid, so filtered/negated queries start unseeded (per-range θ
@@ -1080,7 +1092,15 @@ class Searcher:
             if in_class:
                 if c == "]":
                     in_class = False
-                out.append(c)
+                    out.append(c)
+                elif c in "&[":
+                    # Java-only class metasyntax: '&&' is intersection and
+                    # a nested '[' opens a class union INSIDE Java classes,
+                    # while Lucene and RE2 treat both as literal chars —
+                    # escape so all three engines agree (round-5 ADVICE)
+                    out.append("\\" + c)
+                else:
+                    out.append(c)
             elif c == "[":
                 in_class = True
                 out.append(c)
@@ -1356,7 +1376,11 @@ class Searcher:
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def topk_filtered(
-        self, query_text: str, allowed: DataFrame, k: int = 10
+        self,
+        query_text: str,
+        allowed: DataFrame,
+        k: int = 10,
+        boosts: dict[str, float] | None = None,
     ) -> DataFrame:
         """BM25 top-k restricted to an allow-list of doc_ids (``allowed``
         must carry a ``doc_id`` column) — the ES filtered-query analogue
@@ -1373,6 +1397,7 @@ class Searcher:
         if plan is None:
             return _empty_topk(self.spark)
         idfs, blocks, _ = plan
+        idfs = _fold_boosts(idfs, boosts)
         flat = self._mask_deleted(flat_postings(blocks)).join(
             allowed.select("doc_id"), "doc_id", "left_semi"
         )
@@ -1705,19 +1730,33 @@ class Searcher:
         col: str,
         k: int = 10,
         ascending: bool = True,
+        allowed: DataFrame | None = None,
+        excluded: DataFrame | None = None,
     ) -> DataFrame:
         """ES ``sort`` by a field (scoring skipped, like ES with
-        ``track_scores: false``): the query's live match set joins
+        ``track_scores: false``): the query's live match set LEFT-joins
         ``attrs`` once and orders by the attribute (nulls last, doc_id
-        tie-break — a total order, so rank-k is deterministic). Returns
+        tie-break — a total order, so rank-k is deterministic). A matched
+        doc with NO attrs row ranks last like a null value (ES sorts
+        missing-field docs last; an inner join would silently drop it —
+        round-5 ADVICE). ``allowed``/``excluded`` compose like every other
+        entry point (bool filter / must_not over the match set). Returns
         ``(doc_id, <col>)``."""
         matched = self._matched_docs(query_text)
         v = self._attr_col(attrs, col)
         if matched is None:
             return attrs.select("doc_id", v).limit(0)
+        if allowed is not None:
+            matched = matched.join(
+                allowed.select("doc_id"), "doc_id", "left_semi"
+            )
+        if excluded is not None:
+            matched = matched.join(
+                excluded.select("doc_id"), "doc_id", "left_anti"
+            )
         key = v.asc_nulls_last() if ascending else v.desc_nulls_last()
         return (
-            matched.join(attrs, "doc_id", "inner")
+            matched.join(attrs, "doc_id", "left")
             .select("doc_id", v)
             .orderBy(key, F.asc("doc_id"))
             .limit(k)

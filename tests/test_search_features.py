@@ -783,3 +783,92 @@ def test_dismax_prunes_blocks(spark):
     assert fast == twin and fast
     assert acc.value > 0, "no pruning on the skewed corpus"
     built.release()
+
+
+# ---------------- round-6 ADVICE fixes ----------------
+
+
+def test_negative_boost_raises_on_every_path(spark, pcorpus):
+    """The boost >= 0 validation is shared: topk_dataframe and
+    topk_filtered must raise exactly like topk_blockmax — never silently
+    produce negative contributions (round-5 ADVICE)."""
+    pdf, _, s = pcorpus
+    allowed = spark.range(100).select(F.col("id").alias("doc_id"))
+    for call in (
+        lambda: s.topk_dataframe("zephyr", 10, boosts={"zephyr": -2.0}),
+        lambda: s.topk_blockmax("zephyr", 10, boosts={"zephyr": -2.0}),
+        lambda: s.topk_filtered("zephyr", allowed, 10, boosts={"zephyr": -2.0}),
+    ):
+        with pytest.raises(ValueError, match="boosts"):
+            call().collect()
+
+
+def test_filtered_honors_boosts(spark, pcorpus):
+    """--filter + --boost on the DataFrame path: topk_filtered(boosts=)
+    must score-match topk_blockmax(allowed=, boosts=)."""
+    pdf, _, s = pcorpus
+    q = "zephyr quantum"
+    boosts = {"zephyr": 3.0}
+    allowed = spark.range(0, len(pdf), 2).select(F.col("id").alias("doc_id"))
+    fast = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_blockmax(q, 1000, allowed=allowed, boosts=boosts).collect()
+    ]
+    twin = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_filtered(q, allowed, 1000, boosts=boosts).collect()
+    ]
+    assert fast == twin and fast
+
+
+def test_regexp_class_java_metasyntax_is_literal(spark):
+    """Inside [...] classes, '&' and '[' are literal in Lucene/RE2 but
+    metasyntax in Java — the translation must escape them so all three
+    engines agree (round-5 ADVICE)."""
+    from rabbit_index_ingest_spark.index.build import build_index as _bi
+
+    rows = [("c0", 0, "ab a9 aa ax a& a[")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    built = _bi(spark, df)
+    s = Searcher(spark, built.postings, built.dictionary, built.n_docs, built.avgdl)
+    # Java would parse [b&&[9]] as intersection (empty); Lucene/RE2 match
+    # the literal chars b, &, [, 9, ] — our contract: literal
+    got = s.expand_regexp("a[b&&x]")
+    assert got == ["ab", "ax"]  # '&' literal: never a token char, no match
+    # nested '[' is a literal member of the class, not a union opener
+    got2 = s.expand_regexp("a[[b]")
+    assert got2 == ["ab"]
+    built.release()
+
+
+def test_sort_by_attrless_match_ranks_last_and_filters(spark, pcorpus):
+    """A matched doc with NO attrs row must rank last (like a null value),
+    not disappear; allowed/excluded compose over the match set."""
+    pdf, _, s = pcorpus
+    q = "zephyr quantum karo"
+    qt = set(py_tokenize(q))
+    matched = [i for i, t in enumerate(pdf["text"]) if qt & set(py_tokenize(t))]
+    assert len(matched) > 3
+    # attrs table MISSING the first matched doc entirely
+    missing = matched[0]
+    attrs = spark.createDataFrame(
+        [(i, i * 10) for i in range(len(pdf)) if i != missing],
+        "doc_id long, n long",
+    )
+    got = [r["doc_id"] for r in s.sort_by(q, attrs, "n", k=1000).collect()]
+    want = sorted(m for m in matched if m != missing) + [missing]
+    assert got == want, "attr-less matched doc must surface last"
+    # allowed / excluded compose
+    allowed = spark.createDataFrame(
+        [(m,) for m in matched[:3]], "doc_id long"
+    )
+    excluded = spark.createDataFrame([(matched[1],)], "doc_id long")
+    got2 = [
+        r["doc_id"]
+        for r in s.sort_by(q, attrs, "n", k=1000, allowed=allowed,
+                           excluded=excluded).collect()
+    ]
+    want2 = sorted(
+        m for m in matched[:3] if m != matched[1] and m != missing
+    ) + ([missing] if missing in matched[:3] and missing != matched[1] else [])
+    assert got2 == want2
