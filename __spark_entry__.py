@@ -1210,6 +1210,72 @@ def _q_b8_boost_topk(spark, sf_dir):
     )
 
 
+MM_FIELDS = {"text": 1.0, "title": 2.0}  # per-field boosts
+MM_TB = 0.3
+_MM_CACHE: dict[str, object] = {}
+
+
+def _mm_index(spark, sf_dir):
+    """Multi-field index over documents: the default `text` field plus a
+    deterministic derived `title` (first 4 tokens; EMPTY for doc_id%7==0 —
+    those docs drop out of title's doc_count, the Lucene docCount case).
+    The DuckDB twin derives the identical title token list with
+    list_slice over the same analyzer regex."""
+    from rabbit_index_ingest_spark.analysis import tokens_expr
+    from rabbit_index_ingest_spark.index.build import build_index_multifield
+
+    if sf_dir not in _MM_CACHE:
+        docs = _docs(spark, sf_dir).select(
+            F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("doc_key"),
+            F.lit(0).alias("ord"),
+            "text",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(""))
+            .otherwise(F.array_join(F.slice(tokens_expr("text"), 1, 4), " "))
+            .alias("title"),
+        )
+        built = build_index_multifield(
+            spark, docs, fields={"text": "text", "title": "title"},
+            id_col="doc_key", order_col="ord",
+        )
+        built.postings = built.postings.persist()
+        built.dictionary = built.dictionary.persist()
+        built.doc_stats = built.doc_stats.persist()
+        built.postings.count()
+        _MM_CACHE[sf_dir] = built
+    return _MM_CACHE[sf_dir]
+
+
+def _q_mm_topk(spark, sf_dir, mode):
+    from rabbit_index_ingest_spark.index.query import Searcher
+
+    built = _mm_index(spark, sf_dir)
+    s = Searcher(
+        spark, built.postings, built.dictionary, built.n_docs, built.avgdl,
+        field_stats=built.field_stats,
+    )
+    top = s.topk_multimatch(
+        " ".join(BM25_QUERY_TERMS), MM_FIELDS, 10_000_000,
+        mode=mode, tie_breaker=MM_TB,
+    )
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_mm1_best_fields(spark, sf_dir):
+    """ES multi_match best_fields (dis_max over per-field BM25 sums,
+    tie_breaker=0.3, title boosted 2x) over a two-scored-field index —
+    per-field df/doc_count/avgdl are Lucene field statistics. Full scored
+    set (tie-order-free)."""
+    return _q_mm_topk(spark, sf_dir, "best_fields")
+
+
+def _q_mm2_most_fields(spark, sf_dir):
+    """ES multi_match most_fields (sum of per-field BM25) over the same
+    two-field index."""
+    return _q_mm_topk(spark, sf_dir, "most_fields")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "b1_doc_lengths": _q_b1_doc_lengths,
@@ -1246,6 +1312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_must_not_topk": _q_f2_must_not_topk,
         "b8_boost_topk": _q_b8_boost_topk,
         "dm1_dismax_topk": _q_dm1_dismax_topk,
+        "mm1_best_fields": _q_mm1_best_fields,
+        "mm2_most_fields": _q_mm2_most_fields,
         "b9_delete_by_query_topk": _q_b9_delete_by_query_topk,
         "q1_match_count": _q_q1_match_count,
         "p3_page2": _q_p3_page2,
@@ -1421,6 +1489,62 @@ scored AS (
   CROSS JOIN stats
   GROUP BY tf.doc_id
 )
+SELECT doc_id, round(score, 4) AS score FROM scored
+"""
+
+
+def _multimatch_sql(mode: str, tb: float) -> str:
+    """DuckDB twin of ``Searcher.topk_multimatch`` over the _mm_index
+    fixture (text + derived title): per-field BM25 with Lucene field
+    statistics — doc_count counts docs with >= 1 token in the field (docs
+    with an empty title simply never appear in that field's dl CTE), avgdl
+    is the per-field mean over those docs, df is per (field, term) — then
+    combined per doc as max+tb*(sum-max) (best_fields) or sum
+    (most_fields). Field boosts: text 1.0, title 2.0 (MM_FIELDS)."""
+    q = " ".join(BM25_QUERY_TERMS)
+    combine = (
+        "sum(fs)"
+        if mode == "most_fields"
+        else f"max(fs) + {float(tb)!r} * (sum(fs) - max(fs))"
+    )
+    return f"""
+WITH ttl AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_slice({_TOK}, 1, 4) END AS toks
+  FROM documents
+),
+tokf AS (
+  SELECT 0 AS fld, doc_id, unnest({_TOK}) AS term FROM documents
+  UNION ALL
+  SELECT 1 AS fld, doc_id, unnest(toks) AS term FROM ttl
+),
+tf AS (SELECT fld, doc_id, term, count(*)::DOUBLE AS tf FROM tokf GROUP BY 1, 2, 3),
+dl AS (SELECT fld, doc_id, count(*)::DOUBLE AS dl FROM tokf GROUP BY 1, 2),
+fstats AS (
+  SELECT fld, count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl
+  FROM dl GROUP BY 1
+),
+qterms AS (SELECT DISTINCT unnest({TOKEN_SQL.format(c=repr(q))}) AS term),
+dft AS (
+  SELECT fld, term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2
+),
+fscore AS (
+  SELECT tf.doc_id, tf.fld,
+         sum(
+           (CASE tf.fld WHEN 1 THEN 2.0 ELSE 1.0 END)
+           * ln(1 + (fstats.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / fstats.avgdl))
+         ) AS fs
+  FROM tf
+  JOIN dft USING (fld, term)
+  JOIN dl USING (fld, doc_id)
+  JOIN fstats USING (fld)
+  GROUP BY 1, 2
+),
+scored AS (SELECT doc_id, {combine} AS score FROM fscore GROUP BY 1)
 SELECT doc_id, round(score, 4) AS score FROM scored
 """
 
@@ -2046,6 +2170,8 @@ SELECT DISTINCT doc_id, 1.0 AS score FROM tok WHERE term LIKE '{PR_PREFIX}%'
     )
     sql["b8_boost_topk"] = _bm25_sql(q, None, boosts=B8_BOOSTS)
     sql["dm1_dismax_topk"] = _dismax_sql(q, DM1_TIEBREAK)
+    sql["mm1_best_fields"] = _multimatch_sql("best_fields", MM_TB)
+    sql["mm2_most_fields"] = _multimatch_sql("most_fields", MM_TB)
     # delete_by_query twin: live docs = docs NOT containing the deleted
     # term; stats stay corpus-wide (unmerged-tombstone Lucene semantics,
     # which _bm25_sql's doc_filter already implements — it restricts the

@@ -34,6 +34,12 @@ def _parser() -> argparse.ArgumentParser:
     b.add_argument("--text-col", default="text")
     b.add_argument("--resume", action="store_true",
                    help="skip stages already marked done in the manifest")
+    b.add_argument("--field", action="append", default=None,
+                   metavar="NAME=COLUMN",
+                   help="index COLUMN as an ADDITIONAL scored field NAME "
+                        "(repeatable) — builds a multi-field index "
+                        "(build_index_multifield); --text-col stays the "
+                        "default 'text' field, queryable unprefixed")
 
     u = sub.add_parser("upsert", help="doc_as_upsert a batch of turns")
     u.add_argument("--input", required=True)
@@ -45,9 +51,9 @@ def _parser() -> argparse.ArgumentParser:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--path", choices=["blockmax", "dataframe"], default="blockmax")
     q.add_argument("--mode",
-                   choices=["or", "and", "dismax", "phrase", "near",
-                            "prefix", "phrase_prefix", "fuzzy", "wildcard",
-                            "regexp"],
+                   choices=["or", "and", "dismax", "multi_match", "phrase",
+                            "near", "prefix", "phrase_prefix", "fuzzy",
+                            "wildcard", "regexp"],
                    default="or",
                    help="or = disjunctive BM25 (default); and = ES "
                         "operator:and (doc must contain every term); "
@@ -93,8 +99,18 @@ def _parser() -> argparse.ArgumentParser:
                         "\"turn_idx = 0\") — ES bool-filter analogue; "
                         "restricts ranked docs, never the stats")
     q.add_argument("--tie-breaker", type=float, default=0.0,
-                   help="dismax mode: ES dis_max tie_breaker in [0,1] — "
-                        "score = best clause + tie_breaker * the rest")
+                   help="dismax / multi_match best_fields: ES tie_breaker "
+                        "in [0,1] — score = best clause + tie_breaker * "
+                        "the rest")
+    q.add_argument("--fields", default=None, metavar="F=W,F=W",
+                   help="multi_match mode: comma-separated scored fields "
+                        "with per-field boosts (e.g. title=2,text=1; a "
+                        "bare field name means boost 1); requires an "
+                        "index built with --field")
+    q.add_argument("--mm-type", choices=["best_fields", "most_fields"],
+                   default="best_fields",
+                   help="multi_match combine: best_fields = dis_max over "
+                        "per-field sums (ES default), most_fields = sum")
     q.add_argument("--boost", action="append", default=None,
                    metavar="TERM=W",
                    help="or mode: ES query-time boost — multiply a "
@@ -141,13 +157,24 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("WARN")
 
     if args.cmd == "build":
-        from .index.build import build_index
+        from .index.build import build_index, build_index_multifield
         from .index.store import IndexStore
 
         transcripts = spark.read.parquet(args.input)
-        built = build_index(
-            spark, transcripts, args.id_col, args.order_col, args.text_col
-        )
+        if args.field:
+            fields = {"text": args.text_col}
+            for spec in args.field:
+                name, sep, col = spec.partition("=")
+                if not sep or not name or not col:
+                    raise SystemExit(f"--field expects NAME=COLUMN, got {spec!r}")
+                fields[name] = col
+            built = build_index_multifield(
+                spark, transcripts, fields, args.id_col, args.order_col
+            )
+        else:
+            built = build_index(
+                spark, transcripts, args.id_col, args.order_col, args.text_col
+            )
         store = IndexStore(spark, args.index)
         store.save(built, segment=0, resume=args.resume)
         print(json.dumps({"n_docs": built.n_docs, "avgdl": built.avgdl}))
@@ -170,6 +197,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, L.postings, L.dictionary, L.n_docs, L.avgdl,
             deleted_df=L.deleted_df,
             probe_min_blocks=args.probe_min_blocks,
+            field_stats=L.field_stats,
         )
         allowed = None
         if args.filter:
@@ -248,6 +276,30 @@ def main(argv: list[str] | None = None) -> int:
                     args.q, args.k, tie_breaker=args.tie_breaker
                 )
             )
+        elif args.mode == "multi_match":
+            # ES multi_match over a multi-field index (--field at build)
+            if not args.fields:
+                raise SystemExit("--mode multi_match requires --fields")
+            fields = {}
+            for part in args.fields.split(","):
+                f, sep, w = part.partition("=")
+                fields[f] = float(w) if sep else 1.0
+            if fast:
+                top = s.topk_multimatch(
+                    args.q, fields, args.k, mode=args.mm_type,
+                    tie_breaker=args.tie_breaker, allowed=allowed,
+                    excluded=excluded,
+                )
+            else:
+                if allowed is not None or excluded is not None:
+                    raise SystemExit(
+                        "--filter/--exclude with --mode multi_match "
+                        "require --path blockmax"
+                    )
+                top = s.topk_multimatch_dataframe(
+                    args.q, fields, args.k, mode=args.mm_type,
+                    tie_breaker=args.tie_breaker,
+                )
         elif args.mode == "and":
             # conjunctions run inside the candidate-pruned scorer (ES runs
             # operator:and inside WAND); --path dataframe keeps the

@@ -90,6 +90,12 @@ class BuiltIndex:
     avgdl: float = 0.0
     positions: bool = True  # whether pos_bytes carries the position stream
     cached: tuple = ()  # build-time persisted frames (toks, postings)
+    # multi-field indexes (build_index_multifield) additionally carry
+    # per-scored-field statistics: (field, doc_count, avgdl, total_tokens)
+    # with Lucene semantics — doc_count counts docs with >= 1 token in the
+    # field, avgdl = total_tokens / doc_count (BM25Similarity's
+    # avgFieldLength). None for single-field indexes.
+    field_stats: DataFrame | None = None
 
     def release(self) -> None:
         """Unpersist build-time caches — call once the index is saved (or
@@ -103,6 +109,29 @@ class BuiltIndex:
 def term_bucket_expr(col) -> F.Column:
     """Storage bucket for a term — enables partition-pruned query scans."""
     return F.pmod(F.xxhash64(col), F.lit(N_TERM_BUCKETS)).cast("int")
+
+
+# ------------------------- multi-field indexing -------------------------
+#
+# Lucene keys every posting by (field, term); this engine does the same by
+# PREFIXING non-default fields' tokens in the shared term keyspace:
+# ``title:spark``. The separator ':' can never occur inside an analyzer
+# token (tokens are maximal [\p{L}\p{N}] runs — analysis.py), so prefixed
+# terms are collision-free, and the DEFAULT field's terms stay unprefixed —
+# every existing single-field query mode keeps working on the default field
+# of a multi-field index unchanged. One index, one scan, one dictionary:
+# a prefixed term's dictionary row IS its per-field df, and its posting
+# blocks carry the per-field dl stream, so multi-field BM25 needs no new
+# storage — only per-field (doc_count, avgdl) stats (field_stats).
+
+DEFAULT_FIELD = "text"
+FIELD_SEP = ":"
+
+
+def field_term(field: str, token: str, default_field: str = DEFAULT_FIELD) -> str:
+    """Term key of ``token`` in ``field`` (driver-side twin of the build's
+    prefix expression)."""
+    return token if field == default_field else f"{field}{FIELD_SEP}{token}"
 
 
 def assign_doc_ids(
@@ -494,4 +523,170 @@ def build_index_prenumbered(
         avgdl=avgdl,
         positions=positions,
         cached=(toks, postings) if persist_postings else (toks,),
+    )
+
+
+def build_index_multifield(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    fields: dict[str, str],
+    id_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    default_field: str = DEFAULT_FIELD,
+    block_size: int = codec.BLOCK_SIZE,
+    range_bits: int = RANGE_BITS,
+    id_base: int = 0,
+    persist_postings: bool = True,
+    positions: bool = True,
+) -> BuiltIndex:
+    """Build ONE index over several scored text fields (ES multi-field
+    documents; the reference's own docs carry title/url/record_type/readme
+    beside the path — rabbit_indexer/utils/path_tools.py:160-177).
+
+    ``fields`` maps field name → source column; ``default_field`` must be
+    one of them — its tokens are stored UNPREFIXED (plain ``topk_*`` query
+    modes keep working on it), every other field's tokens are stored as
+    ``<field>:<token>`` (see the module's multi-field note). Each field's
+    posting blocks carry that FIELD's dl stream, so per-field BM25 length
+    normalization needs no extra storage, and a prefixed term's dictionary
+    df IS its per-field document frequency.
+
+    Plan shape is IDENTICAL to ``build_index``: doc ids assigned once,
+    every field tokenized once from the same persisted frame, the per-field
+    occurrence frames unioned NARROWLY (no shuffle — union of projections
+    of the same cached frame), then the ONE (term, doc-range) repartition →
+    streaming pack. At 10^12 turns the multi-field build costs one shuffle
+    of Σ_f |occurrences_f| rows — the same bytes Lucene moves, with the
+    same hot-term salting per (possibly prefixed) term.
+
+    ``corpus_stats``/``n_docs``/``avgdl``/``doc_stats`` keep the
+    single-field contract OVER THE DEFAULT FIELD (a multi-field index
+    scores default-field queries identically to a single-field build of
+    that column — test-pinned); per-field stats live in ``field_stats``
+    with Lucene semantics (doc_count = docs with ≥ 1 token in the field,
+    avgdl = total_tokens / doc_count — BM25Similarity.avgFieldLength).
+    """
+    if default_field not in fields:
+        raise ValueError(
+            f"default_field {default_field!r} must be one of {sorted(fields)}"
+        )
+    for f in fields:
+        if FIELD_SEP in f or not f:
+            raise ValueError(f"bad field name {f!r}")
+    src_cols = [c for c in dict.fromkeys(fields.values())]
+    assigned, n_docs, ranged_cache = assign_doc_ids_with_count(
+        transcripts.select(id_col, order_col, *src_cols),
+        key_cols=(id_col, order_col),
+        id_base=id_base,
+    )
+    # one persisted frame carries every field's token array; docs /
+    # doc_stats / per-field occurrences are all projections of it
+    toks = assigned.select(
+        "doc_id",
+        F.col(id_col).alias("conv_id"),
+        F.col(order_col).alias("turn_idx"),
+        *[
+            F.col(src).alias(f"_src_{f}")
+            for f, src in fields.items()
+        ],
+        *[
+            tokens_expr(F.col(src)).alias(f"_toks_{f}")
+            for f, src in fields.items()
+        ],
+    ).persist()
+
+    docs = toks.select(
+        "doc_id",
+        "conv_id",
+        "turn_idx",
+        *[F.col(f"_src_{f}").alias(f) for f in fields],
+        F.size(f"_toks_{default_field}").alias("dl"),
+    )
+    doc_stats = toks.select(
+        "doc_id", "conv_id", "turn_idx",
+        F.size(f"_toks_{default_field}").alias("dl"),
+    )
+
+    def _field_occurrences(f: str) -> DataFrame:
+        tcol = f"_toks_{f}"
+        term = (
+            F.col("term")
+            if f == default_field
+            else F.concat(F.lit(f + FIELD_SEP), F.col("term"))
+        )
+        if positions:
+            return toks.select(
+                "doc_id",
+                F.size(tcol).alias("dl"),
+                F.posexplode(tcol).alias("pos", "term"),
+            ).select(
+                "doc_id",
+                (
+                    F.shiftleft(F.col("dl").cast("long"), 32) + F.col("pos")
+                ).alias("dlpos"),
+                term.alias("term"),
+            )
+        return toks.select(
+            "doc_id", F.size(tcol).alias("dl"), F.explode(tcol).alias("term")
+        ).select("doc_id", "dl", term.alias("term"))
+
+    occurrences = _field_occurrences(next(iter(fields)))
+    for f in list(fields)[1:]:
+        occurrences = occurrences.unionByName(_field_occurrences(f))
+
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sort_cols = ["term", "doc_id"] + (["dlpos"] if positions else [])
+    postings = (
+        occurrences.repartition(
+            nparts, F.col("term"), F.shiftright("doc_id", range_bits)
+        )
+        .sortWithinPartitions(*sort_cols)
+        .mapInPandas(
+            _pack_stream_fn(block_size, range_bits, positions), BLOCKS_SCHEMA
+        )
+        .withColumn("bucket", term_bucket_expr(F.col("term")))
+    )
+    if persist_postings:
+        postings = postings.persist()
+
+    dictionary = dictionary_from_blocks(postings)
+
+    # per-field stats in ONE aggregation job over the cached toks frame
+    aggs = []
+    for f in fields:
+        sz = F.size(f"_toks_{f}")
+        aggs.append(
+            F.sum(F.when(sz > 0, 1).otherwise(0)).alias(f"_dc_{f}")
+        )
+        aggs.append(F.sum(sz.cast("long")).alias(f"_tt_{f}"))
+    row = toks.agg(*aggs).collect()[0]
+    fs_rows = []
+    for f in fields:
+        dc = int(row[f"_dc_{f}"] or 0)
+        tt = int(row[f"_tt_{f}"] or 0)
+        fs_rows.append((f, dc, (tt / dc) if dc else 0.0, tt))
+    field_stats = spark.createDataFrame(
+        fs_rows, "field string, doc_count long, avgdl double, total_tokens long"
+    )
+    if ranged_cache is not None:
+        ranged_cache.unpersist()
+
+    total_default = next(r[3] for r in fs_rows if r[0] == default_field)
+    avgdl = (total_default / n_docs) if n_docs else 0.0
+    corpus_stats = spark.createDataFrame(
+        [(n_docs, avgdl, total_default, id_base + n_docs, positions)],
+        "n_docs long, avgdl double, total_tokens long, next_doc_id long,"
+        " positions boolean",
+    )
+    return BuiltIndex(
+        docs=docs,
+        doc_stats=doc_stats,
+        corpus_stats=corpus_stats,
+        dictionary=dictionary,
+        postings=postings,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        positions=positions,
+        cached=(toks, postings) if persist_postings else (toks,),
+        field_stats=field_stats,
     )

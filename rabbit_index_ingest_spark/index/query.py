@@ -240,6 +240,7 @@ class Searcher:
         range_bits: int = RANGE_BITS,
         deleted_df: DataFrame | None = None,
         probe_min_blocks: int = 2048,
+        field_stats: dict[str, tuple[int, float]] | DataFrame | None = None,
     ):
         """``deleted`` (small set, broadcast into scorer closures) or
         ``deleted_df`` (a doc_id DataFrame, cogrouped per doc range — the
@@ -259,6 +260,15 @@ class Searcher:
         self.deleted_df = deleted_df
         self.range_bits = range_bits
         self.probe_min_blocks = probe_min_blocks
+        # multi-field indexes: field → (doc_count, avgdl), Lucene semantics
+        # (BuiltIndex.field_stats). Accepts the field_stats DataFrame
+        # directly (collected once — it has one row per scored field).
+        if field_stats is not None and not isinstance(field_stats, dict):
+            field_stats = {
+                r["field"]: (int(r["doc_count"]), float(r["avgdl"]))
+                for r in field_stats.collect()
+            }
+        self.field_stats = field_stats
         # phrase skew guard: broadcast the rarest term's doc set and
         # semi-filter other terms' positional decodes when its df is below
         # this (2M doc_ids ≈ 16 MB broadcast — cheap vs shipping a hot
@@ -316,6 +326,7 @@ class Searcher:
         meta: dict[str, tuple[int, int, int]],
         blocks: DataFrame,
         k: int,
+        avgdls: dict[str, float] | None = None,
     ) -> float:
         """Global θ₀ seed: a provable lower bound on the corpus kth-best
         final score, computed BEFORE range scoring so every doc range can
@@ -348,16 +359,22 @@ class Searcher:
         if est_blocks < self.probe_min_blocks:
             return 0.0
         one = lambda v: np.array([v], dtype=np.float64)  # noqa: E731
+        adl_of = (
+            (lambda t: avgdls.get(t, self.avgdl))
+            if avgdls
+            else (lambda t: self.avgdl)
+        )
         t_star = max(
             idfs,
             key=lambda t: idfs[t]
-            * float(codec.tf_norm(one(meta[t][1]), one(meta[t][2]), self.avgdl)[0]),
+            * float(codec.tf_norm(one(meta[t][1]), one(meta[t][2]), adl_of(t))[0]),
         )
+        adl_star = adl_of(t_star)
         nprobe = -(-k // codec.BLOCK_SIZE) + 1
         ub = F.col("max_tf") * (codec.K1 + 1.0) / (
             F.col("max_tf")
             + codec.K1
-            * (1.0 - codec.B + codec.B * F.col("min_dl") / F.lit(self.avgdl))
+            * (1.0 - codec.B + codec.B * F.col("min_dl") / F.lit(adl_star))
         )
         rows = (
             blocks.where(F.col("term") == t_star)
@@ -399,7 +416,7 @@ class Searcher:
                 live = ~np.isin(ids, dead)
                 tfs, dls = tfs[live], dls[live]
             if len(tfs):
-                partials.append(idfs[t_star] * codec.tf_norm(tfs, dls, self.avgdl))
+                partials.append(idfs[t_star] * codec.tf_norm(tfs, dls, adl_star))
         if not partials:
             return 0.0
         allp = np.concatenate(partials)
@@ -694,6 +711,194 @@ class Searcher:
                 + F.lit(float(tie_breaker)) * F.col("_sum")
             ).alias("score"),
         )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    # ---------------- multi-field search (ES multi_match) ----------------
+
+    def _plan_multimatch(
+        self,
+        query_text: str,
+        fields: dict[str, float],
+        default_field: str,
+    ) -> tuple | None:
+        """Shared multi_match planning: expand the analyzed query tokens to
+        per-field term keys (``<field>:<token>``; the default field stays
+        unprefixed — build.py's multi-field contract), fetch per-key df
+        from the one dictionary (a prefixed key's df IS its per-field df),
+        compute per-clause idf from the FIELD's doc_count and fold the
+        per-field boost, and map each clause to its field's avgdl and
+        clause group. Returns (idfs, avgdls, groups, blocks, meta)."""
+        from .build import field_term
+
+        if not fields:
+            raise ValueError("fields must be non-empty")
+        if self.field_stats is None:
+            raise ValueError(
+                "multi_match needs a multi-field index — build with "
+                "build_index_multifield and pass its field_stats to Searcher"
+            )
+        bad = {f: b for f, b in fields.items() if float(b) < 0}
+        if bad:
+            raise ValueError(f"field boosts must be >= 0, got {bad}")
+        unknown = sorted(set(fields) - set(self.field_stats))
+        if unknown:
+            raise ValueError(
+                f"unknown fields {unknown}; index has {sorted(self.field_stats)}"
+            )
+        tokens = sorted(set(py_tokenize(query_text)))
+        if not tokens:
+            return None
+        pterm_of: dict[str, tuple[int, str]] = {}
+        for gi, f in enumerate(sorted(fields)):
+            for tok in tokens:
+                pterm_of[field_term(f, tok, default_field)] = (gi, f)
+        meta = self._term_meta(sorted(pterm_of))
+        idfs: dict[str, float] = {}
+        avgdls: dict[str, float] = {}
+        groups: dict[str, int] = {}
+        for pt, (gi, f) in pterm_of.items():
+            df = meta[pt][0]
+            if df <= 0:
+                continue
+            n_f, avgdl_f = self.field_stats[f]
+            idfs[pt] = float(fields[f]) * lucene_idf(n_f, df)
+            avgdls[pt] = avgdl_f
+            groups[pt] = gi
+        if not idfs:
+            return None
+        buckets = _term_buckets(self.spark, list(idfs))
+        blocks = self.postings.where(F.col("bucket").isin(buckets)).where(
+            F.col("term").isin(list(idfs))
+        )
+        return idfs, avgdls, groups, blocks, {t: meta[t] for t in idfs}
+
+    def topk_multimatch(
+        self,
+        query_text: str,
+        fields: dict[str, float],
+        k: int = 10,
+        mode: str = "best_fields",
+        tie_breaker: float = 0.0,
+        allowed: DataFrame | None = None,
+        excluded: DataFrame | None = None,
+        skip_acc=None,
+        default_field: str | None = None,
+    ) -> DataFrame:
+        """ES ``multi_match`` over a multi-field index
+        (``build_index_multifield``): per-field BM25 with the FIELD's df /
+        doc_count / avgdl (Lucene per-field statistics) and a per-field
+        ``boost`` multiplier, combined per doc as
+
+        * ``best_fields`` (ES default) — dis_max over the per-field match
+          sums: ``max_f s_f + tie_breaker · (Σ_f s_f − max_f s_f)``;
+        * ``most_fields`` — the plain sum ``Σ_f s_f``.
+
+        One block-max scan serves both: every (field, token) clause is one
+        term key of the shared index, so the scorer runs the SAME exact
+        MaxScore kernel with per-clause idf/avgdl — best_fields adds the
+        group tracker (θ over group-dismax partials, SUM upper bound for
+        skips; exactness per ``_make_range_scorer``). The θ₀ seed stays
+        valid: any probed single-clause partial lower-bounds its field sum,
+        which lower-bounds both combines. Composes with
+        ``allowed``/``excluded`` like every other mode."""
+        from .build import DEFAULT_FIELD
+
+        if mode not in ("best_fields", "most_fields"):
+            raise ValueError(
+                f"mode must be best_fields|most_fields, got {mode!r}"
+            )
+        if not 0.0 <= tie_breaker <= 1.0:
+            raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+        plan = self._plan_multimatch(
+            query_text, fields, default_field or DEFAULT_FIELD
+        )
+        if plan is None:
+            return _empty_topk(self.spark)
+        idfs, avgdls, groups, blocks, meta = plan
+        theta0 = (
+            0.0 if allowed is not None or excluded is not None
+            else self._seed_theta0(idfs, meta, blocks, k, avgdls=avgdls)
+        )
+        side = self._side_frame(allowed, excluded)
+        tb = float(tie_breaker) if mode == "best_fields" else None
+        scorer = _make_range_scorer(
+            idfs, self.avgdl, k, self.range_bits, self.deleted,
+            cogrouped=side is not None, skip_acc=skip_acc, theta0=theta0,
+            allowed_present=allowed is not None, tie_breaker=tb,
+            avgdls=avgdls, groups=groups if tb is not None else None,
+        )
+        grouped = blocks.select(*_SCORE_COLS).groupBy("range_id")
+        if side is not None:
+            local = grouped.cogroup(side.groupBy("range_id")).applyInPandas(
+                scorer, TOPK_SCHEMA
+            )
+        else:
+            local = grouped.applyInPandas(scorer, TOPK_SCHEMA)
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def topk_multimatch_dataframe(
+        self,
+        query_text: str,
+        fields: dict[str, float],
+        k: int = 10,
+        mode: str = "best_fields",
+        tie_breaker: float = 0.0,
+        default_field: str | None = None,
+    ) -> DataFrame:
+        """Pure-DataFrame reference twin of ``topk_multimatch`` (score- and
+        rank-identical; test-asserted): decode the clause postings flat,
+        join the broadcast (term → idf, field avgdl, field group) map, sum
+        per (doc, field), then combine per doc."""
+        from .build import DEFAULT_FIELD
+
+        if mode not in ("best_fields", "most_fields"):
+            raise ValueError(
+                f"mode must be best_fields|most_fields, got {mode!r}"
+            )
+        if not 0.0 <= tie_breaker <= 1.0:
+            raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+        plan = self._plan_multimatch(
+            query_text, fields, default_field or DEFAULT_FIELD
+        )
+        if plan is None:
+            return _empty_topk(self.spark)
+        idfs, avgdls, groups, blocks, _ = plan
+        flat = self._mask_deleted(flat_postings(blocks))
+        tmap = F.broadcast(
+            self.spark.createDataFrame(
+                [(t, idfs[t], avgdls[t], groups[t]) for t in sorted(idfs)],
+                "term string, idf double, adl double, grp int",
+            )
+        )
+        contrib = (
+            F.col("idf")
+            * F.col("tf")
+            * (codec.K1 + 1.0)
+            / (
+                F.col("tf")
+                + codec.K1
+                * (1.0 - codec.B + codec.B * F.col("dl") / F.col("adl"))
+            )
+        )
+        per_field = (
+            flat.join(tmap, "term")
+            .withColumn("_c", contrib)
+            .groupBy("doc_id", "grp")
+            .agg(F.sum("_c").alias("_fs"))
+        )
+        agg = per_field.groupBy("doc_id").agg(
+            F.max("_fs").alias("_mx"), F.sum("_fs").alias("_sum")
+        )
+        if mode == "most_fields":
+            scored = agg.select("doc_id", F.col("_sum").alias("score"))
+        else:
+            scored = agg.select(
+                "doc_id",
+                (
+                    F.col("_mx") * F.lit(1.0 - tie_breaker)
+                    + F.lit(float(tie_breaker)) * F.col("_sum")
+                ).alias("score"),
+            )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def topk_blockmax_and(
@@ -2345,6 +2550,8 @@ def _make_range_scorer(
     allowed_present: bool = False,
     allow_ids: np.ndarray | None = None,
     tie_breaker: float | None = None,
+    avgdls: dict[str, float] | None = None,
+    groups: dict[str, int] | None = None,
 ):
     """Exact MaxScore/block-max scorer for one doc range (applyInPandas;
     with ``cogrouped=True`` the second frame carries this range's
@@ -2376,6 +2583,19 @@ def _make_range_scorer(
     * a block is skipped only when max(total over its doc span) + idf·ub +
       Σ remaining-term upper bounds < θ − eps: no doc in it can enter the
       local top-k. ``skip_acc`` (a SparkContext accumulator) counts skips.
+
+    ``avgdls`` (multi-field): per-TERM average field length — a prefixed
+    term's postings carry its own field's dl stream, so length
+    normalization must use that field's avgdl (Lucene's per-field
+    avgFieldLength); terms not listed fall back to the corpus ``avgdl``.
+
+    ``groups`` (multi_match best_fields): term → clause-group index. With
+    ``tie_breaker`` set, dis_max runs over GROUP SUMS (each group = one
+    field's bool-should sum — ES best_fields is dis_max over per-field
+    match queries) instead of single-term clauses. θ stays sound: partial
+    group sums are lower bounds on final group sums, and the combine
+    ``max_g·(1−tb) + tb·Σ`` is increasing in both arguments for tb ≤ 1;
+    block-skip tests keep the SUM upper bound (dis_max ≤ sum).
     """
     range_size = 1 << range_bits
     eps = 1e-9
@@ -2401,6 +2621,8 @@ def _make_range_scorer(
             theta0=theta0,
             allow_ids=allow,
             tie_breaker=tie_breaker,
+            avgdls=avgdls,
+            groups=groups,
         )
         return local(key, pdf)
 
@@ -2416,16 +2638,20 @@ def _make_range_scorer(
         )
         if range_empty:
             return _empty_topk_pdf()
-        pdf = pdf.assign(
-            ub=codec.tf_norm(
-                pdf["max_tf"].to_numpy(), pdf["min_dl"].to_numpy(), avgdl
-            )
+        # per-term average field length (multi-field: a prefixed term's dl
+        # stream is its FIELD's lengths, normalized by that field's avgdl)
+        adl_of = (
+            (lambda t: avgdls.get(t, avgdl)) if avgdls else (lambda t: avgdl)
         )
         # descending ub: the pruning-friendly visit order (see docstring)
-        by_term = {
-            t: g.sort_values("ub", ascending=False)
-            for t, g in pdf.groupby("term")
-        }
+        by_term = {}
+        for t, g in pdf.groupby("term"):
+            g = g.assign(
+                ub=codec.tf_norm(
+                    g["max_tf"].to_numpy(), g["min_dl"].to_numpy(), adl_of(t)
+                )
+            )
+            by_term[t] = g.sort_values("ub", ascending=False)
         # U_t = max possible contribution of term t within this range
         U = {t: idfs[t] * float(g["ub"].max()) for t, g in by_term.items()}
         order = sorted(U, key=lambda t: -U[t])
@@ -2438,10 +2664,19 @@ def _make_range_scorer(
         # partial dismax = mx·(1−tb) + tb·total is a valid lower bound on
         # the final dismax (increasing in both arguments for tb ≤ 1), so
         # θ stays sound; block-skip tests keep the SUM-based upper bound
-        # (final dismax ≤ final sum when tb ≤ 1)
+        # (final dismax ≤ final sum when tb ≤ 1). With ``groups`` the
+        # clauses are GROUP SUMS (multi_match best_fields): per-group
+        # running sums replace the single-term max tracker.
+        grouped = tie_breaker is not None and groups is not None
         mx = (
             np.zeros(range_size, dtype=np.float64)
-            if tie_breaker is not None
+            if (tie_breaker is not None and not grouped)
+            else None
+        )
+        n_groups = (max(groups.values()) + 1) if grouped else 0
+        gacc = (
+            [np.zeros(range_size, dtype=np.float64) for _ in range(n_groups)]
+            if grouped
             else None
         )
         per_term: dict[str, np.ndarray] = {}
@@ -2449,9 +2684,24 @@ def _make_range_scorer(
         skipped = 0
         decoded = 0  # blocks decoded so far in this range (refresh schedule)
 
-        def kth_partial(extra: np.ndarray | None) -> float:
+        def kth_partial(
+            extra: np.ndarray | None, cur_group: int | None = None
+        ) -> float:
             combined = total if extra is None else total + extra
-            if mx is not None:
+            if grouped:
+                best: np.ndarray | None = None
+                for gi, ga in enumerate(gacc):
+                    v = (
+                        ga + extra
+                        if (extra is not None and gi == cur_group)
+                        else ga
+                    )
+                    if best is None:
+                        best = v.copy() if v is ga else v
+                    else:
+                        np.maximum(best, v, out=best)
+                combined = best * (1.0 - tie_breaker) + tie_breaker * combined
+            elif mx is not None:
                 cmx = mx if extra is None else np.maximum(mx, extra)
                 combined = cmx * (1.0 - tie_breaker) + tie_breaker * combined
             touched = combined[combined > 0.0]
@@ -2461,6 +2711,8 @@ def _make_range_scorer(
 
         for i, t in enumerate(order):
             idf = idfs[t]
+            adl_t = adl_of(t)
+            g_t = groups[t] if grouped else None
             rest = suffix[i + 1]
             arr = np.zeros(range_size, dtype=np.float64)
             total_max = float(total.max()) if theta > 0.0 else 0.0
@@ -2499,7 +2751,7 @@ def _make_range_scorer(
                         ids, tfs, dls = ids[live], tfs[live], dls[live]
                         if len(ids) == 0:
                             continue
-                arr[ids - base] += idf * codec.tf_norm(tfs, dls, avgdl)
+                arr[ids - base] += idf * codec.tf_norm(tfs, dls, adl_t)
                 since_refresh += 1
                 decoded += 1
                 # geometric early refresh (1,2,4,8 decoded blocks), then
@@ -2507,7 +2759,7 @@ def _make_range_scorer(
                 # block usually sets a near-final θ
                 if since_refresh >= _THETA_REFRESH or decoded in (1, 2, 4, 8):
                     since_refresh = 0
-                    new_theta = kth_partial(arr)
+                    new_theta = kth_partial(arr, g_t)
                     if new_theta > theta:
                         theta = new_theta
                         total_max = float(total.max())
@@ -2515,6 +2767,8 @@ def _make_range_scorer(
             total += arr
             if mx is not None:
                 np.maximum(mx, arr, out=mx)
+            if grouped:
+                gacc[g_t] += arr
             theta = max(theta, kth_partial(None))
 
         if skip_acc is not None and skipped:
@@ -2523,10 +2777,21 @@ def _make_range_scorer(
         # deterministic final accumulation: sorted-term order (oracle parity)
         final = np.zeros(range_size, dtype=np.float64)
         fmx = np.zeros(range_size, dtype=np.float64) if mx is not None else None
+        gfin = (
+            [np.zeros(range_size, dtype=np.float64) for _ in range(n_groups)]
+            if grouped
+            else None
+        )
         for t in sorted(per_term):
             final += per_term[t]
-            if fmx is not None:
+            if gfin is not None:
+                gfin[groups[t]] += per_term[t]
+            elif fmx is not None:
                 np.maximum(fmx, per_term[t], out=fmx)
+        if gfin is not None:  # best_fields: best FIELD sum + tb · the rest
+            fmx = gfin[0].copy()
+            for ga in gfin[1:]:
+                np.maximum(fmx, ga, out=fmx)
         if fmx is not None:  # dis_max: best clause + tb · the rest
             final = fmx * (1.0 - tie_breaker) + tie_breaker * final
         nz = np.flatnonzero(final > 0.0)

@@ -117,6 +117,10 @@ class LoadedIndex:
     # tombstones as a TABLE (None = no deletes). The scale path: queries
     # cogroup / anti-join this DataFrame; it is never collected by load().
     deleted_df: DataFrame | None = None
+    # multi-field indexes: per-field (field, doc_count, avgdl, total_tokens)
+    # merged across segments; None for single-field indexes. Pass to
+    # Searcher(field_stats=...) to enable multi_match.
+    field_stats: DataFrame | None = None
     _deleted_cache: set[int] | None = None
 
     @property
@@ -318,6 +322,8 @@ class IndexStore:
             self.log_manifest(stage_key, "started")
             if name == "corpus_stats":
                 self._write_corpus_stats(built, segment)
+            elif name == "field_stats":
+                self._write_field_stats(built, segment)
             else:
                 self._write(df_fn(), name, segment, pcols)
             self.log_manifest(stage_key, "done", segment=segment)
@@ -363,6 +369,8 @@ class IndexStore:
                     ex.submit(run_stage, "corpus_stats", None, ()),
                     ex.submit(run_stage, "metrics", metrics_src, ()),
                 ]
+                if built.field_stats is not None:
+                    futures.append(ex.submit(run_stage, "field_stats", None, ()))
                 for f in futures:
                     f.result()  # re-raise the first stage failure
             else:
@@ -375,6 +383,8 @@ class IndexStore:
                     ex.submit(postings_then_derived),
                     ex.submit(run_stage, "corpus_stats", None, ()),
                 ]
+                if built.field_stats is not None:
+                    futures.append(ex.submit(run_stage, "field_stats", None, ()))
                 for f in futures:
                     f.result()
                 run_stage("metrics", metrics_src, ())
@@ -398,6 +408,29 @@ class IndexStore:
             }
         )
         path = self._path("corpus_stats", segment)
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+
+    def _write_field_stats(self, built: BuiltIndex, segment: int) -> None:
+        """Per-field stats (multi-field indexes) — a handful of rows,
+        written driver-side via pyarrow like corpus_stats."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = built.field_stats.collect()
+        table = pa.table(
+            {
+                "field": pa.array([r["field"] for r in rows], pa.string()),
+                "doc_count": pa.array(
+                    [r["doc_count"] for r in rows], pa.int64()
+                ),
+                "avgdl": pa.array([r["avgdl"] for r in rows], pa.float64()),
+                "total_tokens": pa.array(
+                    [r["total_tokens"] for r in rows], pa.int64()
+                ),
+            }
+        )
+        path = self._path("field_stats", segment)
         os.makedirs(path, exist_ok=True)
         pq.write_table(table, os.path.join(path, "part-00000.parquet"))
 
@@ -447,6 +480,18 @@ class IndexStore:
             .select(F.lit("doc_range").alias("dimension"), "key", "metric", "value")
         )
         return bucket_long.unionByName(range_long)
+
+    def _reject_multifield(self, op: str) -> None:
+        """Multi-field indexes are currently rebuild-only: ``upsert`` and
+        segment ``merge`` would re-index through the single-field build and
+        silently drop the prefixed fields' postings — fail loud instead.
+        (delete_by_query / compact-free reads work unchanged: tombstones
+        and query paths are field-agnostic.)"""
+        if os.path.isdir(os.path.join(self.root, "field_stats")):
+            raise ValueError(
+                f"{op} on a multi-field index is not supported — rebuild "
+                "with build_index_multifield and save() to a fresh segment"
+            )
 
     def segments(self) -> list[int]:
         # the docs table is written by every save; its seg= children are
@@ -601,6 +646,28 @@ class IndexStore:
         dictionary = self._merged_dictionary()
         postings = self._read_all("postings")
         docs = self._read_all("docs")
+        # multi-field index: merge per-field stats across segments
+        # (doc_count/total_tokens sum; avgdl recomputed from the sums)
+        field_stats = None
+        fs_dir = os.path.join(self.root, "field_stats")
+        if os.path.isdir(fs_dir):
+            field_stats = (
+                self._read_all("field_stats")
+                .groupBy("field")
+                .agg(
+                    F.sum("doc_count").alias("doc_count"),
+                    F.sum("total_tokens").alias("total_tokens"),
+                )
+                .select(
+                    "field",
+                    "doc_count",
+                    F.when(
+                        F.col("doc_count") > 0,
+                        F.col("total_tokens") / F.col("doc_count"),
+                    ).otherwise(F.lit(0.0)).alias("avgdl"),
+                    "total_tokens",
+                )
+            )
         return LoadedIndex(
             docs=docs,
             doc_stats=doc_stats,
@@ -614,6 +681,7 @@ class IndexStore:
             # (build.py corpus_stats) — no max(doc_id) scan of docs
             next_doc_id=int(corpus["next_id"]),
             positions=positions,
+            field_stats=field_stats,
         )
 
     def _merged_dictionary(self) -> DataFrame:
@@ -658,6 +726,7 @@ class IndexStore:
         """
         from pyspark.sql import Observation
 
+        self._reject_multifield("upsert")
         # allocator spans tombstone files too — see _next_segment
         seg = self._next_segment()
         stats_df = self._read_all("corpus_stats")
@@ -751,6 +820,7 @@ class IndexStore:
         """
         from .build import build_index_prenumbered
 
+        self._reject_multifield("merge")
         segs = sorted(set(seg_ids))
         have = set(self.segments())
         missing = [s for s in segs if s not in have]
