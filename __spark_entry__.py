@@ -1210,6 +1210,27 @@ def _q_b8_boost_topk(spark, sf_dir):
     )
 
 
+def _q_sa1_search_after(spark, sf_dir):
+    """ES search_after deep pagination: five k=10 cursor hops — the
+    returned page is rows 41..50 of the global (score desc, doc_id asc)
+    ranking, reached with O(k) state per hop (the cursor-aware theta keeps
+    block pruning exact at depth; Searcher.search_after). Twin: OFFSET 40
+    of the full BM25 ranking. Cursors carry the UNROUNDED float64 score —
+    bit-exact across pages by the deterministic accumulation order."""
+    built, searcher = _searcher(spark, sf_dir)
+    q = " ".join(BM25_QUERY_TERMS)
+    cur = None
+    for _ in range(4):
+        rows = searcher.search_after(q, k=10, after=cur).collect()
+        if not rows:  # corpus shallower than 5 pages: empty page, like OFFSET
+            break
+        cur = (rows[-1]["score"], rows[-1]["doc_id"])
+    top = searcher.search_after(q, k=10, after=cur)
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 MM_FIELDS = {"text": 1.0, "title": 2.0}  # per-field boosts
 MM_TB = 0.3
 _MM_CACHE: dict[str, object] = {}
@@ -1317,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b9_delete_by_query_topk": _q_b9_delete_by_query_topk,
         "q1_match_count": _q_q1_match_count,
         "p3_page2": _q_p3_page2,
+        "sa1_search_after": _q_sa1_search_after,
         "srt1_sort_by": _q_srt1_sort_by,
         "e1_sessions": _q_e1_sessions,
         "t6_pii_scrub": _q_t6_pii_scrub,
@@ -2109,6 +2131,9 @@ SELECT count(*)::BIGINT AS n FROM matched
 """
     sql["p3_page2"] = _bm25_sql(q, None).rstrip() + """
 ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10
+"""
+    sql["sa1_search_after"] = _bm25_sql(q, None).rstrip() + """
+ORDER BY score DESC, doc_id LIMIT 10 OFFSET 40
 """
     sql["srt1_sort_by"] = matched_cte + """
 SELECT doc_id, n_chars

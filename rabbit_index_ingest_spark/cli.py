@@ -121,6 +121,11 @@ def _parser() -> argparse.ArgumentParser:
                         "must_not analogue: docs matching it never rank "
                         "(masked inside the scorer like tombstones); "
                         "composes with --filter")
+    q.add_argument("--after", default=None, metavar="SCORE,DOC_ID",
+                   help="or mode: ES search_after cursor — the previous "
+                        "page's last (unrounded score, doc_id); returns "
+                        "the next k docs with exact cursor-aware pruning "
+                        "(deep paging without from/size cost)")
     q.add_argument("--probe-min-blocks", type=int, default=2048,
                    help="estimated-decode-volume gate for the global "
                         "theta0 seed probe (lower = seed more queries)")
@@ -323,6 +328,18 @@ def main(argv: list[str] | None = None) -> int:
                 else s.topk_msm_dataframe(
                     args.q, args.k, msm=args.min_match, allowed=allowed
                 )
+            )
+        elif args.after is not None:
+            if args.mode != "or" or args.min_match is not None or not fast:
+                raise SystemExit(
+                    "--after applies to plain --mode or on --path blockmax"
+                )
+            sc_s, _, id_s = args.after.partition(",")
+            if not id_s:
+                raise SystemExit(f"--after expects SCORE,DOC_ID, got {args.after!r}")
+            top = s.search_after(
+                args.q, args.k, after=(float(sc_s), int(id_s)),
+                allowed=allowed, excluded=excluded, boosts=boosts,
             )
         elif allowed is not None or excluded is not None:
             # bool filter / must_not mask at block-decode time on the fast

@@ -327,6 +327,7 @@ class Searcher:
         blocks: DataFrame,
         k: int,
         avgdls: dict[str, float] | None = None,
+        cursor: tuple[float, int] | None = None,
     ) -> float:
         """Global θ₀ seed: a provable lower bound on the corpus kth-best
         final score, computed BEFORE range scoring so every doc range can
@@ -420,6 +421,17 @@ class Searcher:
         if not partials:
             return 0.0
         allp = np.concatenate(partials)
+        if cursor is not None:
+            # search_after seed: only docs PROVABLY below the cursor may
+            # hold θ₀ — probe partial + Σ other terms' corpus-wide upper
+            # bounds < after_score ⇒ final < after_score ⇒ eligible
+            rest_ub = sum(
+                idfs[t]
+                * float(codec.tf_norm(one(meta[t][1]), one(meta[t][2]), adl_of(t))[0])
+                for t in idfs
+                if t != t_star
+            )
+            allp = allp[allp + rest_ub < cursor[0]]
         if len(allp) < k:
             return 0.0
         return float(np.partition(allp, -k)[-k])
@@ -1928,6 +1940,66 @@ class Searcher:
             .drop("_rn")
         )
 
+    def search_after(
+        self,
+        query_text: str,
+        k: int = 10,
+        after: tuple[float, int] | None = None,
+        allowed: DataFrame | None = None,
+        excluded: DataFrame | None = None,
+        boosts: dict[str, float] | None = None,
+        skip_acc=None,
+    ) -> DataFrame:
+        """ES ``search_after`` deep pagination: the next ``k`` docs
+        STRICTLY after the cursor ``after = (score, doc_id)`` (the last row
+        of the previous page) in the global ``(score desc, doc_id asc)``
+        order. ``after=None`` is the first page (== ``topk_blockmax``).
+
+        Why this beats ``page`` at depth (the same trade ES documents):
+        ``page`` ranks ``from_+size`` candidates — every doc range keeps a
+        from_+size-slot heap and ships from_+size rows to the global
+        top-k, so page N costs O(N·k) heap + transfer per range. The
+        cursor version keeps only k: θ runs over docs provably BELOW the
+        cursor (partial + remaining-upper-bound < after_score — see
+        ``_make_range_scorer``'s cursor contract for the exactness
+        argument; the θ₀ probe seeds it corpus-wide the same way), and
+        each range emits at most k rows whatever the depth. Decode volume
+        is the information-theoretic floor either way — the kth-best
+        ELIGIBLE score IS the (depth+k)th-best global score, so block
+        pruning is never weaker than the equivalent from/size query
+        (test-pinned) but cannot be asymptotically stronger. Scores are
+        bit-exact across pages (deterministic accumulation), so the float
+        cursor equality in the tie predicate is stable — use the previous
+        page's UNROUNDED score.
+
+        Composes with ``allowed``/``excluded``/``boosts`` exactly like
+        ``topk_blockmax``."""
+        plan = self._plan(query_text)
+        if plan is None:
+            return _empty_topk(self.spark)
+        idfs, blocks, meta = plan
+        idfs = _fold_boosts(idfs, boosts)
+        if after is not None:
+            after = (float(after[0]), int(after[1]))
+        theta0 = (
+            0.0 if allowed is not None or excluded is not None
+            else self._seed_theta0(idfs, meta, blocks, k, cursor=after)
+        )
+        side = self._side_frame(allowed, excluded)
+        scorer = _make_range_scorer(
+            idfs, self.avgdl, k, self.range_bits, self.deleted,
+            cogrouped=side is not None, skip_acc=skip_acc, theta0=theta0,
+            allowed_present=allowed is not None, cursor=after,
+        )
+        grouped = blocks.select(*_SCORE_COLS).groupBy("range_id")
+        if side is not None:
+            local = grouped.cogroup(side.groupBy("range_id")).applyInPandas(
+                scorer, TOPK_SCHEMA
+            )
+        else:
+            local = grouped.applyInPandas(scorer, TOPK_SCHEMA)
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def sort_by(
         self,
         query_text: str,
@@ -2552,6 +2624,7 @@ def _make_range_scorer(
     tie_breaker: float | None = None,
     avgdls: dict[str, float] | None = None,
     groups: dict[str, int] | None = None,
+    cursor: tuple[float, int] | None = None,
 ):
     """Exact MaxScore/block-max scorer for one doc range (applyInPandas;
     with ``cogrouped=True`` the second frame carries this range's
@@ -2596,6 +2669,26 @@ def _make_range_scorer(
     group sums are lower bounds on final group sums, and the combine
     ``max_g·(1−tb) + tb·Σ`` is increasing in both arguments for tb ≤ 1;
     block-skip tests keep the SUM upper bound (dis_max ≤ sum).
+
+    ``cursor`` (ES ``search_after``): ``(after_score, after_doc)`` — return
+    the top-k among docs STRICTLY after the cursor in the global
+    ``(score desc, doc_id asc)`` order. Exactness with cursor-aware θ:
+
+    * θ must lower-bound the kth-best final among ELIGIBLE docs (final <
+      after_score, or == with doc_id > after_doc). A doc's partial only
+      counts toward θ once it is PROVABLY eligible: partial + (upper bound
+      on its remaining contributions) < after_score ⇒ final < after_score.
+      The remaining-contribution bound passed at each refresh is the
+      MaxScore suffix (plus the in-progress term's max), so the proof is
+      sound for every doc uniformly.
+    * a skipped block's docs have true final < θ ≤ after_score — they ARE
+      eligible but under-scored; harmless: ≥ k eligible docs carry fully-
+      scored finals ≥ θ (their blocks can never pass the skip test since
+      their span_max ≥ θ), so under-scored docs sort strictly below the
+      returned page. Exact page, no depth-dependent decode cost.
+    * the final eligibility predicate is applied on exact finals with
+      bit-exact float equality (deterministic sorted-term accumulation),
+      so cursor ties resolve identically across pages.
     """
     range_size = 1 << range_bits
     eps = 1e-9
@@ -2623,6 +2716,7 @@ def _make_range_scorer(
             tie_breaker=tie_breaker,
             avgdls=avgdls,
             groups=groups,
+            cursor=cursor,
         )
         return local(key, pdf)
 
@@ -2685,7 +2779,10 @@ def _make_range_scorer(
         decoded = 0  # blocks decoded so far in this range (refresh schedule)
 
         def kth_partial(
-            extra: np.ndarray | None, cur_group: int | None = None
+            extra: np.ndarray | None,
+            cur_group: int | None = None,
+            rest_in: float = 0.0,
+            rest_out: float = 0.0,
         ) -> float:
             combined = total if extra is None else total + extra
             if grouped:
@@ -2704,7 +2801,25 @@ def _make_range_scorer(
             elif mx is not None:
                 cmx = mx if extra is None else np.maximum(mx, extra)
                 combined = cmx * (1.0 - tie_breaker) + tie_breaker * combined
-            touched = combined[combined > 0.0]
+            if cursor is not None:
+                # search_after: only PROVABLY-ELIGIBLE docs may raise θ —
+                # partial + remaining-UB < after_score ⇒ final < after.
+                # Per-doc bound: a doc already decoded for the in-progress
+                # term (extra > 0 — every decode contributes > 0, and a doc
+                # appears in exactly one block per term+range) has only the
+                # LATER terms left (rest_in = suffix[i+1]); an undecoded
+                # doc may still gain the current term too (rest_out =
+                # suffix[i]). Without this split, a one-hot-term tail never
+                # proves eligibility and deep pages lose all pruning.
+                if extra is not None and rest_out > rest_in:
+                    rest = np.where(extra > 0.0, rest_in, rest_out)
+                else:
+                    rest = rest_in
+                touched = combined[
+                    (combined > 0.0) & (combined + rest < cursor[0])
+                ]
+            else:
+                touched = combined[combined > 0.0]
             if len(touched) >= k:
                 return float(np.partition(touched, -k)[-k])
             return 0.0
@@ -2759,7 +2874,9 @@ def _make_range_scorer(
                 # block usually sets a near-final θ
                 if since_refresh >= _THETA_REFRESH or decoded in (1, 2, 4, 8):
                     since_refresh = 0
-                    new_theta = kth_partial(arr, g_t)
+                    new_theta = kth_partial(
+                        arr, g_t, rest_in=suffix[i + 1], rest_out=suffix[i]
+                    )
                     if new_theta > theta:
                         theta = new_theta
                         total_max = float(total.max())
@@ -2769,7 +2886,7 @@ def _make_range_scorer(
                 np.maximum(mx, arr, out=mx)
             if grouped:
                 gacc[g_t] += arr
-            theta = max(theta, kth_partial(None))
+            theta = max(theta, kth_partial(None, rest_in=suffix[i + 1]))
 
         if skip_acc is not None and skipped:
             skip_acc.add(skipped)
@@ -2795,6 +2912,17 @@ def _make_range_scorer(
         if fmx is not None:  # dis_max: best clause + tb · the rest
             final = fmx * (1.0 - tie_breaker) + tie_breaker * final
         nz = np.flatnonzero(final > 0.0)
+        if cursor is not None and len(nz):
+            # exact eligibility on exact finals (bit-exact equality — the
+            # deterministic sorted-term accumulation makes score ties
+            # reproducible across pages)
+            after_score, after_doc = cursor
+            sc = final[nz]
+            ids = nz + base
+            keep = (sc < after_score) | (
+                (sc == after_score) & (ids > after_doc)
+            )
+            nz = nz[keep]
         if len(nz) == 0:
             return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                  "score": pd.Series(dtype="float64")})

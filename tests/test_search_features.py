@@ -872,3 +872,125 @@ def test_sort_by_attrless_match_ranks_last_and_filters(spark, pcorpus):
         m for m in matched[:3] if m != matched[1] and m != missing
     ) + ([missing] if missing in matched[:3] and missing != matched[1] else [])
     assert got2 == want2
+
+
+# ---------------- search_after (ES deep pagination) ----------------
+
+
+def test_search_after_tiles_ranking_and_matches_page(spark, pcorpus):
+    """Successive cursor hops reproduce the full ranking exactly and agree
+    with from/size paging at every depth; past-the-end cursor is empty."""
+    _, _, s = pcorpus
+    q = "zephyr quantum karo"
+    full = [
+        (r["doc_id"], r["score"])
+        for r in s.topk_blockmax(q, 10_000_000).collect()
+    ]
+    assert len(full) > 7
+    step = 3
+    pages, cur = [], None
+    for hop in range(len(full) // step + 2):
+        rows = s.search_after(q, k=step, after=cur).collect()
+        got = [(r["doc_id"], r["score"]) for r in rows]
+        want_page = [
+            (r["doc_id"], r["score"])
+            for r in s.page(q, from_=hop * step, size=step).collect()
+        ]
+        assert got == want_page, f"hop {hop}"
+        if not got:
+            break
+        pages.extend(got)
+        cur = (rows[-1]["score"], rows[-1]["doc_id"])
+    assert pages == full
+    # cursor strictly past the end -> empty
+    last = full[-1]
+    assert s.search_after(q, k=5, after=(last[1], last[0])).count() == 0
+
+
+def test_search_after_score_tie_cursor(spark):
+    """Cursor inside a run of EQUAL scores (identical docs): the doc_id
+    tie predicate must split the run exactly, no dup/skip across pages."""
+    rows = [(f"c{i:04d}", 0, "tie tie breaker words") for i in range(30)]
+    rows += [(f"d{i:04d}", 0, "other filler text") for i in range(5)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    built = build_index(spark, df)
+    s = Searcher(spark, built.postings, built.dictionary, built.n_docs, built.avgdl)
+    q = "tie breaker"
+    full = [(r["doc_id"], r["score"]) for r in s.topk_blockmax(q, 1000).collect()]
+    assert len(full) == 30 and len({sc for _, sc in full}) == 1, "need a tie run"
+    seen, cur = [], None
+    while True:
+        rows_ = s.search_after(q, k=7, after=cur).collect()
+        if not rows_:
+            break
+        seen.extend((r["doc_id"], r["score"]) for r in rows_)
+        cur = (rows_[-1]["score"], rows_[-1]["doc_id"])
+    assert seen == full
+    built.release()
+
+
+def test_search_after_cost_does_not_grow_with_depth(spark):
+    """Deep-paging cost contract: the cursor path (a) prunes AT LEAST as
+    many blocks as the equivalent from/size query (the kth-best eligible
+    score equals the (depth+k)th global score, so θ converges to the same
+    value — never weaker), and (b) emits at most k rows per doc range
+    regardless of depth, where page() must rank and ship from_+size rows.
+    Corpus: block-graded tf so block upper bounds genuinely vary and both
+    paths skip > 0 blocks."""
+    rows = []
+    for i in range(12000):
+        reps = 1 + (i // 300)  # later 128-doc blocks carry higher max_tf
+        bonus = "rare gem " if i % 911 == 0 else ""
+        rows.append(
+            (f"c{i:05d}", 0, ("hot " * reps) + bonus + f"filler w{i % 17}")
+        )
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    built = build_index(spark, df)
+    s = Searcher(
+        spark, built.postings, built.dictionary, built.n_docs, built.avgdl,
+        probe_min_blocks=1,
+    )
+    q = "hot rare"
+    depth, k = 60, 10
+    full = [(r["doc_id"], r["score"]) for r in s.topk_blockmax(q, depth + k).collect()]
+    assert len(full) > depth
+    cur = (full[depth - 1][1], full[depth - 1][0])
+    acc_sa = spark.sparkContext.accumulator(0)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in s.search_after(q, k=k, after=cur, skip_acc=acc_sa).collect()
+    ]
+    assert got == full[depth:depth + k], "search_after page != ranking slice"
+    acc_pg = spark.sparkContext.accumulator(0)
+    s.topk_blockmax(q, depth + k, skip_acc=acc_pg).collect()
+    # θ converges to the same value on both paths; the cursor side warms
+    # up a few blocks later (a doc's partial only counts once PROVABLY
+    # below the cursor), so allow a small constant-factor slack — the
+    # contract is same-asymptotic pruning with O(k) instead of O(depth+k)
+    # heap/transfer, exactly ES's search_after-vs-from trade
+    assert acc_pg.value > 0 and acc_sa.value >= int(0.85 * acc_pg.value), (
+        f"cursor pruning degraded vs from/size "
+        f"(sa={acc_sa.value}, page={acc_pg.value})"
+    )
+    # (b) O(k) rows per page at any depth — page() would return depth+k
+    assert len(got) == k
+    built.release()
+
+
+def test_search_after_composes_with_filter_and_boosts(spark, pcorpus):
+    pdf, _, s = pcorpus
+    q = "zephyr quantum karo"
+    boosts = {"karo": 2.0}
+    allowed = spark.range(0, len(pdf), 2).select(F.col("id").alias("doc_id"))
+    full = [
+        (r["doc_id"], r["score"])
+        for r in s.topk_blockmax(q, 1000, allowed=allowed, boosts=boosts).collect()
+    ]
+    assert len(full) > 4
+    cur = (full[1][1], full[1][0])
+    got = [
+        (r["doc_id"], r["score"])
+        for r in s.search_after(q, k=2, after=cur, allowed=allowed,
+                                boosts=boosts).collect()
+    ]
+    assert got == full[2:4]
