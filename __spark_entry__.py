@@ -1210,6 +1210,37 @@ def _q_b8_boost_topk(spark, sf_dir):
     )
 
 
+G8_QUERY = "spark"
+
+
+def _q_g8_significant(spark, sf_dir):
+    """ES significant_terms (JLH heuristic, min_doc_count=3): terms
+    over-represented in the docs matching 'spark' vs the whole corpus —
+    foreground re-tokenizes ONLY the match set, background df comes from
+    the dictionary (Searcher.significant_terms)."""
+    built, searcher = _searcher(spark, sf_dir)
+    out = searcher.significant_terms(G8_QUERY, built.docs, size=10)
+    return out.select(
+        "term", "fg_count", "bg_count", F.round("score", 6).alias("score")
+    )
+
+
+def _q_g9_composite(spark, sf_dir):
+    """ES composite aggregation: (lang, source) buckets of the match set
+    in ascending key order, paginated with an after-key cursor — page 1
+    (size 4) supplies the cursor, the returned frame is EVERYTHING after
+    it (the DuckDB twin is OFFSET 4 of the full bucket list)."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = _agg_attrs(spark, sf_dir, built, "lang", "source")
+    q = " ".join(BM25_QUERY_TERMS)
+    cols = ["lang", "source"]
+    p1 = searcher.composite_agg(q, attrs, cols, size=4).collect()
+    if not p1:
+        return searcher.composite_agg(q, attrs, cols, size=4)
+    after = (p1[-1]["lang"], p1[-1]["source"])
+    return searcher.composite_agg(q, attrs, cols, size=10_000_000, after=after)
+
+
 def _q_sa1_search_after(spark, sf_dir):
     """ES search_after deep pagination: five k=10 cursor hops — the
     returned page is rows 41..50 of the global (score desc, doc_id asc)
@@ -1329,6 +1360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g5_range": _q_g5_range,
         "g6_date_histogram": _q_g6_date_histogram,
         "g7_date_histogram_matched": _q_g7_date_histogram_matched,
+        "g8_significant": _q_g8_significant,
+        "g9_composite": _q_g9_composite,
         "f1_filtered_topk": _q_f1_filtered_topk,
         "f2_must_not_topk": _q_f2_must_not_topk,
         "b8_boost_topk": _q_b8_boost_topk,
@@ -2120,6 +2153,41 @@ series AS (
 SELECT strftime(series.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
        coalesce(doc_count, 0)::BIGINT AS doc_count
 FROM series LEFT JOIN b USING (bucket)
+"""
+    sql["g8_significant"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_TOK})) AS term FROM documents
+),
+fg_docs AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{G8_QUERY}'),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM fg_docs)::DOUBLE AS fg_size
+),
+fg AS (
+  SELECT term, count(*)::BIGINT AS fg_count FROM tok
+  WHERE doc_id IN (SELECT doc_id FROM fg_docs)
+  GROUP BY 1 HAVING count(*) >= 3
+),
+bg AS (SELECT term, count(*)::BIGINT AS bg_count FROM tok GROUP BY 1),
+scored AS (
+  SELECT term, fg_count, bg_count,
+         (fg_count / fg_size - bg_count / n)
+           * ((fg_count / fg_size) / (bg_count / n)) AS score
+  FROM fg JOIN bg USING (term) CROSS JOIN stats
+  WHERE fg_count / fg_size > bg_count / n
+)
+SELECT term, fg_count, bg_count, round(score, 6) AS score FROM scored
+ORDER BY score DESC, term LIMIT 10
+"""
+    sql["g9_composite"] = matched_cte + """
+, b AS (
+  SELECT lang, source, count(*)::BIGINT AS doc_count
+  FROM matched JOIN documents USING (doc_id)
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT lang, source, doc_count FROM b
+ORDER BY lang, source LIMIT 10000000 OFFSET 4
 """
     sql["g4_cardinality"] = matched_cte + """
 SELECT count(DISTINCT source)::BIGINT AS value

@@ -2254,6 +2254,122 @@ class Searcher:
             time_zone=time_zone,
         )
 
+    def significant_terms(
+        self,
+        query_text: str,
+        docs: DataFrame,
+        size: int = 10,
+        min_doc_count: int = 3,
+        text_col: str = "text",
+    ) -> DataFrame:
+        """ES ``significant_terms`` over the query's match set with the
+        default JLH heuristic: for each term in FOREGROUND docs (the match
+        set), ``score = (fg% − bg%) · (fg% / bg%)`` where fg% = fg_df /
+        fg_size and bg% = index df / n_docs; only terms with fg% > bg% and
+        fg_df ≥ ``min_doc_count`` (ES default 3) qualify. Returns
+        ``(term, fg_count, bg_count, score)``, score desc / term asc,
+        top ``size``.
+
+        Plan shape at scale: the match set (usually a small fraction of
+        the corpus) joins ``docs`` and re-tokenizes ONLY those docs — one
+        narrow scan + one groupBy — while the background df comes free
+        from the dictionary (like ES, it counts not-yet-compacted deleted
+        docs; both sides use the same index-wide stats). Decoding every
+        posting of every fg term instead would scan the whole index.
+        """
+        from ..analysis import tokens_expr
+
+        if size <= 0 or min_doc_count < 1:
+            raise ValueError(
+                f"need size > 0 and min_doc_count >= 1, got {size}/{min_doc_count}"
+            )
+        matched = self._matched_docs(query_text)
+        out_schema = "term string, fg_count long, bg_count long, score double"
+        if matched is None:
+            return self.spark.createDataFrame([], out_schema)
+        self._attr_col(docs, text_col)  # fail-fast validation
+        fg_size_row = matched.agg(F.count("*").alias("n")).collect()[0]
+        fg_size = int(fg_size_row["n"])
+        if fg_size == 0:
+            return self.spark.createDataFrame([], out_schema)
+        fg = (
+            matched.join(docs.select("doc_id", text_col), "doc_id")
+            .select(
+                "doc_id",
+                F.explode(F.array_distinct(tokens_expr(text_col))).alias("term"),
+            )
+            .groupBy("term")
+            .agg(F.count("*").alias("fg_count"))
+            .where(F.col("fg_count") >= min_doc_count)
+        )
+        bg = self.dictionary.select("term", F.col("df").alias("bg_count"))
+        fg_pct = F.col("fg_count") / F.lit(float(fg_size))
+        bg_pct = F.col("bg_count") / F.lit(float(self.n_docs))
+        scored = (
+            fg.join(bg, "term")
+            .where(fg_pct > bg_pct)
+            .select(
+                "term",
+                "fg_count",
+                "bg_count",
+                ((fg_pct - bg_pct) * (fg_pct / bg_pct)).alias("score"),
+            )
+        )
+        return scored.orderBy(F.desc("score"), F.asc("term")).limit(size)
+
+    def composite_agg(
+        self,
+        query_text: str,
+        attrs: DataFrame,
+        cols: list[str],
+        size: int = 10,
+        after: tuple | list | None = None,
+    ) -> DataFrame:
+        """ES ``composite`` aggregation: ALL buckets of the multi-source
+        key, paginated in ascending key order with an ``after`` cursor —
+        ES's own answer to paging a large terms-agg (a terms agg's top-N
+        cannot be continued; composite can). Docs with a NULL in any
+        source drop out (ES default ``missing_bucket: false``).
+
+        ``after`` is the previous page's last key tuple. The cursor is a
+        lexicographic struct comparison pushed into the plan — at scale
+        Catalyst turns it into a range predicate on the first source, so
+        deep pages never rescan earlier buckets' groups. Returns
+        ``(<cols...>, doc_count)`` ordered by the key."""
+        if size <= 0:
+            raise ValueError(f"size must be > 0, got {size}")
+        if not cols:
+            raise ValueError("cols must be non-empty")
+        vs = [self._attr_col(attrs, c) for c in cols]
+        matched = self._matched_docs(query_text)
+        if matched is None:
+            return attrs.select(
+                *[v.alias(c) for c, v in zip(cols, vs)],
+                F.lit(0).cast("long").alias("doc_count"),
+            ).limit(0)
+        joined = matched.join(attrs, "doc_id", "inner")
+        for v in vs:
+            joined = joined.where(v.isNotNull())
+        buckets = joined.groupBy(
+            *[v.alias(c) for c, v in zip(cols, vs)]
+        ).agg(F.count("*").alias("doc_count"))
+        if after is not None:
+            if len(after) != len(cols):
+                raise ValueError(
+                    f"after key must have {len(cols)} values, got {after!r}"
+                )
+            key = F.struct(*[F.col("`" + c.replace("`", "``") + "`")
+                             for c in cols])
+            # cast cursor literals to the key columns' types (struct
+            # comparison requires exact field-type match)
+            types = {f.name: f.dataType for f in buckets.schema.fields}
+            lit = F.struct(
+                *[F.lit(a).cast(types[c]) for c, a in zip(cols, after)]
+            )
+            buckets = buckets.where(key > lit)
+        order = [F.asc("`" + c.replace("`", "``") + "`") for c in cols]
+        return buckets.orderBy(*order).limit(size)
+
     def facet_counts(
         self,
         query_text: str,

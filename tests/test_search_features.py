@@ -994,3 +994,69 @@ def test_search_after_composes_with_filter_and_boosts(spark, pcorpus):
                                 boosts=boosts).collect()
     ]
     assert got == full[2:4]
+
+
+# -------- significant_terms + composite aggregations (ES aggs) --------
+
+
+def test_significant_terms_matches_python_oracle(spark, pcorpus):
+    pdf, built, s = pcorpus
+    q = "karo"
+    qt = set(py_tokenize(q))
+    docs_toks = [set(py_tokenize(t)) for t in pdf["text"]]
+    fg_idx = [i for i, d in enumerate(docs_toks) if qt & d]
+    fg_size, n = len(fg_idx), len(pdf)
+    assert fg_size > 3
+    from collections import Counter
+    fg_cnt = Counter(t for i in fg_idx for t in docs_toks[i])
+    bg_cnt = Counter(t for d in docs_toks for t in d)
+    want = []
+    for t, fgc in fg_cnt.items():
+        if fgc < 3:
+            continue
+        fgp, bgp = fgc / fg_size, bg_cnt[t] / n
+        if fgp > bgp:
+            want.append((t, fgc, bg_cnt[t], (fgp - bgp) * (fgp / bgp)))
+    want.sort(key=lambda r: (-r[3], r[0]))
+    want = [(t, f, b, round(sc, 9)) for t, f, b, sc in want[:10]]
+    got = [
+        (r["term"], r["fg_count"], r["bg_count"], round(r["score"], 9))
+        for r in s.significant_terms(q, built.docs, size=10).collect()
+    ]
+    assert got == want and got
+    # the query term itself should top the list (perfectly significant)
+    assert got[0][0] == "karo"
+    # absent query / bad args
+    assert s.significant_terms("qzxabsent", built.docs).count() == 0
+    with pytest.raises(ValueError, match="size"):
+        s.significant_terms(q, built.docs, size=0)
+    with pytest.raises(ValueError, match="not in attrs"):
+        s.significant_terms(q, built.docs.drop("text"))
+
+
+def test_composite_agg_tiles_all_buckets(spark, pcorpus):
+    pdf, built, s = pcorpus
+    q = "zephyr quantum karo"
+    qt = set(py_tokenize(q))
+    matched = [i for i, t in enumerate(pdf["text"]) if qt & set(py_tokenize(t))]
+    attrs = built.doc_stats.select(
+        "doc_id", "turn_idx", (F.col("dl") % 3).alias("dl3")
+    )
+    dl = {i: len(py_tokenize(pdf["text"][i])) for i in matched}
+    from collections import Counter
+    want_cnt = Counter((int(pdf["turn_idx"][i]), dl[i] % 3) for i in matched)
+    want = sorted((k[0], k[1], c) for k, c in want_cnt.items())
+    assert len(want) > 4
+    got, after = [], None
+    while True:
+        rows = s.composite_agg(q, attrs, ["turn_idx", "dl3"], size=3,
+                               after=after).collect()
+        if not rows:
+            break
+        got.extend((r["turn_idx"], r["dl3"], r["doc_count"]) for r in rows)
+        after = (rows[-1]["turn_idx"], rows[-1]["dl3"])
+    assert got == want
+    with pytest.raises(ValueError, match="after key"):
+        s.composite_agg(q, attrs, ["turn_idx", "dl3"], after=(1,))
+    with pytest.raises(ValueError, match="non-empty"):
+        s.composite_agg(q, attrs, [])
