@@ -1210,6 +1210,21 @@ def _q_b8_boost_topk(spark, sf_dir):
     )
 
 
+H2_SLOP = 2
+
+
+def _q_h2_phrase_highlight(spark, sf_dir):
+    """Phrase-aware highlighting (ES highlights the matched SPAN, not
+    stray term hits): every minimal sloppy-phrase window of P1_PHRASE
+    (slop=2) over documents as (doc_id, w_start, w_end, snippet) token
+    spans — functions.spans.phrase_spans, the same minimal-window model
+    as the sloppy scorer. Twin: the window model evaluated relationally
+    with per-slot windowed maxes."""
+    from rabbit_index_ingest_spark.functions.spans import phrase_spans
+
+    return phrase_spans(_docs(spark, sf_dir), P1_PHRASE, slop=H2_SLOP)
+
+
 G8_QUERY = "spark"
 
 
@@ -1345,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u1_unordered_near": _q_u1_unordered_near,
         "g1_facets": _q_g1_facets,
         "h1_highlight": _q_h1_highlight,
+        "h2_phrase_highlight": _q_h2_phrase_highlight,
         "c1_and_topk": _q_c1_and_topk,
         "c2_msm_topk": _q_c2_msm_topk,
         "pr1_prefix_topk": _q_pr1_prefix_topk,
@@ -1767,6 +1783,67 @@ ORDER BY score DESC, ph.doc_id
 """
 
 
+def _phrase_spans_sql(phrase: str, slop: int) -> str:
+    """DuckDB twin of ``functions.spans.phrase_spans`` (ordered sloppy
+    model): the _sloppy_sql event/lasts machinery, but instead of
+    sloppy_freq it emits each minimal window's TIGHT true-position span
+    — per-slot lasts l_j are the chosen occurrences (adjusted), true
+    position = l_j + j, span = [least, greatest] (0-based like the
+    engine), snippet = those tokens joined."""
+    from rabbit_index_ingest_spark.analysis import py_tokenize
+
+    qt = py_tokenize(phrase)
+    assert qt and all(t.replace("_", "").isalnum() for t in qt)
+    ev = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, pos - {j} AS apos, {j} AS slot "
+        f"FROM tok WHERE term = '{t}'"
+        for j, t in enumerate(qt)
+    )
+    last_cols = ",\n    ".join(
+        f"max(CASE WHEN slot = {j} THEN apos END) OVER w AS l{j}"
+        for j in range(len(qt))
+    )
+    not_null = " AND ".join(f"l{j} IS NOT NULL" for j in range(len(qt)))
+    lcols = ", ".join(f"l{j}" for j in range(len(qt)))
+    true_pos = ", ".join(f"l{j} + {j}" for j in range(len(qt)))
+    return f"""
+WITH tt AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+  FROM tt
+),
+ev AS (
+  {ev}
+),
+lasts AS (
+  SELECT doc_id, apos,
+    {last_cols}
+  FROM ev
+  WINDOW w AS (PARTITION BY doc_id ORDER BY apos
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+valid AS (
+  SELECT DISTINCT doc_id, apos, {lcols}, least({lcols}) AS lft
+  FROM lasts WHERE {not_null}
+),
+minw AS (
+  SELECT doc_id, lft, apos, {lcols},
+         row_number() OVER (PARTITION BY doc_id, lft ORDER BY apos) AS rn
+  FROM valid
+),
+spans AS (
+  SELECT doc_id,
+         least({true_pos}) - 1 AS w_start,
+         greatest({true_pos}) - 1 AS w_end
+  FROM minw WHERE rn = 1 AND apos - lft <= {slop}
+)
+SELECT s.doc_id, w_start::INT AS w_start, w_end::INT AS w_end,
+       array_to_string(list_slice(tt.toks, w_start + 1, w_end + 1), ' ')
+         AS snippet
+FROM spans s JOIN tt USING (doc_id)
+"""
+
+
 def _phrase_prefix_sql(phrase: str, max_expansions: int = 50) -> str:
     """DuckDB twin of ``Searcher.topk_phrase_prefix``: the last analyzed
     token is a prefix expanded (sorted, truncated at ``max_expansions``)
@@ -2015,6 +2092,7 @@ FROM dl
     sql["p2_phrase3_topk"] = _phrase_sql(P2_PHRASE, 10)
     sql["n1_near_topk"] = _phrase_sql(N1_TERMS, 10, gap=N1_GAP)
     sql["sp1_slop_topk"] = _sloppy_sql(P1_PHRASE, SP1_SLOP, ordered=True)
+    sql["h2_phrase_highlight"] = _phrase_spans_sql(P1_PHRASE, H2_SLOP)
     sql["u1_unordered_near"] = _sloppy_sql(U1_TERMS, U1_SLOP, ordered=False)
 
     qterms_in = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_TERMS)))

@@ -174,6 +174,31 @@ def highlight_expr(
     return F.when(j.isNotNull(), F.array_join(wrapped, " "))
 
 
+def phrase_highlight_expr(text: Column | str, phrase_tokens: list[str]) -> Column:
+    """Char-level phrase highlighting over the ORIGINAL text (ES wraps
+    the matched phrase SPAN, not stray single-term hits): every exact
+    occurrence of the analyzed phrase — tokens separated by any run of
+    non-token characters, each token a FULL token (guarded by zero-width
+    lookarounds, which Java regex has and RE2 does not — hence no DuckDB
+    twin; the oracle-checked path is the token-space
+    ``functions.spans.phrase_spans``) — is wrapped in ``<em>…</em>``.
+    Pure JVM ``regexp_replace``, whole-stage codegen.
+
+    Matching is (?iu) case-insensitive over the raw text; exotic case
+    folds that the analyzer's lower() collapses but Java's case-
+    insensitive match does not (ß→ss) are a documented deviation —
+    ASCII-safe by contract, pinned by tests."""
+    import re as _re
+
+    if not phrase_tokens or any(not t for t in phrase_tokens):
+        raise ValueError(f"need non-empty phrase tokens, got {phrase_tokens!r}")
+    c = F.col(text) if isinstance(text, str) else text
+    sep = r"[^\p{L}\p{N}]+"
+    body = sep.join(_re.escape(t) for t in phrase_tokens)
+    pat = r"(?iu)(?<![\p{L}\p{N}])" + body + r"(?![\p{L}\p{N}])"
+    return F.regexp_replace(c, pat, "<em>$0</em>")
+
+
 # PII scrub patterns — ONE dialect-neutral regex set shared verbatim by
 # the Spark expression (Java regex) and the DuckDB oracle twin (RE2):
 # no lookarounds (RE2 has none), no backreferences, only \d/\s/\b and
