@@ -105,24 +105,39 @@ def minhash_signatures(
 SEED_MINHASH = 20260816
 
 
+# polynomial-combine multiplier for shingle hashes (odd ⇒ bijective mod 2^64)
+_SHINGLE_P = np.uint64(0x9E3779B97F4A7C15)
+
+
 def _minhash_fast(
     df: DataFrame, text_col: str, key_col: str, n_hashes: int, shingle_k: int
 ) -> DataFrame:
     """Vectorized numpy minhash (see minhash_signatures docstring).
 
-    Base hash: first 8 bytes of md5 per shingle occurrence (one fromiter
-    pass — the only per-element Python; everything else is numpy).
-    Measured note: the simhash distinct-value trick (``np.unique`` then
-    hash per distinct) does NOT pay here — k-gram shingle vocabulary is
-    ~70 % of occurrences on transcript corpora (vs token vocabulary ≪
-    occurrences), and ``np.unique`` over object strings costs ~2× the
-    md5 loop it saves. Families: odd-multiplier affine maps in native
-    uint64 wraparound arithmetic (multiply-shift universal hashing).
-    Per-doc minima via a single ``np.minimum.reduceat`` per family.
-    Signatures stored as the int64 bit-pattern (sign is irrelevant for
-    equality-based LSH bands).
+    Base hash — NO per-shingle Python (round-5 verdict: the per-shingle
+    md5 loop was the last interpreted loop on the 100 TB dedup path):
+
+    1. tokenize the Arrow batch with pandas vectorized ``.str`` ops;
+    2. md5-hash only the batch's DISTINCT TOKENS (token vocabulary ≪
+       occurrences — unlike the shingle vocabulary, which round-3
+       measurement showed is ~70 % of occurrences) and gather per
+       occurrence through ``pd.factorize`` codes (C hash table — NOT
+       ``np.unique``, whose object-string sort costs more than the md5
+       loop it replaces; measured in tools/minhash_ab.py);
+    3. shingle hash = degree-(k−1) polynomial of the k token hashes in
+       uint64 wraparound (``h·P + next``, P odd ⇒ position-sensitive and
+       bijective per step) — k vectorized multiply-adds over the whole
+       batch, windows never crossing doc boundaries by construction of
+       the start-index gather.
+
+    Families: odd-multiplier affine maps in native uint64 wraparound
+    arithmetic (multiply-shift universal hashing). Per-doc minima via a
+    single ``np.minimum.reduceat`` per family. Signatures stored as the
+    int64 bit-pattern (sign is irrelevant for equality-based LSH bands).
     """
     import hashlib
+
+    from ..analysis import _PY_TOKEN_RE
 
     out_schema = T.StructType(
         [df.schema[key_col]]
@@ -133,43 +148,46 @@ def _minhash_fast(
     Bc = rs.randint(0, 2**62, size=n_hashes).astype(np.uint64)
 
     def run(batches):
-        from ..analysis import py_tokenize
-
         old_err = np.seterr(over="ignore")
         for batch in batches:
             keys = batch[key_col].tolist()
-            sh_lists: list[list[str]] = []
-            bounds = [0]
-            for text in batch[text_col].tolist():
-                toks = py_tokenize(text)
-                sh = [
-                    " ".join(toks[i : i + shingle_k])
-                    for i in range(len(toks) - shingle_k + 1)
-                ]
-                sh_lists.append(sh)
-                bounds.append(bounds[-1] + len(sh))
-            if bounds[-1]:
-                flat = np.fromiter(
+            toks = batch[text_col].fillna("").str.lower().str.findall(_PY_TOKEN_RE)
+            n_tok = toks.str.len().to_numpy(np.int64)
+            n_sh = np.maximum(n_tok - (shingle_k - 1), 0)
+            bounds = np.concatenate(([0], np.cumsum(n_sh)))
+            total = int(bounds[-1])
+            out = {key_col: keys}
+            nonempty = n_sh > 0
+            if total:
+                flat = toks.explode().dropna()
+                codes, vocab = pd.factorize(flat.to_numpy(), sort=False)
+                vh = np.fromiter(
                     (
-                        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-                        for lst in sh_lists
-                        for s in lst
+                        int.from_bytes(hashlib.md5(v.encode()).digest()[:8], "big")
+                        for v in vocab
                     ),
                     dtype=np.uint64,
-                    count=bounds[-1],
+                    count=len(vocab),
                 )
+                th = vh[codes]  # per-occurrence token hash (gather)
+                # global token index of each shingle's first token
+                tb = np.concatenate(([0], np.cumsum(n_tok)))
+                doc_of = np.repeat(np.arange(len(keys)), n_sh)
+                starts = tb[doc_of] + (np.arange(total) - bounds[doc_of])
+                sh = np.zeros(total, dtype=np.uint64)
+                for j in range(shingle_k):
+                    sh = sh * _SHINGLE_P + th[starts + j]
+                flat = sh
             else:
                 flat = np.empty(0, dtype=np.uint64)
-            starts = np.array(bounds[:-1])
-            nonempty = np.diff(bounds) > 0
-            out = {key_col: keys}
+            sh_starts = bounds[:-1]
             for i in range(n_hashes):
                 derived = A[i] * flat + Bc[i]  # uint64 wraparound
                 col = pd.array(
                     np.zeros(len(keys), dtype=np.int64), dtype="Int64"
                 )
                 if nonempty.any():
-                    red = np.minimum.reduceat(derived, starts[nonempty])
+                    red = np.minimum.reduceat(derived, sh_starts[nonempty])
                     col[nonempty] = red.view(np.int64)
                 col[~nonempty] = pd.NA
                 out[f"mh_{i}"] = col
