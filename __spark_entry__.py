@@ -1210,6 +1210,54 @@ def _q_b8_boost_topk(spark, sf_dir):
     )
 
 
+def _q_d6_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on
+    md5(lower(text)) — streaming/ingest.dedup_stream) run availableNow
+    over a parquet drop of documents(doc_id<300) UNIONed with re-published
+    copies of the first 50 (the d3 duplication pattern): the surviving
+    content-hash set equals batch DISTINCT — the 50 injected copies must
+    all be dropped. Exercises the real Structured Streaming machinery —
+    watermark, state store, append sink — inside the oracle gate."""
+    import tempfile
+    import uuid
+
+    from rabbit_index_ingest_spark.streaming.ingest import dedup_stream
+
+    work = tempfile.mkdtemp(prefix="rii_d6_")
+    src = os.path.join(work, "src")
+    schema = "conv_id string, turn_idx int, text string, ts timestamp"
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 300).select("doc_id", "text")
+    dup = d.unionByName(
+        d.where(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+        )
+    )
+    (
+        dup.select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            "text",
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")).alias("ts"),
+        )
+        .write.parquet(src)
+    )
+    name = "d6_out_" + uuid.uuid4().hex[:12]
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        dedup_stream(stream, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).select(
+        F.md5(F.lower("text")).alias("content_hash")
+    )
+
+
 H2_SLOP = 2
 
 
@@ -1401,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a13_text_scrub": _q_a13_text_scrub,
         "d1_exact_dedup": _q_d1_exact_dedup,
         "d2_minhash": _q_d2_minhash,
+        "d6_streaming_dedup": _q_d6_streaming_dedup,
         "d3_lsh_pairs": _q_d3_lsh_pairs,
         "d4_ngram_jaccard": _q_d4_ngram_jaccard,
         "d5_simhash": _q_d5_simhash,
@@ -2460,6 +2509,10 @@ SELECT doc_id,
 FROM documents
 """
 
+    sql["d6_streaming_dedup"] = """
+SELECT DISTINCT md5(lower(text)) AS content_hash
+FROM documents WHERE doc_id < 300
+"""
     sql["d1_exact_dedup"] = """
 WITH dup AS (
   SELECT doc_id, text FROM documents

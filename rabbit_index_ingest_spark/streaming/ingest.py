@@ -54,6 +54,39 @@ def windowed_turn_counts(stream: DataFrame, watermark: str = "5 minutes") -> Dat
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — the Structured-Streaming twin of
+    ``operators.dedup.exact_dedup`` (same content key: ``md5(lower(text))``),
+    built on ``dropDuplicatesWithinWatermark``: the FIRST arrival of each
+    distinct content passes, later copies are dropped as long as they
+    arrive within the event-time watermark of the original.
+
+    State bound (why this survives 10^12 turns where a plain
+    ``dropDuplicates`` would not): the state store keeps one row per
+    distinct content hash seen within the watermark HORIZON only — expired
+    keys are evicted each trigger, so state is O(dedup-window throughput),
+    not O(corpus). The trade, documented against the batch twin: a
+    duplicate arriving LATER than the watermark re-passes (its state row
+    is gone); the batch operator is the exact ground truth, and the two
+    agree whenever duplicates arrive within the watermark (test-asserted).
+    Compose ahead of ``start_incremental_index`` so re-published messages
+    never become index segments — and note the index's doc_as_upsert
+    already makes any survivor idempotent by key, so a watermark-escapee
+    degrades to a harmless re-upsert, not a duplicate doc."""
+    h = F.md5(F.lower(F.col(text_col)))
+    return (
+        stream.withColumn("_content_hash", h)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_content_hash"])
+        .drop("_content_hash")
+    )
+
+
 def start_incremental_index(
     stream: DataFrame,
     store_root: str,

@@ -571,3 +571,83 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
         ).collect()
     }
     assert twin <= got, (twin, got)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark-based streaming exact dedup: the
+    first arrival of each distinct content survives, in-watermark copies
+    (same or later micro-batch) are dropped; the surviving content SET
+    equals the batch twin operators.dedup.exact_dedup on the union."""
+    import datetime as dt
+
+    from rabbit_index_ingest_spark.operators.dedup import exact_dedup
+    from rabbit_index_ingest_spark.streaming.ingest import dedup_stream
+
+    src = tmp_path / "turns_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_dedup")
+    schema = "conv_id string, turn_idx int, text string, ts timestamp"
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    rows1 = [
+        ("c1", 0, "alpha beta gamma", t0),
+        ("c1", 1, "alpha beta gamma", t0 + dt.timedelta(seconds=10)),  # dup
+        ("c2", 0, "Alpha  BETA gamma!", t0 + dt.timedelta(seconds=20)),  # dup (analyzer-insensitive? no: md5(lower(text)) — different punctuation => distinct)
+        ("c3", 0, "delta", t0 + dt.timedelta(seconds=30)),
+    ]
+    rows2 = [
+        ("c4", 0, "alpha beta gamma", t0 + dt.timedelta(seconds=40)),  # dup across batches
+        ("c5", 0, "epsilon", t0 + dt.timedelta(seconds=50)),
+        ("c5", 1, "delta", t0 + dt.timedelta(seconds=55)),  # dup across batches
+    ]
+    drop("b1", rows1)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = dedup_stream(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        drop("b2", rows2)
+        q.processAllAvailable()
+        # append-mode rows flush once the watermark passes; push it far
+        drop("b3", [("zz", 0, "far future", t0 + dt.timedelta(days=1))])
+        q.processAllAvailable()
+        drop("b4", [("zz", 1, "farther", t0 + dt.timedelta(days=1, seconds=5))])
+        q.processAllAvailable()
+        got = {
+            r["text"] for r in spark.table("dedup_out").collect()
+        }
+    finally:
+        q.stop()
+    union = spark.createDataFrame(
+        rows1 + rows2, schema
+    ).withColumn("doc_id", F.monotonically_increasing_id())
+    want = {
+        r["text"]
+        for r in exact_dedup(union, key_col="doc_id").collect()
+    }
+    # streaming survivors = batch survivors as a content set (md5(lower))
+    def norm(s):
+        return s.lower()
+    assert {norm(t) for t in got if t not in ("far future", "farther")} == {
+        norm(t) for t in want
+    }
+    # and the duplicate contents appear exactly once
+    texts = [r["text"].lower() for r in spark.table("dedup_out").collect()]
+    assert texts.count("alpha beta gamma") == 1
+    assert texts.count("delta") == 1
