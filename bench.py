@@ -295,6 +295,56 @@ def run_suite(cpus: int, quick: bool = False) -> dict:
     shutil.rmtree(nopos_root, ignore_errors=True)
     _log(f"build_nopos done in {timings['build_nopos']:.1f}s")
 
+    # round 6: deep paging — cursor path (search_after, O(k) state) vs
+    # from/size (ranks depth+k) at depth 60 on the same mixed query
+    deep = 60
+    full_top = searcher.topk_blockmax(queries["q_bmw_mix"], deep + 10).collect()
+    if len(full_top) > deep:
+        cur = (full_top[deep - 1]["score"], full_top[deep - 1]["doc_id"])
+        t0 = time.time()
+        searcher.search_after(queries["q_bmw_mix"], 10, after=cur).collect()
+        timings["q_search_after_deep"] = time.time() - t0
+        t0 = time.time()
+        searcher.page(queries["q_bmw_mix"], from_=deep, size=10).collect()
+        timings["q_page_deep"] = time.time() - t0
+
+    # round 6: multi-field build (text + derived 4-token title) and
+    # multi_match over both fields — the ES-default query shape
+    from rabbit_index_ingest_spark.analysis import tokens_expr
+    from rabbit_index_ingest_spark.index.build import build_index_multifield
+
+    two_field = transcripts.select(
+        "conv_id", "turn_idx", "text",
+        F.array_join(F.slice(tokens_expr("text"), 1, 4), " ").alias("title"),
+    )
+    t0 = time.time()
+    built_mf = build_index_multifield(
+        spark, two_field, fields={"text": "text", "title": "title"}
+    )
+    timings["build_multifield"] = time.time() - t0
+    s_mf = Searcher(
+        spark, built_mf.postings, built_mf.dictionary, built_mf.n_docs,
+        built_mf.avgdl, field_stats=built_mf.field_stats,
+    )
+    mm_fields = {"text": 1.0, "title": 2.0}
+    # untimed warmup (first query pays the dictionary term-meta job)
+    s_mf.topk_multimatch(queries["q_bmw_hot"], mm_fields, 10).collect()
+    for name, mode in (
+        ("q_multimatch_best", "best_fields"),
+        ("q_multimatch_most", "most_fields"),
+    ):
+        t0 = time.time()
+        s_mf.topk_multimatch(
+            queries["q_bmw_mix"], mm_fields, 10, mode=mode, tie_breaker=0.3
+        ).collect()
+        timings[name] = time.time() - t0
+    built_mf.release()
+    _log(
+        f"round-6 paths done: mf_build={timings['build_multifield']:.1f}s "
+        f"mm_best={timings['q_multimatch_best']:.2f}s "
+        f"sa_deep={timings.get('q_search_after_deep', -1):.2f}s"
+    )
+
     # dedup: minhash + LSH candidates over transcript texts
     from rabbit_index_ingest_spark.operators.dedup import (
         lsh_candidate_pairs,

@@ -648,6 +648,10 @@ def build_index_multifield(
     )
     if persist_postings:
         postings = postings.persist()
+        # materialize the pack shuffle NOW (build_index parity — its
+        # dictionary-rollup collect does this implicitly): without this
+        # the first query would silently pay the whole postings build
+        postings.count()
 
     dictionary = dictionary_from_blocks(postings)
 
