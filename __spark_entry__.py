@@ -1273,6 +1273,47 @@ def _q_h2_phrase_highlight(spark, sf_dir):
     return phrase_spans(_docs(spark, sf_dir), P1_PHRASE, slop=H2_SLOP)
 
 
+def _q_g10_top_hits(spark, sf_dir):
+    """ES top_hits under a terms agg: for the 3 largest lang buckets of
+    the match set, the 2 best-scoring docs each (full BM25, score desc /
+    doc_id asc) — Searcher.top_hits_agg: one decode+aggregation, one
+    window, no per-bucket jobs."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = _agg_attrs(spark, sf_dir, built, "lang")
+    out = searcher.top_hits_agg(
+        " ".join(BM25_QUERY_TERMS), attrs, "lang",
+        hits_per_bucket=2, n_buckets=3,
+    )
+    return _with_orig_doc_id(out, built).select(
+        "value", "doc_id", F.round("score", 4).alias("score"), "rank"
+    )
+
+
+def _q_f3_exists(spark, sf_dir):
+    """ES bool exists filter: BM25 ranking restricted to docs whose field
+    is non-null (Searcher.exists_filter as the allowed= list — a
+    pushed-down IsNotNull scan). The sf documents carry no nulls, so the
+    field is deterministically nulled for doc_id%5==0 on BOTH sides (the
+    twin filters doc_id%5<>0). Full scored set."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = _agg_attrs(spark, sf_dir, built, "source").join(
+        built.doc_stats.select("doc_id", F.col("conv_id").cast("long").alias("_orig")),
+        "doc_id",
+    ).select(
+        "doc_id",
+        F.when(F.col("_orig") % 5 == 0, F.lit(None)).otherwise(
+            F.col("source")
+        ).alias("source"),
+    )
+    allowed = searcher.exists_filter(attrs, "source")
+    top = searcher.topk_blockmax(
+        " ".join(BM25_QUERY_TERMS), 10_000_000, allowed=allowed
+    )
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 G8_QUERY = "spark"
 
 
@@ -1302,6 +1343,27 @@ def _q_g9_composite(spark, sf_dir):
         return searcher.composite_agg(q, attrs, cols, size=4)
     after = (p1[-1]["lang"], p1[-1]["source"])
     return searcher.composite_agg(q, attrs, cols, size=10_000_000, after=after)
+
+
+P4_FIELD_PHRASE = "scan key"  # leading title bigram in the sf corpora
+
+
+def _q_p4_field_phrase(spark, sf_dir):
+    """ES match_phrase on a NON-default field of the multi-field index:
+    within-field positions, field doc_count idf, field avgdl — the same
+    positional block-max chassis on prefixed term keys
+    (Searcher.topk_phrase(field='title')). Full scored set."""
+    from rabbit_index_ingest_spark.index.query import Searcher
+
+    built = _mm_index(spark, sf_dir)
+    s = Searcher(
+        spark, built.postings, built.dictionary, built.n_docs, built.avgdl,
+        field_stats=built.field_stats,
+    )
+    top = s.topk_phrase(P4_FIELD_PHRASE, 10_000_000, field="title")
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
 
 
 def _q_sa1_search_after(spark, sf_dir):
@@ -1426,12 +1488,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g7_date_histogram_matched": _q_g7_date_histogram_matched,
         "g8_significant": _q_g8_significant,
         "g9_composite": _q_g9_composite,
+        "g10_top_hits": _q_g10_top_hits,
+        "f3_exists": _q_f3_exists,
         "f1_filtered_topk": _q_f1_filtered_topk,
         "f2_must_not_topk": _q_f2_must_not_topk,
         "b8_boost_topk": _q_b8_boost_topk,
         "dm1_dismax_topk": _q_dm1_dismax_topk,
         "mm1_best_fields": _q_mm1_best_fields,
         "mm2_most_fields": _q_mm2_most_fields,
+        "p4_field_phrase": _q_p4_field_phrase,
         "b9_delete_by_query_topk": _q_b9_delete_by_query_topk,
         "q1_match_count": _q_q1_match_count,
         "p3_page2": _q_p3_page2,
@@ -2306,6 +2371,32 @@ scored AS (
 SELECT term, fg_count, bg_count, round(score, 6) AS score FROM scored
 ORDER BY score DESC, term LIMIT 10
 """
+    # top_hits twin: rank inside the window by the UNROUNDED score (the
+    # engine does), round only in the output — strip _bm25_sql's tail
+    # SELECT and continue the CTE chain from `scored`
+    _g10_base = _bm25_sql(q, None).rsplit("SELECT doc_id", 1)[0].rstrip()
+    sql["g10_top_hits"] = _g10_base + """
+, hits AS (
+  SELECT d.lang AS value, s.doc_id, s.score
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+  WHERE d.lang IS NOT NULL
+),
+tb AS (
+  SELECT value FROM hits GROUP BY 1
+  ORDER BY count(*) DESC, value LIMIT 3
+),
+ranked AS (
+  SELECT value, doc_id, score,
+         row_number() OVER (PARTITION BY value
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM hits WHERE value IN (SELECT value FROM tb)
+)
+SELECT value, doc_id, round(score, 4) AS score, rank::INT AS rank
+FROM ranked WHERE rank <= 2
+"""
+    sql["f3_exists"] = _bm25_sql(
+        q, None, doc_filter="doc_id % 5 <> 0"
+    )
     sql["g9_composite"] = matched_cte + """
 , b AS (
   SELECT lang, source, count(*)::BIGINT AS doc_count
@@ -2392,6 +2483,50 @@ SELECT DISTINCT doc_id, 1.0 AS score FROM tok WHERE term LIKE '{PR_PREFIX}%'
     sql["dm1_dismax_topk"] = _dismax_sql(q, DM1_TIEBREAK)
     sql["mm1_best_fields"] = _multimatch_sql("best_fields", MM_TB)
     sql["mm2_most_fields"] = _multimatch_sql("most_fields", MM_TB)
+    # per-field phrase twin: title tokens (first 4, empty for doc_id%7==0),
+    # field docCount stats, sliding-bigram phrase tf, pseudo-term BM25
+    sql["p4_field_phrase"] = f"""
+WITH tt AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_slice({_TOK}, 1, 4) END AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+  FROM tt
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM dl)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM dl)::DOUBLE AS avgdl
+),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+  WHERE term IN ('scan', 'key') GROUP BY 1
+),
+idfs AS (
+  SELECT term, ln(1 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+  FROM dfs CROSS JOIN stats
+),
+ph AS (
+  SELECT t0.doc_id, count(*)::DOUBLE AS ptf
+  FROM tok t0
+  JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+             AND t1.term = 'key'
+  WHERE t0.term = 'scan'
+  GROUP BY 1
+)
+SELECT ph.doc_id,
+       round(((SELECT idf FROM idfs WHERE term = 'scan')
+              + (SELECT idf FROM idfs WHERE term = 'key'))
+             * ptf * ({K1} + 1.0)
+             / (ptf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)),
+             4) AS score
+FROM ph
+JOIN dl ON dl.doc_id = ph.doc_id
+CROSS JOIN stats
+"""
     # delete_by_query twin: live docs = docs NOT containing the deleted
     # term; stats stay corpus-wide (unmerged-tombstone Lucene semantics,
     # which _bm25_sql's doc_filter already implements — it restricts the

@@ -111,6 +111,10 @@ def _parser() -> argparse.ArgumentParser:
                    default="best_fields",
                    help="multi_match combine: best_fields = dis_max over "
                         "per-field sums (ES default), most_fields = sum")
+    q.add_argument("--search-field", default=None,
+                   help="phrase mode: run the match_phrase against this "
+                        "FIELD of a multi-field index (within-field "
+                        "positions, field stats); default: the text field")
     q.add_argument("--boost", action="append", default=None,
                    metavar="TERM=W",
                    help="or mode: ES query-time boost — multiply a "
@@ -255,7 +259,7 @@ def main(argv: list[str] | None = None) -> int:
         elif args.mode == "phrase":
             top = s.topk_phrase(
                 args.q, args.k, allowed=allowed, slop=args.slop,
-                excluded=excluded,
+                excluded=excluded, field=args.search_field,
             )
         elif args.mode == "near":
             top = (

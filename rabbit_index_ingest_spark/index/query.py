@@ -1629,6 +1629,7 @@ class Searcher:
         skip_acc=None,
         slop: int = 0,
         excluded: DataFrame | None = None,
+        field: str | None = None,
     ) -> DataFrame:
         """Exact phrase top-k (ES ``match_phrase``) — the block-max
         positional path and the engine default. Semantics and scores are
@@ -1660,11 +1661,34 @@ class Searcher:
         qterms = py_tokenize(query_text)
         if not qterms:
             return _empty_topk(self.spark)
+        # per-field phrase (ES match_phrase on a non-default field of a
+        # multi-field index): the field's tokens are prefixed term keys
+        # whose posting blocks carry WITHIN-FIELD positions and the
+        # field's dl stream, so the positional chassis runs unchanged —
+        # only the term keys, idf stats (field doc_count) and avgdl
+        # (field avgFieldLength) are swapped
+        n_docs, avgdl = self.n_docs, self.avgdl
+        if field is not None:
+            from .build import DEFAULT_FIELD, field_term
+
+            if self.field_stats is None:
+                raise ValueError(
+                    "field= needs a multi-field index — build with "
+                    "build_index_multifield and pass field_stats"
+                )
+            if field not in self.field_stats:
+                raise ValueError(
+                    f"unknown field {field!r}; index has "
+                    f"{sorted(self.field_stats)}"
+                )
+            if field != DEFAULT_FIELD:
+                qterms = [field_term(field, t) for t in qterms]
+            n_docs, avgdl = self.field_stats[field]
         uniq = sorted(set(qterms))
         meta = self._term_meta(uniq)
         if any(meta[t][0] == 0 for t in uniq):
             return _empty_topk(self.spark)  # a phrase term matches nothing
-        idf_phrase = sum(lucene_idf(self.n_docs, meta[t][0]) for t in qterms)
+        idf_phrase = sum(lucene_idf(n_docs, meta[t][0]) for t in qterms)
         offsets: dict[str, list[int]] = {}
         for i, t in enumerate(qterms):
             offsets.setdefault(t, []).append(i)
@@ -1682,14 +1706,14 @@ class Searcher:
         side = self._side_frame(allowed, excluded)
         if slop > 0:
             scorer = _make_sloppy_range_scorer(
-                idf_phrase, self.avgdl, k, self.range_bits, order,
+                idf_phrase, avgdl, k, self.range_bits, order,
                 [(t, i) for i, t in enumerate(qterms)], slop, True,
                 self.deleted, allowed_present=allowed is not None,
                 cogrouped=side is not None, skip_acc=skip_acc,
             )
         else:
             scorer = _make_phrase_range_scorer(
-                idf_phrase, self.avgdl, k, self.range_bits, order, offsets,
+                idf_phrase, avgdl, k, self.range_bits, order, offsets,
                 self.deleted, allowed_present=allowed is not None,
                 cogrouped=side is not None, skip_acc=skip_acc,
             )
@@ -2316,6 +2340,70 @@ class Searcher:
             )
         )
         return scored.orderBy(F.desc("score"), F.asc("term")).limit(size)
+
+    def top_hits_agg(
+        self,
+        query_text: str,
+        attrs: DataFrame,
+        facet_col: str,
+        hits_per_bucket: int = 3,
+        n_buckets: int = 10,
+    ) -> DataFrame:
+        """ES ``top_hits`` under a ``terms`` aggregation: for the
+        ``n_buckets`` largest buckets of ``facet_col`` over the query's
+        match set, the ``hits_per_bucket`` best-scoring docs (full BM25,
+        score desc / doc_id asc — the deterministic hit order). NULL
+        facet values drop (ES terms-agg default). Returns
+        ``(value, doc_id, score, rank)``.
+
+        Plan: ONE decode+aggregation produces the match set's exact
+        scores (the `_bm25_scored` pipeline shared with topk_dataframe),
+        bucket selection is a count groupBy + top-N (count desc, value
+        asc tiebreak), and per-bucket hits are one window row_number —
+        no per-bucket jobs, no collect."""
+        from pyspark.sql import Window
+
+        if hits_per_bucket <= 0 or n_buckets <= 0:
+            raise ValueError(
+                f"need hits_per_bucket > 0 and n_buckets > 0, got "
+                f"{hits_per_bucket}/{n_buckets}"
+            )
+        v = self._attr_col(attrs, facet_col)
+        out_schema = "value string, doc_id long, score double, rank int"
+        plan = self._plan(query_text)
+        if plan is None:
+            return self.spark.createDataFrame([], out_schema)
+        idfs, blocks, _ = plan
+        scored = self._bm25_scored(
+            self._mask_deleted(flat_postings(blocks)), idfs
+        )
+        hits = scored.join(attrs, "doc_id", "inner").where(v.isNotNull()).select(
+            v.cast("string").alias("value"), "doc_id", "score"
+        )
+        top_buckets = (
+            hits.groupBy("value")
+            .agg(F.count("*").alias("_n"))
+            .orderBy(F.desc("_n"), F.asc("value"))
+            .limit(n_buckets)
+            .select("value")
+        )
+        w = Window.partitionBy("value").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            hits.join(F.broadcast(top_buckets), "value", "left_semi")
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= hits_per_bucket)
+            .select("value", "doc_id", "score", "rank")
+        )
+
+    def exists_filter(self, attrs: DataFrame, col: str) -> DataFrame:
+        """ES ``exists`` query as an allow-list builder: doc_ids whose
+        ``col`` is non-null in ``attrs`` — compose as ``allowed=`` on any
+        query mode (ES bool { filter: { exists } }). Pure pushed-down
+        IsNotNull scan."""
+        v = self._attr_col(attrs, col)
+        return attrs.where(v.isNotNull()).select("doc_id")
 
     def composite_agg(
         self,

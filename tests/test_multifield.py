@@ -293,3 +293,58 @@ def test_multifield_store_roundtrip(spark, mfcorpus, tmp_path):
         store.upsert(batch)
     with pytest.raises(ValueError, match="multi-field"):
         store.merge_segments([0, 1])
+
+
+def test_per_field_phrase(spark, mfcorpus):
+    """ES match_phrase on a non-default field: positions are WITHIN-FIELD,
+    idf uses the field's doc_count, dl/avgdl the field's lengths — checked
+    against a pure-Python phrase oracle over the title tokens."""
+    import math
+
+    pdf, titles, built, s = mfcorpus
+    # pick a title bigram that occurs somewhere
+    title_toks = [py_tokenize(t) for t in titles]
+    bigram = None
+    for toks in title_toks:
+        if len(toks) >= 2:
+            bigram = (toks[0], toks[1])
+            break
+    assert bigram
+    q = " ".join(bigram)
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_phrase(q, 10_000, field="title").collect()
+    ]
+    # oracle: sliding-window phrase tf over title tokens, field stats
+    dc = sum(1 for t in title_toks if t)
+    avgdl = sum(len(t) for t in title_toks) / dc
+    from rabbit_index_ingest_spark.index.codec import B as bB
+    from rabbit_index_ingest_spark.index.codec import K1 as kK
+    dfs = {
+        w: sum(1 for t in title_toks if w in t) for w in bigram
+    }
+    idf_q = sum(
+        math.log(1.0 + (dc - dfs[w] + 0.5) / (dfs[w] + 0.5)) for w in bigram
+    )
+    want = []
+    for i, toks in enumerate(title_toks):
+        ptf = sum(
+            1 for p in range(len(toks) - 1)
+            if toks[p] == bigram[0] and toks[p + 1] == bigram[1]
+        )
+        if ptf:
+            dl = len(toks)
+            sc = idf_q * ptf * (kK + 1.0) / (
+                ptf + kK * (1.0 - bB + bB * dl / avgdl)
+            )
+            want.append((i, round(sc, 9)))
+    want.sort(key=lambda kv: (-kv[1], kv[0]))
+    assert got == want and got
+    # phrase on the DEFAULT field via field="text" == plain topk_phrase
+    a = [(r["doc_id"], round(r["score"], 9))
+         for r in s.topk_phrase("zephyr quantum", 100, field="text").collect()]
+    b = [(r["doc_id"], round(r["score"], 9))
+         for r in s.topk_phrase("zephyr quantum", 100).collect()]
+    assert a == b
+    with pytest.raises(ValueError, match="unknown field"):
+        s.topk_phrase(q, 10, field="nope")

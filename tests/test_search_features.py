@@ -1060,3 +1060,67 @@ def test_composite_agg_tiles_all_buckets(spark, pcorpus):
         s.composite_agg(q, attrs, ["turn_idx", "dl3"], after=(1,))
     with pytest.raises(ValueError, match="non-empty"):
         s.composite_agg(q, attrs, [])
+
+
+def test_top_hits_agg_matches_python_oracle(spark, pcorpus):
+    pdf, built, s = pcorpus
+    q = "zephyr quantum karo"
+    qt = sorted(set(py_tokenize(q)))
+    import math
+    from rabbit_index_ingest_spark.index.codec import B as bB
+    from rabbit_index_ingest_spark.index.codec import K1 as kK
+    toks = [py_tokenize(t) for t in pdf["text"]]
+    n = len(pdf)
+    avgdl = sum(len(d) for d in toks) / n
+    scores = {}
+    for i, d in enumerate(toks):
+        sc = 0.0
+        for t in qt:
+            tf = d.count(t)
+            if not tf:
+                continue
+            df = sum(1 for dd in toks if t in dd)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            sc += idf * tf * (kK + 1.0) / (tf + kK * (1.0 - bB + bB * len(d) / avgdl))
+        if sc > 0:
+            scores[i] = sc
+    # facet: turn_idx, with one bucket nulled to prove null-drop
+    fvals = {i: (None if pdf["turn_idx"][i] == 2 else str(pdf["turn_idx"][i]))
+             for i in range(n)}
+    attrs = spark.createDataFrame(
+        [(i, fvals[i]) for i in range(n)], "doc_id long, fv string"
+    )
+    from collections import Counter, defaultdict
+    sizes = Counter(fvals[i] for i in scores if fvals[i] is not None)
+    top_buckets = [v for v, _ in sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0]))[:3]]
+    want = []
+    per = defaultdict(list)
+    for i, sc in scores.items():
+        if fvals[i] in top_buckets:
+            per[fvals[i]].append((i, sc))
+    for v, lst in per.items():
+        lst.sort(key=lambda x: (-x[1], x[0]))
+        for r, (i, sc) in enumerate(lst[:2], start=1):
+            want.append((v, i, round(sc, 9), r))
+    got = [
+        (r["value"], r["doc_id"], round(r["score"], 9), r["rank"])
+        for r in s.top_hits_agg(q, attrs, "fv", hits_per_bucket=2,
+                                n_buckets=3).collect()
+    ]
+    assert sorted(got) == sorted(want) and got
+    with pytest.raises(ValueError, match="hits_per_bucket"):
+        s.top_hits_agg(q, attrs, "fv", hits_per_bucket=0)
+    assert s.top_hits_agg("qzxabsent", attrs, "fv").count() == 0
+
+
+def test_exists_filter_composes(spark, pcorpus):
+    pdf, built, s = pcorpus
+    q = "zephyr quantum karo"
+    attrs = spark.createDataFrame(
+        [(i, i if i % 3 else None) for i in range(len(pdf))],
+        "doc_id long, maybe long",
+    )
+    allowed = s.exists_filter(attrs, "maybe")
+    got = {r["doc_id"] for r in s.topk_blockmax(q, 1000, allowed=allowed).collect()}
+    base = {r["doc_id"] for r in s.topk_blockmax(q, 1000).collect()}
+    assert got == {d for d in base if d % 3 != 0} and got
