@@ -96,6 +96,9 @@ class BuiltIndex:
     # field, avgdl = total_tokens / doc_count (BM25Similarity's
     # avgFieldLength). None for single-field indexes.
     field_stats: DataFrame | None = None
+    # the field stored UNPREFIXED (multi-field indexes; persisted with
+    # field_stats so upsert/merge rebuild with the same prefix layout)
+    default_field: str = "text"
 
     def release(self) -> None:
         """Unpersist build-time caches — call once the index is saved (or
@@ -571,7 +574,7 @@ def build_index_multifield(
             f"default_field {default_field!r} must be one of {sorted(fields)}"
         )
     for f in fields:
-        if FIELD_SEP in f or not f:
+        if FIELD_SEP in f or not f or f in ("doc_id", "conv_id", "turn_idx", "dl"):
             raise ValueError(f"bad field name {f!r}")
     src_cols = [c for c in dict.fromkeys(fields.values())]
     assigned, n_docs, ranged_cache = assign_doc_ids_with_count(
@@ -579,20 +582,58 @@ def build_index_multifield(
         key_cols=(id_col, order_col),
         id_base=id_base,
     )
-    # one persisted frame carries every field's token array; docs /
-    # doc_stats / per-field occurrences are all projections of it
-    toks = assigned.select(
+    numbered = assigned.select(
         "doc_id",
         F.col(id_col).alias("conv_id"),
         F.col(order_col).alias("turn_idx"),
-        *[
-            F.col(src).alias(f"_src_{f}")
-            for f, src in fields.items()
-        ],
-        *[
-            tokens_expr(F.col(src)).alias(f"_toks_{f}")
-            for f, src in fields.items()
-        ],
+        *[F.col(src).alias(f) for f, src in fields.items()],
+    )
+    return build_index_multifield_prenumbered(
+        spark,
+        numbered,
+        list(fields),
+        default_field=default_field,
+        n_docs=n_docs,
+        next_doc_id=id_base + n_docs,
+        block_size=block_size,
+        range_bits=range_bits,
+        persist_postings=persist_postings,
+        positions=positions,
+        _ranged_cache=ranged_cache,
+    )
+
+
+def build_index_multifield_prenumbered(
+    spark: SparkSession,
+    numbered: DataFrame,
+    fields: list[str],
+    default_field: str = DEFAULT_FIELD,
+    n_docs: int | None = None,
+    next_doc_id: int | None = None,
+    block_size: int = codec.BLOCK_SIZE,
+    range_bits: int = RANGE_BITS,
+    persist_postings: bool = True,
+    positions: bool = True,
+    _ranged_cache: DataFrame | None = None,
+) -> BuiltIndex:
+    """Multi-field build over an ALREADY-NUMBERED corpus — ``numbered``
+    carries (doc_id, conv_id, turn_idx, <one column per field, named BY
+    the field>). The id-preserving core that ``build_index_multifield``
+    wraps and that multi-field segment merge calls directly (exactly the
+    ``build_index_prenumbered`` contract, field-aware)."""
+    if n_docs is None:
+        n_docs = numbered.count()
+    if next_doc_id is None:
+        row = numbered.agg(F.max("doc_id").alias("m")).collect()[0]
+        next_doc_id = (int(row["m"]) + 1) if row["m"] is not None else 0
+    # one persisted frame carries every field's token array; docs /
+    # doc_stats / per-field occurrences are all projections of it
+    toks = numbered.select(
+        "doc_id",
+        "conv_id",
+        "turn_idx",
+        *[F.col(f).alias(f"_src_{f}") for f in fields],
+        *[tokens_expr(F.col(f)).alias(f"_toks_{f}") for f in fields],
     ).persist()
 
     docs = toks.select(
@@ -672,13 +713,13 @@ def build_index_multifield(
     field_stats = spark.createDataFrame(
         fs_rows, "field string, doc_count long, avgdl double, total_tokens long"
     )
-    if ranged_cache is not None:
-        ranged_cache.unpersist()
+    if _ranged_cache is not None:
+        _ranged_cache.unpersist()
 
     total_default = next(r[3] for r in fs_rows if r[0] == default_field)
     avgdl = (total_default / n_docs) if n_docs else 0.0
     corpus_stats = spark.createDataFrame(
-        [(n_docs, avgdl, total_default, id_base + n_docs, positions)],
+        [(n_docs, avgdl, total_default, next_doc_id, positions)],
         "n_docs long, avgdl double, total_tokens long, next_doc_id long,"
         " positions boolean",
     )
@@ -693,4 +734,5 @@ def build_index_multifield(
         positions=positions,
         cached=(toks, postings) if persist_postings else (toks,),
         field_stats=field_stats,
+        default_field=default_field,
     )

@@ -413,7 +413,9 @@ class IndexStore:
 
     def _write_field_stats(self, built: BuiltIndex, segment: int) -> None:
         """Per-field stats (multi-field indexes) — a handful of rows,
-        written driver-side via pyarrow like corpus_stats."""
+        written driver-side via pyarrow like corpus_stats. ``is_default``
+        marks the unprefixed field so upsert/merge rebuild segments with
+        the SAME prefix layout."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -428,11 +430,32 @@ class IndexStore:
                 "total_tokens": pa.array(
                     [r["total_tokens"] for r in rows], pa.int64()
                 ),
+                "is_default": pa.array(
+                    [r["field"] == built.default_field for r in rows],
+                    pa.bool_(),
+                ),
             }
         )
         path = self._path("field_stats", segment)
         os.makedirs(path, exist_ok=True)
         pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+
+    def _field_info(self) -> tuple[list[str], str] | None:
+        """(sorted field names, default field) of a multi-field index,
+        from the tiny field_stats table; None for single-field stores."""
+        from .build import DEFAULT_FIELD
+
+        if not os.path.isdir(os.path.join(self.root, "field_stats")):
+            return None
+        df = self._read_all("field_stats")
+        cols = ["field"] + (["is_default"] if "is_default" in df.columns else [])
+        rows = df.select(*cols).distinct().collect()
+        fields = sorted({r["field"] for r in rows})
+        defaults = sorted(
+            r["field"] for r in rows
+            if "is_default" in cols and r["is_default"]
+        )
+        return fields, (defaults[0] if defaults else DEFAULT_FIELD)
 
     def _build_metrics(
         self,
@@ -480,18 +503,6 @@ class IndexStore:
             .select(F.lit("doc_range").alias("dimension"), "key", "metric", "value")
         )
         return bucket_long.unionByName(range_long)
-
-    def _reject_multifield(self, op: str) -> None:
-        """Multi-field indexes are currently rebuild-only: ``upsert`` and
-        segment ``merge`` would re-index through the single-field build and
-        silently drop the prefixed fields' postings — fail loud instead.
-        (delete_by_query / compact-free reads work unchanged: tombstones
-        and query paths are field-agnostic.)"""
-        if os.path.isdir(os.path.join(self.root, "field_stats")):
-            raise ValueError(
-                f"{op} on a multi-field index is not supported — rebuild "
-                "with build_index_multifield and save() to a fresh segment"
-            )
 
     def segments(self) -> list[int]:
         # the docs table is written by every save; its seg= children are
@@ -657,6 +668,7 @@ class IndexStore:
                 .agg(
                     F.sum("doc_count").alias("doc_count"),
                     F.sum("total_tokens").alias("total_tokens"),
+                    F.max("is_default").alias("is_default"),
                 )
                 .select(
                     "field",
@@ -666,6 +678,7 @@ class IndexStore:
                         F.col("total_tokens") / F.col("doc_count"),
                     ).otherwise(F.lit(0.0)).alias("avgdl"),
                     "total_tokens",
+                    "is_default",
                 )
             )
         return LoadedIndex(
@@ -726,7 +739,9 @@ class IndexStore:
         """
         from pyspark.sql import Observation
 
-        self._reject_multifield("upsert")
+        # multi-field store? rebuild segments with the SAME field layout
+        # (fields + default from the persisted field_stats table)
+        finfo = self._field_info()
         # allocator spans tombstone files too — see _next_segment
         seg = self._next_segment()
         stats_df = self._read_all("corpus_stats")
@@ -749,20 +764,47 @@ class IndexStore:
         )
         # in-batch last-write-wins: the reference applies messages one at a
         # time, so a batch carrying the same (conv_id, turn_idx) twice must
-        # leave exactly ONE live version. Deterministic pick: max (ts, text)
-        # — latest timestamp wins, text as a total tie-break.
-        pick_cols = [F.col(text_col).alias("t")]
+        # leave exactly ONE live version. Deterministic pick: max (ts,
+        # content columns) — latest timestamp wins, content as a total
+        # tie-break. For a multi-field store the content is EVERY scored
+        # field (the batch must carry all of them, named by field).
+        tgt_cols = finfo[0] if finfo else [text_col]
+        missing = [c for c in tgt_cols if c not in new_turns.columns]
+        if missing:
+            raise ValueError(
+                f"upsert batch is missing content column(s) {missing}; "
+                f"this index's scored fields are {tgt_cols}"
+            )
+        pick_cols = [
+            F.col(c).alias(f"_c{i}") for i, c in enumerate(tgt_cols)
+        ]
         if "ts" in new_turns.columns:
             pick_cols.insert(0, F.col("ts"))
         new_turns = (
             new_turns.groupBy(id_col, order_col)
             .agg(F.max(F.struct(*pick_cols)).alias("_m"))
-            .select(id_col, order_col, F.col("_m.t").alias(text_col))
+            .select(
+                id_col,
+                order_col,
+                *[
+                    F.col(f"_m._c{i}").alias(c)
+                    for i, c in enumerate(tgt_cols)
+                ],
+            )
         )
-        built = build_index(
-            self.spark, new_turns, id_col, order_col, text_col,
-            id_base=next_doc_id, positions=positions,
-        )
+        if finfo:
+            from .build import build_index_multifield
+
+            built = build_index_multifield(
+                self.spark, new_turns, {f: f for f in finfo[0]},
+                id_col, order_col, default_field=finfo[1],
+                id_base=next_doc_id, positions=positions,
+            )
+        else:
+            built = build_index(
+                self.spark, new_turns, id_col, order_col, text_col,
+                id_base=next_doc_id, positions=positions,
+            )
         if built.n_docs == 0:
             # empty batch (reference: no messages → no bulk actions). An
             # empty segment would be unreadable parquet (zero part files).
@@ -820,7 +862,9 @@ class IndexStore:
         """
         from .build import build_index_prenumbered
 
-        self._reject_multifield("merge")
+        # multi-field store: rebuild with the same field layout (the docs
+        # table carries one column per scored field, named by field)
+        finfo = self._field_info()
         segs = sorted(set(seg_ids))
         have = set(self.segments())
         missing = [s for s in segs if s not in have]
@@ -830,8 +874,9 @@ class IndexStore:
             raise ValueError("merge needs >= 2 segments")
 
         docs_paths = [self._path("docs", s) for s in segs]
+        content_cols = finfo[0] if finfo else ["text"]
         all_docs = self.spark.read.parquet(*docs_paths).select(
-            "doc_id", "conv_id", "turn_idx", "text"
+            "doc_id", "conv_id", "turn_idx", *content_cols
         )
         deleted = self.tombstones_df()
         docs = all_docs
@@ -887,10 +932,18 @@ class IndexStore:
         )
         # allocator spans tombstone files too — see _next_segment
         new_seg = self._next_segment()
-        built = build_index_prenumbered(
-            self.spark, docs, next_doc_id=int(stats["hi"]),
-            positions=has_positions,
-        )
+        if finfo:
+            from .build import build_index_multifield_prenumbered
+
+            built = build_index_multifield_prenumbered(
+                self.spark, docs, finfo[0], default_field=finfo[1],
+                next_doc_id=int(stats["hi"]), positions=has_positions,
+            )
+        else:
+            built = build_index_prenumbered(
+                self.spark, docs, next_doc_id=int(stats["hi"]),
+                positions=has_positions,
+            )
         if built.n_docs == 0:
             # every doc in these segments was tombstoned — nothing to
             # write; just retire the old directories (and their stats)
@@ -921,7 +974,7 @@ class IndexStore:
         import shutil
 
         for s in segs:
-            for t in (*TABLES, "metrics"):
+            for t in (*TABLES, "metrics", "field_stats"):
                 shutil.rmtree(
                     os.path.join(self.root, t, f"seg={s:05d}"),
                     ignore_errors=True,
@@ -951,7 +1004,10 @@ class IndexStore:
 
     def compact(self) -> None:
         """Lucene force-merge analogue: rebuild a single segment from the
-        latest version of every doc, drop tombstones and old segments."""
+        latest version of every doc, drop tombstones and old segments.
+        Field-aware: a multi-field store rebuilds with its persisted
+        field layout (fields + default from field_stats)."""
+        finfo = self._field_info()
         existing = self.load()
         if existing.docs is None:
             raise ValueError("compact requires the docs (text) table")
@@ -961,12 +1017,23 @@ class IndexStore:
             latest = latest.join(
                 existing.deleted_df.select("doc_id"), "doc_id", "left_anti"
             )
-        latest = latest.select("conv_id", "turn_idx", "text")
+        content_cols = finfo[0] if finfo else ["text"]
+        latest = latest.select("conv_id", "turn_idx", *content_cols)
         latest = latest.localCheckpoint()  # sever lineage from dirs we delete
-        built = build_index(self.spark, latest)
+        if finfo:
+            from .build import build_index_multifield
+
+            built = build_index_multifield(
+                self.spark, latest, {f: f for f in finfo[0]},
+                default_field=finfo[1], positions=existing.positions,
+            )
+        else:
+            built = build_index(
+                self.spark, latest, positions=existing.positions
+            )
         import shutil
 
-        for t in (*TABLES, "metrics"):
+        for t in (*TABLES, "metrics", "field_stats"):
             shutil.rmtree(os.path.join(self.root, t), ignore_errors=True)
         shutil.rmtree(os.path.join(self.root, "_tombstones"), ignore_errors=True)
         if built.n_docs == 0:

@@ -286,13 +286,106 @@ def test_multifield_store_roundtrip(spark, mfcorpus, tmp_path):
     b = [(r["doc_id"], round(r["score"], 9))
          for r in s2.topk_multimatch(q, fields, 100, tie_breaker=TB).collect()]
     assert a == b and a
-    batch = spark.createDataFrame(
-        [("zzz", 0, "karo zephyr")], "conv_id string, turn_idx int, text string"
+    # batch missing a scored field column fails loud
+    with pytest.raises(ValueError, match="missing content column"):
+        store.upsert(
+            spark.createDataFrame(
+                [("zzz", 0, "karo zephyr")],
+                "conv_id string, turn_idx int, text string",
+            )
+        )
+
+
+def test_multifield_upsert_merge_compact_lifecycle(spark, mfcorpus, tmp_path):
+    """doc_as_upsert + tiered merge + compact on a MULTI-FIELD store:
+    upserted docs replace by key with their new field contents; a full
+    merge (== all segments) purges deletes so the result is score-
+    identical to a fresh multi-field build of the live corpus; compact
+    preserves the field layout too."""
+    from rabbit_index_ingest_spark.index.store import IndexStore
+
+    pdf, titles, _, _ = mfcorpus
+    store = IndexStore(spark, str(tmp_path / "mfidx2"))
+    store.save(
+        build_index_multifield(
+            spark, spark.createDataFrame(pdf),
+            fields={"text": "text", "title": "title"},
+        )
     )
-    with pytest.raises(ValueError, match="multi-field"):
-        store.upsert(batch)
-    with pytest.raises(ValueError, match="multi-field"):
-        store.merge_segments([0, 1])
+    # modify 3 keys (new sentinel token in TITLE) + 1 brand-new key
+    keys = list(zip(pdf["conv_id"][:3], pdf["turn_idx"][:3]))
+    batch_rows = [
+        (c, int(t), "replaced body tokens", "qqsentinel title words")
+        for c, t in keys
+    ] + [("zzz-new", 0, "fresh body", "qqsentinel fresh title")]
+    batch = spark.createDataFrame(
+        batch_rows, "conv_id string, turn_idx int, text string, title string"
+    )
+    seg = store.upsert(batch)
+    assert seg > 0
+    L = store.load()
+    s2 = Searcher(
+        spark, L.postings, L.dictionary, L.n_docs, L.avgdl,
+        deleted_df=L.deleted_df, field_stats=L.field_stats,
+    )
+    hits = s2.topk_multimatch(
+        "qqsentinel", {"title": 1.0}, 100, mode="most_fields"
+    )
+    got_keys = {
+        (r["conv_id"], r["turn_idx"])
+        for r in hits.join(L.doc_stats, "doc_id").collect()
+    }
+    assert got_keys == set((c, int(t)) for c, t in keys) | {("zzz-new", 0)}
+    # full merge == fresh build of the live corpus (scores shed deletes)
+    merged = store.merge_segments(store.segments())
+    assert merged >= 0
+    live_pdf = pdf[~pdf.apply(
+        lambda r: (r["conv_id"], r["turn_idx"]) in set(
+            (c, int(t)) for c, t in keys
+        ), axis=1,
+    )]
+    import pandas as pd
+    fresh_rows = pd.concat([
+        live_pdf[["conv_id", "turn_idx", "text", "title"]],
+        pd.DataFrame(batch_rows, columns=["conv_id", "turn_idx", "text", "title"]),
+    ])
+    fresh = build_index_multifield(
+        spark, spark.createDataFrame(fresh_rows),
+        fields={"text": "text", "title": "title"},
+    )
+    sf = Searcher(
+        spark, fresh.postings, fresh.dictionary, fresh.n_docs, fresh.avgdl,
+        field_stats=fresh.field_stats,
+    )
+    L2 = store.load()
+    s3 = Searcher(
+        spark, L2.postings, L2.dictionary, L2.n_docs, L2.avgdl,
+        deleted_df=L2.deleted_df, field_stats=L2.field_stats,
+    )
+    q = "zephyr quantum karo qqsentinel"
+    fields = {"text": 1.0, "title": 2.0}
+    want = {
+        (r["conv_id"], r["turn_idx"], round(r["score"], 9))
+        for r in sf.topk_multimatch(q, fields, 1000, tie_breaker=TB)
+        .join(fresh.doc_stats, "doc_id").collect()
+    }
+    got = {
+        (r["conv_id"], r["turn_idx"], round(r["score"], 9))
+        for r in s3.topk_multimatch(q, fields, 1000, tie_breaker=TB)
+        .join(L2.doc_stats, "doc_id").collect()
+    }
+    assert got == want and got
+    # compact keeps the layout; per-field phrase still works
+    store.compact()
+    L3 = store.load()
+    assert L3.field_stats is not None
+    s4 = Searcher(
+        spark, L3.postings, L3.dictionary, L3.n_docs, L3.avgdl,
+        deleted_df=L3.deleted_df, field_stats=L3.field_stats,
+    )
+    ph = s4.topk_phrase("qqsentinel title", 10, field="title")
+    assert ph.count() == 3
+    fresh.release()
 
 
 def test_per_field_phrase(spark, mfcorpus):
