@@ -1366,6 +1366,21 @@ def _q_p4_field_phrase(spark, sf_dir):
     )
 
 
+BP1_QUERY = "spark s"  # fixed term + one-letter prefix (search-as-you-type)
+
+
+def _q_bp1_bool_prefix(spark, sf_dir):
+    """ES match_bool_prefix (the search-as-you-type default): last token
+    is a prefix, earlier tokens plain term clauses, one bool SHOULD —
+    rewrites to a single BM25 disjunction over fixed terms + prefix
+    expansions (Searcher.topk_match_bool_prefix). Full scored set."""
+    built, searcher = _searcher(spark, sf_dir)
+    top = searcher.topk_match_bool_prefix(BP1_QUERY, 10_000_000)
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def _q_sa1_search_after(spark, sf_dir):
     """ES search_after deep pagination: five k=10 cursor hops — the
     returned page is rows 41..50 of the global (score desc, doc_id asc)
@@ -1476,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr1_prefix_topk": _q_pr1_prefix_topk,
         "pr2_prefix_const": _q_pr2_prefix_const,
         "pp1_phrase_prefix_topk": _q_pp1_phrase_prefix_topk,
+        "bp1_bool_prefix": _q_bp1_bool_prefix,
         "fz1_fuzzy_topk": _q_fz1_fuzzy_topk,
         "w1_wildcard_const": _q_w1_wildcard_const,
         "rx1_regexp_topk": _q_rx1_regexp_topk,
@@ -2261,6 +2277,13 @@ SELECT doc_id, array_to_string(snip, ' ') AS snippet FROM s
     )
     sql["pr1_prefix_topk"] = _bm25_sql(PR_PREFIX + "*", None)
     sql["pp1_phrase_prefix_topk"] = _phrase_prefix_sql(PP_QUERY)
+    # match_bool_prefix twin: clause set = fixed terms ∪ prefix expansions
+    # (vocabulary-derived; 6 s* terms at sf0.01 — far below the 50 cap)
+    sql["bp1_bool_prefix"] = _bm25_sql(
+        BP1_QUERY, None,
+        qterms_sql="SELECT DISTINCT term FROM tf "
+                   "WHERE term LIKE 's%' OR term = 'spark'",
+    )
     sql["fz1_fuzzy_topk"] = _bm25_sql(
         FZ_TERM, None,
         qterms_sql=(

@@ -52,8 +52,8 @@ def _parser() -> argparse.ArgumentParser:
     q.add_argument("--path", choices=["blockmax", "dataframe"], default="blockmax")
     q.add_argument("--mode",
                    choices=["or", "and", "dismax", "multi_match", "phrase",
-                            "near", "prefix", "phrase_prefix", "fuzzy",
-                            "wildcard", "regexp"],
+                            "near", "prefix", "phrase_prefix", "bool_prefix",
+                            "fuzzy", "wildcard", "regexp"],
                    default="or",
                    help="or = disjunctive BM25 (default); and = ES "
                         "operator:and (doc must contain every term); "
@@ -254,6 +254,12 @@ def main(argv: list[str] | None = None) -> int:
             )
         elif args.mode == "phrase_prefix":
             top = s.topk_phrase_prefix(
+                args.q, args.k, allowed=allowed, excluded=excluded
+            )
+        elif args.mode == "bool_prefix":
+            # ES match_bool_prefix: last token is a prefix, the rest are
+            # term clauses — one BM25 disjunction (search-as-you-type)
+            top = s.topk_match_bool_prefix(
                 args.q, args.k, allowed=allowed, excluded=excluded
             )
         elif args.mode == "phrase":

@@ -1194,6 +1194,46 @@ class Searcher:
             local = grouped.applyInPandas(scorer, TOPK_SCHEMA)
         return local.orderBy(F.asc("doc_id")).limit(k)
 
+    def topk_match_bool_prefix(
+        self,
+        query_text: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        allowed: DataFrame | None = None,
+        excluded: DataFrame | None = None,
+        skip_acc=None,
+    ) -> DataFrame:
+        """ES ``match_bool_prefix`` — the search-as-you-type default: the
+        analyzed query's LAST token is a prefix, earlier tokens are plain
+        term clauses, all combined as a bool SHOULD. Unlike
+        ``match_phrase_prefix`` there is no position constraint, so the
+        whole thing rewrites to ONE BM25 disjunction over
+        ``fixed terms ∪ prefix expansions`` (each expansion keeps its own
+        idf — Lucene scoring_boolean semantics) and runs through the
+        θ-pruned ``topk_blockmax`` fast path. The expansion is sorted and
+        truncated at ``max_expansions`` WITHOUT error (the ES
+        match_phrase_prefix contract; a too_many_clauses bound applies to
+        the raw ``prefix`` query, not the match_* conveniences)."""
+        qterms = py_tokenize(query_text)
+        if not qterms:
+            return _empty_topk(self.spark)
+        fixed, last = qterms[:-1], qterms[-1]
+        try:
+            expansions = self.expand_prefix(last, max_expansions)
+        except ValueError:
+            # over the bound: keep the first max_expansions (sorted) —
+            # expand with a higher cap, then truncate
+            expansions = self.expand_prefix(last, 1 << 20)[:max_expansions]
+        terms = sorted(set(fixed) | set(expansions))
+        # corpus-absent FIXED terms are unmatchable should-clauses (drop);
+        # an empty expansion with no fixed match -> empty result
+        if not terms:
+            return _empty_topk(self.spark)
+        return self.topk_blockmax(
+            " ".join(terms), k, skip_acc=skip_acc, allowed=allowed,
+            excluded=excluded,
+        )
+
     def expand_fuzzy(
         self,
         term: str,

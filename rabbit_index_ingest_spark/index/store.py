@@ -662,8 +662,17 @@ class IndexStore:
         field_stats = None
         fs_dir = os.path.join(self.root, "field_stats")
         if os.path.isdir(fs_dir):
+            from .build import DEFAULT_FIELD
+
+            raw = self._read_all("field_stats")
+            if "is_default" not in raw.columns:
+                # legacy (pre-marker) multi-field store: the default was
+                # always the DEFAULT_FIELD constant
+                raw = raw.withColumn(
+                    "is_default", F.col("field") == F.lit(DEFAULT_FIELD)
+                )
             field_stats = (
-                self._read_all("field_stats")
+                raw
                 .groupBy("field")
                 .agg(
                     F.sum("doc_count").alias("doc_count"),

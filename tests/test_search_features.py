@@ -1124,3 +1124,46 @@ def test_exists_filter_composes(spark, pcorpus):
     got = {r["doc_id"] for r in s.topk_blockmax(q, 1000, allowed=allowed).collect()}
     base = {r["doc_id"] for r in s.topk_blockmax(q, 1000).collect()}
     assert got == {d for d in base if d % 3 != 0} and got
+
+
+def test_match_bool_prefix(spark, pcorpus):
+    """ES match_bool_prefix: last token is a prefix, the rest are term
+    clauses, all one bool SHOULD — must equal the BM25 disjunction over
+    fixed terms + prefix expansions."""
+    pdf, _, s = pcorpus
+    expansions = s.expand_prefix("ka")[:50]  # the method's sorted-first cap
+    assert len(expansions) > 1
+    want = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_dataframe(
+            " ".join(sorted({"zephyr"} | set(expansions))), 50
+        ).collect()
+    ]
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_match_bool_prefix("zephyr ka", 50).collect()
+    ]
+    assert got == want and got
+    # single token: pure prefix disjunction over the same capped set
+    got1 = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_match_bool_prefix("ka", 50).collect()
+    ]
+    want1 = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_dataframe(" ".join(expansions), 50).collect()
+    ]
+    assert got1 == want1 and got1
+    # truncation cap respected (sorted-first expansions)
+    few = s.expand_prefix("ka")[:1]
+    got2 = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_match_bool_prefix("ka", 50, max_expansions=1).collect()
+    ]
+    want2 = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_dataframe(" ".join(few), 50).collect()
+    ]
+    assert got2 == want2
+    assert s.topk_match_bool_prefix("", 10).count() == 0
+    assert s.topk_match_bool_prefix("qzxabsentprefix", 10).count() == 0
