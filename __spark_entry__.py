@@ -1381,6 +1381,110 @@ def _q_bp1_bool_prefix(spark, sf_dir):
     )
 
 
+def _q_bq1_bool_query(spark, sf_dir):
+    """ES bool query (the compositional DSL core): must match
+    'spark query' (scored), should match_phrase 'table hash' + match
+    'stream' boost 2.0 (score-adding), must_not match 'dup', filter
+    n_chars in [150, 450) — every clause family in one query. Full
+    scored set (Searcher.bool_query)."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = _agg_attrs(spark, sf_dir, built, "n_chars")
+    top = searcher.bool_query(
+        must=[{"match": {"query": "spark query"}}],
+        should=[
+            {"match_phrase": {"query": P1_PHRASE}},
+            {"match": {"query": "stream", "boost": 2.0}},
+        ],
+        must_not=[{"match": {"query": "dup"}}],
+        filter=[{"range": {"col": "n_chars", "gte": 150, "lt": 450}}],
+        attrs=attrs,
+        k=10_000_000,
+    )
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+QS1_QUERY = '+spark "table hash" str* -dup'
+
+
+def _q_qs1_query_string(spark, sf_dir):
+    """ES simple_query_string: '+required "a phrase" prefix* -prohibited'
+    parsed to a bool query (must match spark; should phrase 'table hash'
+    + prefix str* at constant 1.0; must_not dup). Full scored set."""
+    built, searcher = _searcher(spark, sf_dir)
+    top = searcher.topk_query_string(QS1_QUERY, 10_000_000)
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_fs1_function_score(spark, sf_dir):
+    """ES function_score / field_value_factor: BM25 relevance rescaled by
+    ln(1 + 0.01 * n_chars) (boost_mode=multiply) — the canonical
+    boost-by-document-attribute query. Full scored set."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = _agg_attrs(spark, sf_dir, built, "n_chars")
+    top = searcher.topk_function_score(
+        " ".join(BM25_QUERY_TERMS), attrs, "n_chars",
+        k=10_000_000, factor=0.01, modifier="ln1p",
+    )
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_cl1_collapse(spark, sf_dir):
+    """ES field collapsing: top-10 hits, at most one per documents.source
+    (best score per group, doc_id tiebreak)."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = _agg_attrs(spark, sf_dir, built, "source")
+    top = searcher.topk_collapse(
+        " ".join(BM25_QUERY_TERMS), attrs, "source", k=10
+    )
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score"), "source"
+    )
+
+
+SUG_INPUT = "spak"  # absent misspelling: spark at distance 1, scan at 2
+
+
+def _q_sug1_suggest(spark, sf_dir):
+    """ES term suggester: vocabulary terms within 2 edits of 'spak',
+    ranked (distance asc, df desc, term asc) — the ES sort contract."""
+    _, searcher = _searcher(spark, sf_dir)
+    return searcher.suggest_term(SUG_INPUT, max_edits=2, size=5)
+
+
+MLT_TEXT = "spark spark query stream the"
+
+
+def _q_mlt1_more_like_this(spark, sf_dir):
+    """ES more_like_this (like=text): top-2 interesting terms by Lucene
+    MLT tf·idf (tf · (1 + ln(n/(df+1)))) from MLT_TEXT, run as a BM25
+    disjunction. Full scored set."""
+    built, searcher = _searcher(spark, sf_dir)
+    top = searcher.topk_more_like_this(
+        MLT_TEXT, k=10_000_000, max_query_terms=2
+    )
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_g11_percentiles(spark, sf_dir):
+    """ES percentiles aggregation (default percent set) over n_chars of
+    the match set — exact interpolated percentiles (ES uses tdigest; the
+    exact path is the oracle-parity twin, percentile_approx the 100 TB
+    shape)."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = _agg_attrs(spark, sf_dir, built, "n_chars")
+    return searcher.percentiles_agg(
+        " ".join(BM25_QUERY_TERMS), attrs, "n_chars"
+    ).select("percent", F.round("value", 6).alias("value"))
+
+
 def _q_sa1_search_after(spark, sf_dir):
     """ES search_after deep pagination: five k=10 cursor hops — the
     returned page is rows 41..50 of the global (score desc, doc_id asc)
@@ -1508,6 +1612,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_exists": _q_f3_exists,
         "f1_filtered_topk": _q_f1_filtered_topk,
         "f2_must_not_topk": _q_f2_must_not_topk,
+        "bq1_bool_query": _q_bq1_bool_query,
+        "qs1_query_string": _q_qs1_query_string,
+        "fs1_function_score": _q_fs1_function_score,
+        "cl1_collapse": _q_cl1_collapse,
+        "sug1_suggest": _q_sug1_suggest,
+        "mlt1_more_like_this": _q_mlt1_more_like_this,
+        "g11_percentiles": _q_g11_percentiles,
         "b8_boost_topk": _q_b8_boost_topk,
         "dm1_dismax_topk": _q_dm1_dismax_topk,
         "mm1_best_fields": _q_mm1_best_fields,
@@ -1691,6 +1802,106 @@ scored AS (
   GROUP BY tf.doc_id
 )
 SELECT doc_id, round(score, 4) AS score FROM scored
+"""
+
+
+_BOOL_CTE_PREFIX = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term,
+         generate_subscripts({_TOK}, 1) AS pos
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(dl), 0) FROM dl)
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dft AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN ({{terms}}) GROUP BY 1
+),
+idfs AS (
+  SELECT term, ln(1 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+  FROM dft CROSS JOIN stats
+),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         idfs.idf * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS c
+  FROM tf JOIN idfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+ph AS (
+  SELECT t0.doc_id, count(*)::DOUBLE AS ptf
+  FROM tok t0
+  JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+             AND t1.term = 'hash'
+  WHERE t0.term = 'table'
+  GROUP BY 1
+),
+phs AS (
+  SELECT ph.doc_id,
+         ((SELECT idf FROM idfs WHERE term = 'table')
+          + (SELECT idf FROM idfs WHERE term = 'hash'))
+         * ptf * ({K1} + 1.0)
+         / (ptf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS score
+  FROM ph JOIN dl USING (doc_id) CROSS JOIN stats
+),
+mn AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup')
+"""
+
+
+def _bq1_sql() -> str:
+    """DuckDB twin of the bq1 bool query: per-clause scored CTEs over the
+    shared token/stats CTEs, combined as must.score + coalesce(shoulds)
+    (Lucene BooleanWeight SUM), filter/must_not as plain predicates —
+    UNROUNDED until the final combine, exactly like the engine."""
+    prefix = _BOOL_CTE_PREFIX.replace(
+        "{terms}", "'spark', 'query', 'stream', 'table', 'hash', 'dup'"
+    )
+    return prefix + f"""
+, m AS (
+  SELECT doc_id, sum(c) AS score FROM contrib
+  WHERE term IN ('spark', 'query') GROUP BY 1
+),
+s2 AS (
+  SELECT doc_id, 2.0 * sum(c) AS score FROM contrib
+  WHERE term = 'stream' GROUP BY 1
+),
+flt AS (SELECT doc_id FROM documents WHERE n_chars >= 150 AND n_chars < 450)
+SELECT m.doc_id,
+       round(m.score + coalesce(phs.score, 0.0) + coalesce(s2.score, 0.0),
+             4) AS score
+FROM m
+LEFT JOIN phs ON phs.doc_id = m.doc_id
+LEFT JOIN s2 ON s2.doc_id = m.doc_id
+WHERE m.doc_id IN (SELECT doc_id FROM flt)
+  AND m.doc_id NOT IN (SELECT doc_id FROM mn)
+"""
+
+
+def _qs1_sql() -> str:
+    """DuckDB twin of the qs1 simple_query_string ('+spark "table hash"
+    str* -dup'): must = match spark, shoulds = the phrase score + a
+    constant 1.0 for any str*-prefixed term, must_not = dup docs."""
+    prefix = _BOOL_CTE_PREFIX.replace(
+        "{terms}", "'spark', 'table', 'hash', 'dup'"
+    )
+    return prefix + """
+, m AS (
+  SELECT doc_id, sum(c) AS score FROM contrib
+  WHERE term = 'spark' GROUP BY 1
+),
+pr AS (SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'str%')
+SELECT m.doc_id,
+       round(m.score + coalesce(phs.score, 0.0)
+             + (CASE WHEN pr.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END),
+             4) AS score
+FROM m
+LEFT JOIN phs ON phs.doc_id = m.doc_id
+LEFT JOIN pr ON pr.doc_id = m.doc_id
+WHERE m.doc_id NOT IN (SELECT doc_id FROM mn)
 """
 
 
@@ -2495,6 +2706,85 @@ WITH tok AS (
 )
 SELECT DISTINCT doc_id, 1.0 AS score FROM tok WHERE term LIKE '{PR_PREFIX}%'
 """
+    sql["bq1_bool_query"] = _bq1_sql()
+    sql["qs1_query_string"] = _qs1_sql()
+
+    # function_score field_value_factor twin: the b5 scored CTE rescaled
+    # by ln(1 + factor*n_chars); missing=None drops NULL-attr docs on
+    # both sides (documents.n_chars is never NULL here, the WHERE pins
+    # the contract anyway)
+    fs_base = _bm25_sql(" ".join(BM25_QUERY_TERMS), None)
+    fs_tail = "SELECT doc_id, round(score, 4) AS score FROM scored"
+    assert fs_base.endswith(fs_tail)
+    sql["fs1_function_score"] = fs_base[: -len(fs_tail)] + """
+SELECT s.doc_id,
+       round(s.score * ln(1 + 0.01 * d.n_chars), 4) AS score
+FROM scored s JOIN documents d USING (doc_id)
+WHERE d.n_chars IS NOT NULL
+"""
+
+    # collapse twin: one hit per source — row_number over the UNROUNDED
+    # score (like g10), round on output
+    sql["cl1_collapse"] = fs_base[: -len(fs_tail)] + """
+SELECT doc_id, round(score, 4) AS score, source FROM (
+  SELECT s.doc_id, s.score, d.source,
+         row_number() OVER (
+           PARTITION BY d.source ORDER BY s.score DESC, s.doc_id ASC
+         ) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+)
+WHERE rn = 1
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+    sql["sug1_suggest"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+SELECT term, levenshtein(term, '{SUG_INPUT}') AS distance, df::BIGINT AS df
+FROM dfs
+WHERE levenshtein(term, '{SUG_INPUT}') <= 2 AND term != '{SUG_INPUT}'
+ORDER BY distance ASC, df DESC, term ASC
+LIMIT 5
+"""
+
+    # more_like_this twin: qterms = top-2 input terms by Lucene MLT
+    # tf·idf (tf · (1 + ln(n/(df+1)))), then the ordinary BM25 base
+    sql["mlt1_more_like_this"] = _bm25_sql(
+        MLT_TEXT, None,
+        qterms_sql=f"""
+SELECT term FROM (
+  SELECT q.term,
+         q.qtf * (1 + ln((SELECT n FROM stats) / (d.df + 1))) AS sc
+  FROM (
+    SELECT term, count(*)::DOUBLE AS qtf
+    FROM (SELECT unnest({TOKEN_SQL.format(c=repr(MLT_TEXT))}) AS term)
+    GROUP BY 1
+  ) q
+  JOIN (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1) d
+    USING (term)
+  ORDER BY sc DESC, q.term ASC
+  LIMIT 2
+)
+""",
+    )
+
+    pct_rows = "\nUNION ALL\n".join(
+        f"SELECT {p!r} AS percent,"
+        f" round(quantile_cont(v, {p / 100.0!r}), 6) AS value FROM vals"
+        for p in (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
+    )
+    sql["g11_percentiles"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+matched AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ({{qt}})),
+vals AS (
+  SELECT n_chars::DOUBLE AS v FROM documents JOIN matched USING (doc_id)
+  WHERE n_chars IS NOT NULL
+)
+{pct_rows}
+""".replace(
+        "{qt}", ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_TERMS)))
+    )
     sql["f1_filtered_topk"] = _bm25_sql(
         q,
         10,

@@ -53,7 +53,7 @@ def _parser() -> argparse.ArgumentParser:
     q.add_argument("--mode",
                    choices=["or", "and", "dismax", "multi_match", "phrase",
                             "near", "prefix", "phrase_prefix", "bool_prefix",
-                            "fuzzy", "wildcard", "regexp"],
+                            "fuzzy", "wildcard", "regexp", "query_string"],
                    default="or",
                    help="or = disjunctive BM25 (default); and = ES "
                         "operator:and (doc must contain every term); "
@@ -67,7 +67,13 @@ def _parser() -> argparse.ArgumentParser:
                         "--rewrite); wildcard = ES wildcard query "
                         "(--q is the * / ? pattern, see --rewrite); "
                         "regexp = ES regexp query (--q is a Lucene-style "
-                        "anchored regexp, see --rewrite)")
+                        "anchored regexp, see --rewrite); query_string = "
+                        "ES simple_query_string (--q is the search-bar "
+                        "grammar: +required -prohibited \"a phrase\" "
+                        "prefix* plain terms; see --default-operator)")
+    q.add_argument("--default-operator", choices=["or", "and"], default="or",
+                   help="query_string mode: bare terms are optional (or, "
+                        "the default) or required (and)")
     q.add_argument("--fuzziness", type=int, default=None,
                    help="fuzzy mode: max edit distance (default: ES AUTO "
                         "by term length)")
@@ -217,8 +223,10 @@ def main(argv: list[str] | None = None) -> int:
             # inside the scorers exactly like tombstones
             excluded = L.docs.where(args.exclude).select("doc_id")
         fast = args.path == "blockmax"
-        if args.min_match is not None and args.mode != "or":
-            raise SystemExit("--min-match applies to --mode or only")
+        if args.min_match is not None and args.mode not in ("or", "query_string"):
+            raise SystemExit(
+                "--min-match applies to --mode or / query_string only"
+            )
         boosts = None
         if args.boost:
             if args.mode != "or" or args.min_match is not None:
@@ -261,6 +269,15 @@ def main(argv: list[str] | None = None) -> int:
             # term clauses — one BM25 disjunction (search-as-you-type)
             top = s.topk_match_bool_prefix(
                 args.q, args.k, allowed=allowed, excluded=excluded
+            )
+        elif args.mode == "query_string":
+            # ES simple_query_string: the search-bar grammar compiles to
+            # a bool query; --filter/--exclude compose as one extra
+            # allow / deny set
+            top = s.topk_query_string(
+                args.q, args.k, default_operator=args.default_operator,
+                minimum_should_match=args.min_match,
+                allowed=allowed, excluded=excluded,
             )
         elif args.mode == "phrase":
             top = s.topk_phrase(

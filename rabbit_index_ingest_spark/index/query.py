@@ -27,6 +27,7 @@ codec.K1 / codec.B).
 from __future__ import annotations
 
 import math
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -121,6 +122,54 @@ def parse_min_should_match(spec: int | str, n: int) -> int:
         calc = int(s)
         result = n + calc if calc < 0 else calc
     return max(result, 1)
+
+
+_QS_TOKEN = re.compile(r'([+-]?)("[^"]*"|\S+)')
+
+
+def parse_simple_query_string(
+    text: str, default_operator: str = "or"
+) -> dict[str, list[dict]]:
+    """ES ``simple_query_string`` → bool-query clause lists (the subset a
+    human actually types in a search bar):
+
+    * ``word`` — optional clause (``should``; ``must`` when
+      ``default_operator="and"``, the ES flag);
+    * ``+word`` — required (``must``); ``-word`` — prohibited
+      (``must_not``); the sign applies to phrases too;
+    * ``"a phrase"`` — ``match_phrase`` clause;
+    * ``word*`` — ``prefix`` clause (trailing-asterisk only, like the
+      simple_query_string PREFIX flag).
+
+    simple_query_string's contract is LENIENCY — it never throws on user
+    input. Unsupported syntax characters (``| ( ) ~``, mid-token ``*``)
+    are simply analyzed away by the tokenizer (alnum runs), which for the
+    flat grammar coincides with ES's own handling of ``|`` under
+    default_operator=or; a prefix whose stem analyzes to several tokens
+    falls back to a plain match clause. Returns
+    ``{"must": [...], "should": [...], "must_not": [...]}`` ready for
+    ``Searcher.bool_query(**spec)``."""
+    if default_operator not in ("or", "and"):
+        raise ValueError(
+            f"default_operator must be 'or' or 'and', got {default_operator!r}"
+        )
+    out: dict[str, list[dict]] = {"must": [], "should": [], "must_not": []}
+    bare = "must" if default_operator == "and" else "should"
+    for sign, body in _QS_TOKEN.findall(text):
+        bucket = {"+": "must", "-": "must_not"}.get(sign, bare)
+        if body.startswith('"'):
+            inner = body[1:-1] if body.endswith('"') and len(body) > 1 else body
+            if py_tokenize(inner):
+                out[bucket].append({"match_phrase": {"query": inner}})
+            continue
+        if body.endswith("*") and len(body) > 1:
+            stem = body[:-1]
+            if len(py_tokenize(stem)) == 1:
+                out[bucket].append({"prefix": {"value": stem}})
+                continue
+        if py_tokenize(body):
+            out[bucket].append({"match": {"query": body}})
+    return out
 
 
 def _fold_boosts(
@@ -1808,13 +1857,26 @@ class Searcher:
         are unchanged; the rare doc set itself comes from the cheap
         positionless decode (``flat_postings``).
         """
+        scored = self._phrase_scored(query_text, allowed)
+        if scored is None:
+            return _empty_topk(self.spark)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _phrase_scored(
+        self, query_text: str, allowed: DataFrame | None = None
+    ) -> DataFrame | None:
+        """Full exact-phrase scored set ``(doc_id, score)`` — the body of
+        ``topk_phrase_dataframe`` without the final top-k, so the bool
+        combiner (``bool_query``) can compose a phrase as one clause among
+        many. ``None`` marks a phrase that can match nothing (empty after
+        analysis, or a phrase term absent from the corpus)."""
         qterms = py_tokenize(query_text)
         if not qterms:
-            return _empty_topk(self.spark)
+            return None
         uniq = sorted(set(qterms))
         meta = self._term_meta(uniq)
         if any(meta[t][0] == 0 for t in uniq):
-            return _empty_topk(self.spark)  # a phrase term matches nothing
+            return None  # a phrase term matches nothing
         idf_phrase = sum(lucene_idf(self.n_docs, meta[t][0]) for t in qterms)
         # query offsets per unique term ("a b a" → {"a": [0, 2], "b": [1]})
         offsets: dict[str, list[int]] = {}
@@ -1875,7 +1937,7 @@ class Searcher:
             )
         )
         ptf = F.size("_s0")
-        scored = acc.where(ptf > 0).select(
+        return acc.where(ptf > 0).select(
             "doc_id",
             (
                 F.lit(idf_phrase)
@@ -1888,7 +1950,338 @@ class Searcher:
                 )
             ).alias("score"),
         )
-        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    # ---------------- ES bool query (compositional DSL) ----------------
+
+    def _clause_scored(self, clause: dict) -> DataFrame | None:
+        """Full scored match set ``(doc_id, score)`` for ONE scored clause
+        spec — the unit ``bool_query`` composes. ``None`` marks a clause
+        that can match nothing (all terms corpus-absent, or an
+        unsatisfiable operator:and / minimum_should_match): in must
+        position that empties the result; in should position it
+        contributes nothing but still counts toward an explicit
+        minimum_should_match denominator (the ES unmatchable-clause
+        contract, same as ``topk_msm``); in must_not it excludes nothing.
+
+        Scored clause kinds (ES query DSL shapes):
+
+        * ``{"match": {"query": text[, "operator": "or"|"and"]
+          [, "minimum_should_match": spec][, "boost": w]}}``
+        * ``{"match_phrase": {"query": text[, "boost": w]}}``
+        * ``{"prefix": {"value": p[, "boost": w]}}`` — ES's
+          constant_score rewrite: every matching doc scores 1.0·boost.
+
+        Each clause is ONE independent decode + aggregation over its own
+        term-pruned block scan (scale shape identical to
+        ``topk_dataframe`` / ``_phrase_scored``); ``boost`` folds as a
+        final column multiply, so the clause plan never changes with it.
+        """
+        (kind, body), = clause.items()
+        boost = float(body.get("boost", 1.0))
+        if boost < 0:
+            raise ValueError(f"boost must be >= 0, got {boost}")
+        if kind == "match":
+            text = body["query"]
+            plan = self._plan(text)
+            if plan is None:
+                return None
+            idfs, blocks, _ = plan
+            n_clauses = len(set(py_tokenize(text)))
+            require_n = min_match = None
+            if body.get("operator", "or") == "and":
+                if len(idfs) < n_clauses:
+                    return None  # an absent term can never match-all
+                require_n = n_clauses
+            elif "minimum_should_match" in body:
+                min_match = parse_min_should_match(
+                    body["minimum_should_match"], n_clauses
+                )
+                if min_match > len(idfs):
+                    return None
+            scored = self._bm25_scored(
+                self._mask_deleted(flat_postings(blocks)), idfs,
+                require_n=require_n, min_match=min_match,
+            )
+        elif kind == "match_phrase":
+            scored = self._phrase_scored(body["query"])
+            if scored is None:
+                return None
+        elif kind == "prefix":
+            ms = self._prefix_matchset(body["value"])
+            if ms is None:
+                return None
+            scored = ms.select("doc_id", F.lit(1.0).alias("score"))
+        else:
+            raise ValueError(
+                f"unknown scored clause kind {kind!r}; expected "
+                "match / match_phrase / prefix (put attr predicates — "
+                "term/range/exists — in filter or must_not)"
+            )
+        if boost != 1.0:
+            scored = scored.select(
+                "doc_id", (F.col("score") * F.lit(boost)).alias("score")
+            )
+        return scored
+
+    def _prefix_matchset(self, prefix: str) -> DataFrame | None:
+        """Distinct live doc_ids containing ANY dictionary term with the
+        prefix (Lucene constant_score multi-term rewrite's match set):
+        term-pruned block scan → cheap positionless decode → distinct."""
+        terms = self.expand_prefix(prefix, 1 << 20)
+        if not terms:
+            return None
+        blocks = self.postings.where(
+            F.col("bucket").isin(_term_buckets(self.spark, terms))
+        ).where(F.col("term").isin(terms))
+        return (
+            self._mask_deleted(flat_postings(blocks))
+            .select("doc_id")
+            .distinct()
+        )
+
+    def _clause_matchset(
+        self, clause: dict, attrs: DataFrame | None
+    ) -> DataFrame | None:
+        """doc_id-only match set for a clause in filter / must_not context
+        (never contributes score). Adds the attr-predicate workhorses of
+        the ES filter context to the scored kinds:
+
+        * ``{"term": {"col": c, "value": v}}`` — ``attrs[c] == v``
+        * ``{"range": {"col": c, "gte"/"gt"/"lte"/"lt": bound, ...}}``
+        * ``{"exists": {"col": c}}`` — ``attrs[c] IS NOT NULL``
+
+        Attr clauses are pushed-down column predicates over ``attrs``
+        (``doc_id`` + attribute columns, the same convention as
+        ``sort_by`` and the aggregations — derive it from the docs table
+        so Catalyst pushes the predicate to the parquet scan); scored
+        kinds reuse ``_clause_scored`` and drop the score column."""
+        (kind, body), = clause.items()
+        if kind in ("term", "range", "exists"):
+            if attrs is None:
+                raise ValueError(f"{kind!r} clause needs attrs=")
+            c = self._attr_col(attrs, body["col"])
+            if kind == "term":
+                pred = c == F.lit(body["value"])
+            elif kind == "exists":
+                pred = c.isNotNull()
+            else:
+                ops = [
+                    (op, body[op])
+                    for op in ("gte", "gt", "lte", "lt")
+                    if op in body
+                ]
+                if not ops:
+                    raise ValueError(
+                        "range clause needs at least one of gte/gt/lte/lt"
+                    )
+                pred = F.lit(True)
+                for op, v in ops:
+                    cmp = {
+                        "gte": c >= F.lit(v), "gt": c > F.lit(v),
+                        "lte": c <= F.lit(v), "lt": c < F.lit(v),
+                    }[op]
+                    pred = pred & cmp
+            return attrs.where(pred).select("doc_id")
+        scored = self._clause_scored(clause)
+        return None if scored is None else scored.select("doc_id")
+
+    def bool_query(
+        self,
+        must: list[dict] | None = None,
+        should: list[dict] | None = None,
+        must_not: list[dict] | None = None,
+        filter: list[dict] | None = None,  # noqa: A002 — ES clause name
+        attrs: DataFrame | None = None,
+        minimum_should_match: int | str | None = None,
+        k: int = 10,
+        allowed: DataFrame | None = None,
+        excluded: DataFrame | None = None,
+    ) -> DataFrame:
+        """ES ``bool`` query — the compositional core of the ES query DSL
+        (every structured Kibana search compiles to one). Scored clauses
+        in ``must``/``should`` each produce a full (doc_id, score) set;
+        the final score is the SUM of matching must + should clause
+        scores (Lucene BooleanWeight); ``filter`` and ``must_not`` gate
+        matching but never score. ``minimum_should_match`` follows the ES
+        default — 1 when there are should clauses and no must/filter,
+        else 0 — and an explicit value (int or ES spec grammar, e.g.
+        ``"75%"``; see ``parse_min_should_match``) overrides it, parsed
+        over the TOTAL should-clause count: an unmatchable should clause
+        still counts toward the requirement, exactly like absent terms in
+        ``topk_msm``. A bool with only filter clauses is the ES filter
+        context: every passing doc scores 0.0, ordered by doc_id.
+
+        Plan shape at scale: every scored clause is one independent
+        term-pruned decode + aggregation (no clause ever scans another
+        clause's postings); the combine is ONE union + groupBy(doc_id)
+        shuffle carrying (score, is_must) — the match-all-musts and msm
+        gates are HAVING predicates on that same aggregation, never a
+        join chain. Filters left-semi-join on doc_id (AQE broadcasts
+        selective ones) and must_not anti-joins; nothing collects to the
+        driver. Replaces the reference's delegation of bool queries to
+        Elasticsearch (rabbit_indexer delegates all search to ES 7.9.1).
+
+        ``allowed``/``excluded`` are plain doc_id allow/deny frames (the
+        convention every other query mode uses) composing as one extra
+        filter / must_not set — so CLI ``--filter``/``--exclude``
+        predicates apply to bool queries too instead of being silently
+        ignored."""
+        must = list(must or [])
+        should = list(should or [])
+        must_not = list(must_not or [])
+        filters = list(filter or [])
+        if not (must or should or filters):
+            raise ValueError(
+                "bool_query needs at least one of must/should/filter"
+            )
+        frames: list[DataFrame] = []
+        for c in must:
+            s = self._clause_scored(c)
+            if s is None:  # an unmatchable must empties the result
+                return _empty_topk(self.spark)
+            frames.append(s.select("doc_id", "score", F.lit(1).alias("_m")))
+        n_should_alive = 0
+        for c in should:
+            s = self._clause_scored(c)
+            if s is not None:
+                n_should_alive += 1
+                frames.append(
+                    s.select("doc_id", "score", F.lit(0).alias("_m"))
+                )
+        if minimum_should_match is not None:
+            msm_eff = parse_min_should_match(
+                minimum_should_match, len(should)
+            )
+        else:
+            msm_eff = 1 if (should and not must and not filters) else 0
+        if msm_eff > n_should_alive:
+            return _empty_topk(self.spark)  # requirement unreachable
+        if not frames:
+            # pure filter context: intersect filter match sets, constant 0
+            base: DataFrame | None = None
+            for c in filters:
+                ms = self._clause_matchset(c, attrs)
+                if ms is None:
+                    return _empty_topk(self.spark)
+                base = ms if base is None else base.join(
+                    ms, "doc_id", "left_semi"
+                )
+            assert base is not None
+            if allowed is not None:
+                base = base.join(allowed.select("doc_id"), "doc_id", "left_semi")
+            if excluded is not None:
+                base = base.join(excluded.select("doc_id"), "doc_id", "left_anti")
+            base = self._mask_deleted(self._apply_must_not(
+                base, must_not, attrs
+            ))
+            return (
+                base.select("doc_id", F.lit(0.0).alias("score"))
+                .orderBy(F.asc("doc_id"))
+                .limit(k)
+            )
+        unioned = frames[0]
+        for f in frames[1:]:
+            unioned = unioned.unionByName(f)
+        combined = (
+            unioned.groupBy("doc_id")
+            .agg(
+                F.sum("score").alias("score"),
+                F.sum("_m").alias("_nm"),
+                F.sum(1 - F.col("_m")).alias("_ns"),
+            )
+            .where(
+                (F.col("_nm") == len(must)) & (F.col("_ns") >= msm_eff)
+            )
+            .select("doc_id", "score")
+        )
+        for c in filters:
+            ms = self._clause_matchset(c, attrs)
+            if ms is None:
+                return _empty_topk(self.spark)
+            combined = combined.join(ms, "doc_id", "left_semi")
+        if allowed is not None:
+            combined = combined.join(
+                allowed.select("doc_id"), "doc_id", "left_semi"
+            )
+        if excluded is not None:
+            combined = combined.join(
+                excluded.select("doc_id"), "doc_id", "left_anti"
+            )
+        combined = self._apply_must_not(combined, must_not, attrs)
+        return combined.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _apply_must_not(
+        self,
+        df: DataFrame,
+        must_not: list[dict],
+        attrs: DataFrame | None,
+    ) -> DataFrame:
+        """Anti-join the union of must_not clause match sets (ES bool
+        must_not: pure exclusion, no effect on scores)."""
+        sets = [
+            m
+            for m in (self._clause_matchset(c, attrs) for c in must_not)
+            if m is not None
+        ]
+        if not sets:
+            return df
+        ex = sets[0]
+        for m in sets[1:]:
+            ex = ex.unionByName(m)
+        return df.join(ex, "doc_id", "left_anti")
+
+    def topk_query_string(
+        self,
+        text: str,
+        k: int = 10,
+        default_operator: str = "or",
+        attrs: DataFrame | None = None,
+        filter: list[dict] | None = None,  # noqa: A002 — ES clause name
+        minimum_should_match: int | str | None = None,
+        allowed: DataFrame | None = None,
+        excluded: DataFrame | None = None,
+    ) -> DataFrame:
+        """ES ``simple_query_string`` — parse the search-bar grammar
+        (``+required -prohibited "a phrase" prefix* plain terms``, see
+        ``parse_simple_query_string``) and run it through ``bool_query``.
+        ``filter``/``attrs`` compose structured predicates with the typed
+        text exactly like the ES request body does; ``allowed``/
+        ``excluded`` are the doc_id allow/deny frames every query mode
+        accepts (the CLI's --filter/--exclude)."""
+        spec = parse_simple_query_string(text, default_operator)
+        if not (spec["must"] or spec["should"]):
+            if not spec["must_not"] and not filter and allowed is None:
+                return _empty_topk(self.spark)
+            # prohibit-only / filter-only input: ES matches everything
+            # except the prohibited set (match_all + must_not), scoreless
+            return self.bool_query(
+                must_not=spec["must_not"],
+                filter=(filter or [{"exists": {"col": "doc_id"}}]),
+                attrs=attrs if attrs is not None else self._all_docs_attrs(),
+                k=k,
+                allowed=allowed,
+                excluded=excluded,
+            )
+        return self.bool_query(
+            must=spec["must"],
+            should=spec["should"],
+            must_not=spec["must_not"],
+            filter=filter,
+            attrs=attrs,
+            minimum_should_match=minimum_should_match,
+            k=k,
+            allowed=allowed,
+            excluded=excluded,
+        )
+
+    def _all_docs_attrs(self) -> DataFrame:
+        """Minimal attrs frame covering every live doc (match_all's
+        candidate set): the distinct doc_ids of the dl stream — a
+        metadata-cheap derivation used only by prohibit-only query
+        strings, where ES rewrites to match_all + must_not."""
+        return self._mask_deleted(
+            flat_postings(self.postings).select("doc_id").distinct()
+        )
 
     def _rare_prefilter(
         self, uniq: list[str], meta: dict[str, tuple[int, int, int]]
@@ -2103,6 +2496,244 @@ class Searcher:
             .limit(k)
         )
 
+    _FVF_MODIFIERS = ("none", "ln1p", "sqrt", "square", "reciprocal")
+
+    def topk_function_score(
+        self,
+        query_text: str,
+        attrs: DataFrame,
+        col: str,
+        k: int = 10,
+        factor: float = 1.0,
+        modifier: str = "none",
+        missing: float | None = None,
+        boost_mode: str = "multiply",
+        allowed: DataFrame | None = None,
+        excluded: DataFrame | None = None,
+    ) -> DataFrame:
+        """ES ``function_score`` with ``field_value_factor`` — rescale
+        relevance by a document attribute (the canonical "boost by
+        popularity/recency" query):
+
+            fv        = modifier(factor · attrs[col])
+            new_score = score · fv   (boost_mode=multiply, the default)
+                      | score + fv   (boost_mode=sum)
+
+        ``modifier`` ∈ none | ln1p | sqrt | square | reciprocal — the ES
+        set minus the base-10 ``log*`` variants (``ln1p`` is ES's ln1p =
+        Spark ``log1p``; ES ``log1p`` is base-10 and differs only by the
+        constant ln 10). ``missing``
+        substitutes for docs whose attribute is NULL or absent; with
+        ``missing=None`` such docs DROP from the result (ES raises a
+        per-doc error here — a distributed scorer cannot, so the
+        documented contract is exclusion; pass ``missing`` for ES's
+        subst-value behavior).
+
+        Plan: ONE full-match-set BM25 aggregation (the ``topk_dataframe``
+        decode), one left join to attrs, the rescale is a pure column
+        expression — function_score can't prune with block-max bounds
+        because the attribute term is unbounded, which is exactly why ES
+        itself warns function_score queries are slower; the shape here
+        (join + codegen expression) is the best distributed form."""
+        if modifier not in self._FVF_MODIFIERS:
+            raise ValueError(
+                f"modifier must be one of {self._FVF_MODIFIERS}, got "
+                f"{modifier!r}"
+            )
+        if boost_mode not in ("multiply", "sum"):
+            raise ValueError(
+                f"boost_mode must be multiply or sum, got {boost_mode!r}"
+            )
+        plan = self._plan(query_text)
+        if plan is None:
+            return _empty_topk(self.spark)
+        idfs, blocks, _ = plan
+        flat = self._mask_deleted(flat_postings(blocks))
+        if allowed is not None:
+            flat = flat.join(allowed.select("doc_id"), "doc_id", "left_semi")
+        if excluded is not None:
+            flat = flat.join(excluded.select("doc_id"), "doc_id", "left_anti")
+        scored = self._bm25_scored(flat, idfs)
+        v = self._attr_col(attrs, col).cast("double")
+        joined = scored.join(
+            attrs.select("doc_id", v.alias("_fv_raw")), "doc_id", "left"
+        )
+        raw = F.col("_fv_raw")
+        if missing is not None:
+            raw = F.coalesce(raw, F.lit(float(missing)))
+        else:
+            joined = joined.where(F.col("_fv_raw").isNotNull())
+        x = raw * F.lit(float(factor))
+        fv = {
+            "none": x,
+            "ln1p": F.log1p(x),
+            "sqrt": F.sqrt(x),
+            "square": x * x,
+            "reciprocal": F.lit(1.0) / x,
+        }[modifier]
+        new_score = (
+            F.col("score") * fv if boost_mode == "multiply"
+            else F.col("score") + fv
+        )
+        return (
+            joined.select("doc_id", new_score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def topk_collapse(
+        self,
+        query_text: str,
+        attrs: DataFrame,
+        col: str,
+        k: int = 10,
+        allowed: DataFrame | None = None,
+        excluded: DataFrame | None = None,
+    ) -> DataFrame:
+        """ES field collapsing (``collapse.field``): the top-k hits with
+        at most ONE hit per distinct value of ``attrs[col]`` — the best
+        (score desc, doc_id asc) representative of each group. Docs with
+        a NULL / absent collapse key form one shared null group (Lucene's
+        CollapsingTopDocsCollector missing-value bucket). Returns
+        ``(doc_id, score, <col>)``.
+
+        Plan: ONE full-match-set BM25 aggregation + left join to attrs +
+        one window (partitionBy key, row_number over the score order) +
+        global top-k — group selection never runs per-group jobs and the
+        window shuffle is keyed by the collapse field, so group skew is
+        bounded by the biggest group's matching docs, not the corpus."""
+        plan = self._plan(query_text)
+        if plan is None:
+            return attrs.select(
+                F.lit(0).cast("long").alias("doc_id"),
+                F.lit(0.0).alias("score"),
+                self._attr_col(attrs, col),
+            ).limit(0)
+        idfs, blocks, _ = plan
+        flat = self._mask_deleted(flat_postings(blocks))
+        if allowed is not None:
+            flat = flat.join(allowed.select("doc_id"), "doc_id", "left_semi")
+        if excluded is not None:
+            flat = flat.join(excluded.select("doc_id"), "doc_id", "left_anti")
+        scored = self._bm25_scored(flat, idfs)
+        v = self._attr_col(attrs, col)
+        joined = scored.join(
+            attrs.select("doc_id", v.alias("_ckey")), "doc_id", "left"
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("_ckey").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            joined.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("doc_id", "score", F.col("_ckey").alias(col))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def suggest_term(
+        self,
+        term: str,
+        max_edits: int = 2,
+        size: int = 5,
+        min_doc_freq: int = 1,
+        suggest_mode: str = "missing",
+    ) -> DataFrame:
+        """ES term suggester ("did you mean"): dictionary terms within
+        ``max_edits`` Levenshtein edits of the (analyzed) input, ranked
+        the ES way — ascending edit distance, then descending document
+        frequency, then term — as ``(term, distance, df)`` rows.
+        ``suggest_mode='missing'`` (the ES default) returns nothing when
+        the input term itself exists in the index; ``'always'`` always
+        suggests. The input term is never its own suggestion.
+
+        Plan: the same vocabulary-scan shape as ``expand_fuzzy`` — a
+        column-pruned dictionary scan with a JVM ``levenshtein`` + length
+        band predicate and a sorted TakeOrdered limit; the dictionary is
+        vocabulary-sized, never the postings."""
+        toks = py_tokenize(term)
+        if len(toks) != 1:
+            raise ValueError(
+                f"suggest input must analyze to one token, got {toks!r}"
+            )
+        if suggest_mode not in ("missing", "always"):
+            raise ValueError(
+                f"suggest_mode must be missing or always, got "
+                f"{suggest_mode!r}"
+            )
+        t = toks[0]
+        out_cols = [
+            F.col("term"),
+            F.levenshtein(F.col("term"), F.lit(t)).alias("distance"),
+            F.col("df").cast("long").alias("df"),
+        ]
+        if suggest_mode == "missing" and self._term_dfs([t])[t] > 0:
+            return self.dictionary.select(*out_cols).limit(0)
+        n = len(t)
+        cand = (
+            self.dictionary
+            .where(F.length("term").between(n - max_edits, n + max_edits))
+            .where(F.col("term") != t)
+            .where(F.col("df") >= int(min_doc_freq))
+            .select(*out_cols)
+            .where(F.col("distance") <= int(max_edits))
+        )
+        return cand.orderBy(
+            F.asc("distance"), F.desc("df"), F.asc("term")
+        ).limit(size)
+
+    def topk_more_like_this(
+        self,
+        like_text: str,
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_term_freq: int = 1,
+        min_doc_freq: int = 1,
+        allowed: DataFrame | None = None,
+        excluded: DataFrame | None = None,
+    ) -> DataFrame:
+        """ES ``more_like_this`` with ``like`` given as text: select the
+        input's most interesting terms and run them as a BM25 disjunction
+        through the θ-pruned fast path. Term interestingness is Lucene
+        MoreLikeThis's classic tf·idf:
+
+            score(t) = tf_input(t) · (1 + ln(n_docs / (df(t) + 1)))
+
+        keeping terms with ``tf_input ≥ min_term_freq`` and
+        ``df ≥ min_doc_freq`` (and df > 0 — unindexed terms can't
+        retrieve), sorted (score desc, term asc), truncated at
+        ``max_query_terms`` (ES default 25). Selection runs on the driver
+        against the cached dictionary stats (the input is one document's
+        text — always tiny); retrieval is the ordinary distributed path.
+        ES defaults min_term_freq=2/min_doc_freq=5 assume real-world
+        prose; the defaults here are 1 (the contract, not the constants,
+        is the parity surface — pass ES's values for ES behavior)."""
+        counts: dict[str, int] = {}
+        for tok in py_tokenize(like_text):
+            counts[tok] = counts.get(tok, 0) + 1
+        cand = {t: c for t, c in counts.items() if c >= min_term_freq}
+        if not cand:
+            return _empty_topk(self.spark)
+        dfs = self._term_dfs(sorted(cand))
+        scored_terms = sorted(
+            (
+                (
+                    -c * (1.0 + math.log(self.n_docs / (dfs[t] + 1.0))),
+                    t,
+                )
+                for t, c in cand.items()
+                if dfs[t] >= max(min_doc_freq, 1)
+            ),
+        )[:max_query_terms]
+        if not scored_terms:
+            return _empty_topk(self.spark)
+        terms = [t for _, t in scored_terms]
+        return self.topk_blockmax(
+            " ".join(sorted(terms)), k, allowed=allowed, excluded=excluded
+        )
+
     def match_count(self, query_text: str) -> DataFrame:
         """ES ``_count``: the number of LIVE docs matching the query (OR
         match semantics, tombstones masked) as a one-row ``(n long)``
@@ -2180,6 +2811,52 @@ class Searcher:
                 F.sum(v).alias("sum"),
                 F.avg(v).alias("avg"),
             )
+        )
+
+    def percentiles_agg(
+        self,
+        query_text: str,
+        attrs: DataFrame,
+        col: str,
+        percents: tuple[float, ...] = (1, 5, 25, 50, 75, 95, 99),
+        exact: bool = True,
+    ) -> DataFrame:
+        """ES ``percentiles`` aggregation over the match set (default
+        percents = the ES default set). ES computes approximate
+        percentiles with TDigest; here ``exact=True`` (default) uses
+        Spark's exact ``percentile`` — linear interpolation between
+        closest ranks, value-identical to DuckDB ``quantile_cont`` (the
+        oracle) — and ``exact=False`` uses ``percentile_approx``
+        (positive-error quantile sketch, one pass, bounded memory — the
+        100 TB shape, same family as ES's tdigest). Nulls drop (ES).
+        Returns ``(percent, value)`` rows ordered by percent — one
+        aggregation job producing the whole array, then a zero-shuffle
+        posexplode."""
+        out_schema = "percent double, value double"
+        ps = [float(p) for p in percents]
+        if not ps or any(p < 0 or p > 100 for p in ps):
+            raise ValueError(f"percents must be in [0, 100], got {percents}")
+        matched = self._matched_docs(query_text)
+        if matched is None:
+            return self.spark.createDataFrame([], out_schema)
+        v = self._attr_col(attrs, col).cast("double")
+        fracs = F.array(*[F.lit(p / 100.0) for p in ps])
+        agg = (
+            F.percentile(v, fracs) if exact
+            else F.percentile_approx(v, fracs, 10_000)
+        )
+        return (
+            matched.join(attrs, "doc_id", "inner")
+            .where(v.isNotNull())
+            .agg(agg.alias("_vals"))
+            .select(F.posexplode("_vals").alias("_i", "value"))
+            .select(
+                F.element_at(
+                    F.array(*[F.lit(p) for p in ps]), F.col("_i") + 1
+                ).alias("percent"),
+                "value",
+            )
+            .orderBy("percent")
         )
 
     def cardinality_agg(

@@ -1167,3 +1167,416 @@ def test_match_bool_prefix(spark, pcorpus):
     assert got2 == want2
     assert s.topk_match_bool_prefix("", 10).count() == 0
     assert s.topk_match_bool_prefix("qzxabsentprefix", 10).count() == 0
+
+
+# ---------------- bool query DSL + simple_query_string ----------------
+
+BIGK = 1_000_000
+
+
+def _scored_map(df):
+    return {r["doc_id"]: r["score"] for r in df.collect()}
+
+
+def test_bool_query_must_should_must_not(spark, pcorpus):
+    """ES bool: final score = sum of matching must+should clause scores
+    over the must match set, minus must_not docs — combined here from the
+    independently-tested single-clause engines."""
+    _, _, s = pcorpus
+    must = _scored_map(s.topk_dataframe("zephyr quantum", BIGK))
+    ph = _scored_map(s.topk_phrase_dataframe("quantum lattice", BIGK))
+    boosted = {
+        d: 2.0 * v
+        for d, v in _scored_map(s.topk_dataframe("karo", BIGK)).items()
+    }
+    bad = set(_scored_map(s.topk_dataframe("mika", BIGK)))
+    assert must and ph and boosted and bad
+    assert set(must) & bad, "fixture: must_not must actually exclude"
+    want = {
+        d: round(v + ph.get(d, 0.0) + boosted.get(d, 0.0), 6)
+        for d, v in must.items()
+        if d not in bad
+    }
+    got = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in s.bool_query(
+            must=[{"match": {"query": "zephyr quantum"}}],
+            should=[
+                {"match_phrase": {"query": "quantum lattice"}},
+                {"match": {"query": "karo", "boost": 2.0}},
+            ],
+            must_not=[{"match": {"query": "mika"}}],
+            k=BIGK,
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_bool_should_only_equals_disjunction_and_msm(spark, pcorpus):
+    """should-only bool with per-term match clauses is score-identical to
+    the plain disjunction (default msm=1) / topk_msm (explicit msm)."""
+    _, _, s = pcorpus
+    want = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_dataframe("zephyr karo", BIGK).collect()
+    }
+    shoulds = [{"match": {"query": "zephyr"}}, {"match": {"query": "karo"}}]
+    got = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.bool_query(should=shoulds, k=BIGK).collect()
+    }
+    assert got == want and got
+    want2 = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_msm_dataframe("zephyr karo", BIGK, msm=2).collect()
+    }
+    got2 = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.bool_query(
+            should=shoulds, minimum_should_match=2, k=BIGK
+        ).collect()
+    }
+    assert got2 == want2 and got2 and len(got2) < len(got)
+
+
+def test_bool_must_and_with_range_filter(spark, pcorpus):
+    """must operator:and + attr range filter == topk_and over the same
+    allow-list."""
+    _, built, s = pcorpus
+    attrs = built.doc_stats.select("doc_id", "turn_idx")
+    allowed = attrs.where((F.col("turn_idx") >= 1) & (F.col("turn_idx") < 4))
+    want = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_and("karo roka", BIGK, allowed=allowed).collect()
+    }
+    got = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.bool_query(
+            must=[{"match": {"query": "karo roka", "operator": "and"}}],
+            filter=[{"range": {"col": "turn_idx", "gte": 1, "lt": 4}}],
+            attrs=attrs,
+            k=BIGK,
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_bool_filter_only_and_edge_cases(spark, pcorpus):
+    _, built, s = pcorpus
+    attrs = built.doc_stats.select("doc_id", "turn_idx")
+    rows = s.bool_query(
+        filter=[{"term": {"col": "turn_idx", "value": 2}}],
+        must_not=[{"match": {"query": "karo"}}],
+        attrs=attrs,
+        k=BIGK,
+    ).collect()
+    karo = set(_scored_map(s.topk_dataframe("karo", BIGK)))
+    want_ids = sorted(
+        r["doc_id"]
+        for r in attrs.where(F.col("turn_idx") == 2).collect()
+        if r["doc_id"] not in karo
+    )
+    assert [r["doc_id"] for r in rows] == want_ids and want_ids
+    assert all(r["score"] == 0.0 for r in rows)
+    # an unmatchable must empties the result
+    assert s.bool_query(must=[{"match": {"query": "qzxabsent"}}]).count() == 0
+    # explicit msm counts the unmatchable should clause in its denominator
+    assert (
+        s.bool_query(
+            should=[
+                {"match": {"query": "zephyr"}},
+                {"match": {"query": "qzxabsent"}},
+            ],
+            minimum_should_match=2,
+        ).count()
+        == 0
+    )
+    # an unmatchable should is transparent under the default msm
+    assert s.bool_query(
+        must=[{"match": {"query": "zephyr"}}],
+        should=[{"match": {"query": "qzxabsent"}}],
+        k=5,
+    ).count() > 0
+    with pytest.raises(ValueError, match="at least one"):
+        s.bool_query()
+    with pytest.raises(ValueError, match="unknown scored clause"):
+        s.bool_query(must=[{"bogus": {"query": "x"}}])
+    with pytest.raises(ValueError, match="needs attrs"):
+        s.bool_query(
+            must=[{"match": {"query": "karo"}}],
+            filter=[{"exists": {"col": "x"}}],
+        )
+    with pytest.raises(ValueError, match="gte/gt/lte/lt"):
+        s.bool_query(
+            must=[{"match": {"query": "karo"}}],
+            filter=[{"range": {"col": "turn_idx"}}],
+            attrs=attrs,
+        )
+
+
+def test_simple_query_string_parser(spark, pcorpus):
+    from rabbit_index_ingest_spark.index.query import parse_simple_query_string
+
+    spec = parse_simple_query_string(
+        '+karo -mika "quantum lattice" zephyr qu* -"obsidian falcon"'
+    )
+    assert spec == {
+        "must": [{"match": {"query": "karo"}}],
+        "should": [
+            {"match_phrase": {"query": "quantum lattice"}},
+            {"match": {"query": "zephyr"}},
+            {"prefix": {"value": "qu"}},
+        ],
+        "must_not": [
+            {"match": {"query": "mika"}},
+            {"match_phrase": {"query": "obsidian falcon"}},
+        ],
+    }
+    # default_operator=and promotes bare tokens to must
+    spec_and = parse_simple_query_string("karo zephyr", "and")
+    assert spec_and["must"] == [
+        {"match": {"query": "karo"}},
+        {"match": {"query": "zephyr"}},
+    ]
+    assert spec_and["should"] == []
+    # leniency: stray syntax never throws; punctuation analyzes away
+    junk = parse_simple_query_string('( karo | zephyr ) ~2 - "')
+    assert {"match": {"query": "karo"}} in junk["should"]
+    assert {"match": {"query": "zephyr"}} in junk["should"]
+    with pytest.raises(ValueError, match="default_operator"):
+        parse_simple_query_string("x", "nor")
+
+
+def test_query_string_end_to_end(spark, pcorpus):
+    _, _, s = pcorpus
+    text = '+karo "quantum lattice" qu* -mika'
+    want = {
+        (r["doc_id"], round(r["score"], 6))
+        for r in s.bool_query(
+            must=[{"match": {"query": "karo"}}],
+            should=[
+                {"match_phrase": {"query": "quantum lattice"}},
+                {"prefix": {"value": "qu"}},
+            ],
+            must_not=[{"match": {"query": "mika"}}],
+            k=BIGK,
+        ).collect()
+    }
+    got = {
+        (r["doc_id"], round(r["score"], 6))
+        for r in s.topk_query_string(text, BIGK).collect()
+    }
+    assert got == want and got
+    # prohibit-only input: match_all minus the excluded set, score 0
+    karo = set(_scored_map(s.topk_dataframe("karo", BIGK)))
+    rows = s.topk_query_string("-karo", BIGK).collect()
+    alldocs = set(_scored_map(s.topk_dataframe("karo roka mika", BIGK)))
+    assert {r["doc_id"] for r in rows}.isdisjoint(karo)
+    assert all(r["score"] == 0.0 for r in rows)
+    assert {r["doc_id"] for r in rows} >= (alldocs - karo)
+    assert s.topk_query_string("", 10).count() == 0
+    assert s.topk_query_string("...", 10).count() == 0
+
+
+# ------- function_score / collapse / percentiles / suggest / MLT -------
+
+
+def test_percentiles_agg_matches_numpy(spark, pcorpus):
+    import numpy as np
+
+    _, built, s = pcorpus
+    attrs = built.doc_stats.select("doc_id", "turn_idx")
+    q = "karo"
+    matched = set(_scored_map(s.topk_dataframe(q, BIGK)))
+    vals = [
+        r["turn_idx"] for r in attrs.collect() if r["doc_id"] in matched
+    ]
+    ps = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
+    want = {p: float(np.percentile(vals, p)) for p in ps}
+    got = {
+        r["percent"]: r["value"]
+        for r in s.percentiles_agg(q, attrs, "turn_idx").collect()
+    }
+    assert set(got) == set(ps)
+    assert all(abs(got[p] - want[p]) < 1e-9 for p in ps)
+    assert s.percentiles_agg("qzxabsent", attrs, "turn_idx").count() == 0
+    with pytest.raises(ValueError, match="percents"):
+        s.percentiles_agg(q, attrs, "turn_idx", percents=(101,))
+
+
+def test_function_score_field_value_factor(spark, pcorpus):
+    import math
+
+    _, built, s = pcorpus
+    attrs = built.doc_stats.select("doc_id", "turn_idx")
+    base = _scored_map(s.topk_dataframe("karo", BIGK))
+    tv = {r["doc_id"]: r["turn_idx"] for r in attrs.collect()}
+    want = sorted(
+        ((d, v * math.log1p(2.0 * tv[d])) for d, v in base.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in s.topk_function_score(
+            "karo", attrs, "turn_idx", k=10, factor=2.0, modifier="ln1p"
+        ).collect()
+    ]
+    assert [(d, round(v, 9)) for d, v in got] == [
+        (d, round(v, 9)) for d, v in want
+    ]
+    # boost_mode=sum, modifier=none
+    want2 = sorted(
+        ((d, v + 0.5 * tv[d]) for d, v in base.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    got2 = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_function_score(
+            "karo", attrs, "turn_idx", k=10, factor=0.5, boost_mode="sum"
+        ).collect()
+    ]
+    assert got2 == [(d, round(v, 9)) for d, v in want2]
+    # missing=None drops attr-less docs; missing=M substitutes the VALUE
+    half = attrs.where(F.col("doc_id") % 2 == 0)
+    got3 = {
+        r["doc_id"]
+        for r in s.topk_function_score(
+            "karo", half, "turn_idx", k=BIGK
+        ).collect()
+    }
+    assert got3 == {d for d in base if d % 2 == 0} and got3
+    got4 = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in s.topk_function_score(
+            "karo", half, "turn_idx", k=BIGK, missing=3.0
+        ).collect()
+    }
+    want4 = {
+        d: round(v * (tv[d] if d % 2 == 0 else 3.0), 9)
+        for d, v in base.items()
+    }
+    assert got4 == want4
+    with pytest.raises(ValueError, match="modifier"):
+        s.topk_function_score("karo", attrs, "turn_idx", modifier="log10")
+    with pytest.raises(ValueError, match="boost_mode"):
+        s.topk_function_score("karo", attrs, "turn_idx", boost_mode="max")
+
+
+def test_collapse_one_hit_per_group(spark, pcorpus):
+    _, built, s = pcorpus
+    # null-key docs form ONE shared group (Lucene missing-value bucket)
+    attrs = built.doc_stats.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 != 0, F.col("turn_idx")).alias("turn_idx"),
+    )
+    base = _scored_map(s.topk_dataframe("karo", BIGK))
+    tv = {r["doc_id"]: r["turn_idx"] for r in attrs.collect()}
+    best = {}
+    for d, v in base.items():
+        key = tv[d]
+        cur = best.get(key)
+        if cur is None or (-v, d) < (-cur[1], cur[0]):
+            best[key] = (d, v)
+    want = sorted(
+        ((d, v, key) for key, (d, v) in best.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    got = [
+        (r["doc_id"], r["score"], r["turn_idx"])
+        for r in s.topk_collapse("karo", attrs, "turn_idx", k=5).collect()
+    ]
+    assert [(d, round(v, 9), key) for d, v, key in got] == [
+        (d, round(v, 9), key) for d, v, key in want
+    ]
+    keys = [key for _, _, key in got]
+    assert len(keys) == len(set(keys))
+    assert s.topk_collapse("qzxabsent", attrs, "turn_idx", 5).count() == 0
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_suggest_term_matches_python(spark, pcorpus):
+    pdf, _, s = pcorpus
+    vocab_docs: dict[str, set] = {}
+    for i, txt in enumerate(pdf["text"]):
+        for t in set(py_tokenize(txt)):
+            vocab_docs.setdefault(t, set()).add(i)
+    # a misspelling absent from the corpus
+    assert "zephr" not in vocab_docs
+    cand = sorted(
+        (
+            (_lev(t, "zephr"), -len(docs), t)
+            for t, docs in vocab_docs.items()
+            if _lev(t, "zephr") <= 2
+        ),
+    )[:5]
+    want = [(t, d, -negdf) for d, negdf, t in cand]
+    got = [
+        (r["term"], r["distance"], r["df"])
+        for r in s.suggest_term("zephr").collect()
+    ]
+    assert got == want and ("zephyr", 1, len(vocab_docs["zephyr"])) in got
+    # suggest_mode=missing returns nothing for an indexed term...
+    assert s.suggest_term("karo").count() == 0
+    # ...but always-mode suggests neighbors, never the term itself
+    always = [r["term"] for r in s.suggest_term("karo", suggest_mode="always").collect()]
+    assert always and "karo" not in always
+    with pytest.raises(ValueError, match="one token"):
+        s.suggest_term("two words")
+    with pytest.raises(ValueError, match="suggest_mode"):
+        s.suggest_term("karo", suggest_mode="sometimes")
+
+
+def test_more_like_this_term_selection(spark, pcorpus):
+    pdf, _, s = pcorpus
+    # min_term_freq=2 keeps only the repeated term
+    want = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_blockmax("zephyr", 20).collect()
+    }
+    got = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_more_like_this(
+            "zephyr zephyr quantum karo", k=20, min_term_freq=2
+        ).collect()
+    }
+    assert got == want and got
+    # max_query_terms keeps the highest tf·idf terms: the rare sentinels
+    # beat the hottest corpus term ("karo", huge df -> tiny idf)
+    want2 = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_blockmax("quantum zephyr", 20).collect()
+    }
+    got2 = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_more_like_this(
+            "zephyr quantum karo", k=20, max_query_terms=2
+        ).collect()
+    }
+    assert got2 == want2 and got2
+    # min_doc_freq excludes rare terms; absent-only input is empty
+    df_z = sum(1 for t in pdf["text"] if "zephyr" in py_tokenize(t))
+    df_k = sum(1 for t in pdf["text"] if "karo" in py_tokenize(t))
+    assert 0 < df_z < df_k
+    got3 = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_more_like_this(
+            "zephyr karo", k=20, min_doc_freq=df_z + 1
+        ).collect()
+    }
+    want3 = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_blockmax("karo", 20).collect()
+    }
+    assert got3 == want3
+    assert s.topk_more_like_this("qzx1 qzx2", 10).count() == 0
