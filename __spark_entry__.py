@@ -1128,6 +1128,25 @@ def _q_t6_pii_scrub(spark, sf_dir):
     )
 
 
+T7_SUFFIX = ".5 plus can't and 3.14"  # joins with each text's LAST token
+
+
+def _q_t7_standard_tokens(spark, sf_dir):
+    """Opt-in 'standard' analyzer (UAX#29-leaning joins: word-internal
+    ' ’ . stay inside the token — can't, 3.14). The suffix starts with
+    '.5' so the analyzer JOINS it onto each doc's final token ('…query' →
+    'query.5') — the join rule is exercised at a per-row seam, not just
+    on constants. Emits the token count and the seam token."""
+    from rabbit_index_ingest_spark.analysis import tokens_expr
+
+    toks = tokens_expr(F.concat(F.col("text"), F.lit(T7_SUFFIX)), "standard")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.element_at(toks, -5).alias("seam_token"),
+    )
+
+
 E1_GAP_S = 21600  # 6h session gap (median per-user event gap ~7h)
 
 
@@ -1473,6 +1492,38 @@ def _q_mlt1_more_like_this(spark, sf_dir):
     )
 
 
+def _q_rs1_rescore(spark, sf_dir):
+    """ES rescore: top-50 window of the BM25 base query re-ranked by the
+    'table hash' phrase (total mode, rescore weight 2.0), top-20 out —
+    two-stage retrieval on one entry."""
+    built, searcher = _searcher(spark, sf_dir)
+    top = searcher.topk_rescore(
+        " ".join(BM25_QUERY_TERMS), P1_PHRASE,
+        k=20, window_size=50, rescore_query_weight=2.0,
+    )
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_g12_terms_submetrics(spark, sf_dir):
+    """ES terms aggregation WITH sub-aggregations: top sources of the
+    match set, each with avg and sum of n_chars — the Kibana-table
+    shape."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = _agg_attrs(spark, sf_dir, built, "source", "n_chars")
+    return searcher.terms_agg(
+        " ".join(BM25_QUERY_TERMS), attrs, "source",
+        metrics=[("avg_chars", "avg", "n_chars"),
+                 ("sum_chars", "sum", "n_chars")],
+        size=10,
+    ).select(
+        "value", "doc_count",
+        F.round("avg_chars", 6).alias("avg_chars"),
+        F.round("sum_chars", 6).alias("sum_chars"),
+    )
+
+
 def _q_g11_percentiles(spark, sf_dir):
     """ES percentiles aggregation (default percent set) over n_chars of
     the match set — exact interpolated percentiles (ES uses tdigest; the
@@ -1619,6 +1670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sug1_suggest": _q_sug1_suggest,
         "mlt1_more_like_this": _q_mlt1_more_like_this,
         "g11_percentiles": _q_g11_percentiles,
+        "rs1_rescore": _q_rs1_rescore,
+        "g12_terms_submetrics": _q_g12_terms_submetrics,
         "b8_boost_topk": _q_b8_boost_topk,
         "dm1_dismax_topk": _q_dm1_dismax_topk,
         "mm1_best_fields": _q_mm1_best_fields,
@@ -1631,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srt1_sort_by": _q_srt1_sort_by,
         "e1_sessions": _q_e1_sessions,
         "t6_pii_scrub": _q_t6_pii_scrub,
+        "t7_standard_tokens": _q_t7_standard_tokens,
         "a2_decode_messages": _q_a2_decode_messages,
         "a4_routing": _q_a4_routing,
         "a5_prefix_filter": _q_a5_prefix_filter,
@@ -2693,6 +2747,15 @@ FROM g GROUP BY 1, 2
         + pii_scrub_sql(f"(text || '{PII_SUFFIX}')")
         + " AS scrubbed FROM documents"
     )
+    from rabbit_index_ingest_spark.analysis import duckdb_tokens_sql
+
+    t7_col = "(text || '" + T7_SUFFIX.replace("'", "''") + "')"
+    t7_toks = duckdb_tokens_sql(t7_col, "standard")
+    sql["t7_standard_tokens"] = f"""
+WITH t AS (SELECT doc_id, {t7_toks} AS toks FROM documents)
+SELECT doc_id, len(toks)::BIGINT AS n_tokens, toks[-5] AS seam_token
+FROM t
+"""
     w_like = W_PATTERN.replace("*", "%").replace("?", "_")
     sql["w1_wildcard_const"] = f"""
 WITH tok AS (
@@ -2767,6 +2830,46 @@ SELECT term FROM (
   LIMIT 2
 )
 """,
+    )
+
+    # rescore twin: base scored CTE -> top-50 window -> LEFT JOIN the
+    # phrase score; non-matching window docs keep the base untouched;
+    # the top-20 cut orders by the UNROUNDED combined score
+    rs_prefix = _BOOL_CTE_PREFIX.replace(
+        "{terms}", "'spark', 'query', 'shuffle', 'table', 'hash'"
+    )
+    sql["rs1_rescore"] = rs_prefix + """
+, m AS (
+  SELECT doc_id, sum(c) AS score FROM contrib
+  WHERE term IN ('spark', 'query', 'shuffle') GROUP BY 1
+),
+win AS (
+  SELECT doc_id, score AS base FROM m
+  ORDER BY score DESC, doc_id LIMIT 50
+)
+SELECT doc_id, round(ns, 4) AS score FROM (
+  SELECT w.doc_id,
+         CASE WHEN p.score IS NULL THEN w.base
+              ELSE w.base + 2.0 * p.score END AS ns
+  FROM win w LEFT JOIN phs p ON p.doc_id = w.doc_id
+  ORDER BY ns DESC, w.doc_id LIMIT 20
+)
+"""
+
+    sql["g12_terms_submetrics"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+matched AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ({{qt}}))
+SELECT d.source AS value,
+       count(*) AS doc_count,
+       round(avg(d.n_chars), 6) AS avg_chars,
+       round(sum(d.n_chars)::DOUBLE, 6) AS sum_chars
+FROM documents d JOIN matched USING (doc_id)
+WHERE d.source IS NOT NULL
+GROUP BY 1
+ORDER BY doc_count DESC, value ASC
+LIMIT 10
+""".replace(
+        "{qt}", ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_TERMS)))
     )
 
     pct_rows = "\nUNION ALL\n".join(

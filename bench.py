@@ -274,6 +274,24 @@ def run_suite(cpus: int, quick: bool = False) -> dict:
          lambda q, kk: searcher.topk_phrase(q, kk, slop=2)),
         ("q_unordered_hot", f"{VOCAB[0]} {VOCAB[1]}",
          lambda q, kk: searcher.topk_near_unordered(q, kk, slop=2)),
+        # round 6: compositional bool (hot must + phrase/boosted shoulds
+        # + must_not) and the equivalent typed simple_query_string — the
+        # cost is the clause decodes + ONE combine shuffle
+        ("q_bool_mix", "",
+         lambda q, kk: searcher.bool_query(
+             must=[{"match": {"query": VOCAB[0]}}],
+             should=[
+                 {"match_phrase": {"query": f"{VOCAB[0]} {VOCAB[1]}"}},
+                 {"match": {"query": VOCAB[120], "boost": 2.0}},
+             ],
+             must_not=[{"match": {"query": VOCAB[3500]}}],
+             k=kk,
+         )),
+        ("q_query_string", "",
+         lambda q, kk: searcher.topk_query_string(
+             f'+{VOCAB[0]} "{VOCAB[0]} {VOCAB[1]}" {VOCAB[120]} '
+             f"-{VOCAB[3500]}", kk,
+         )),
     ):
         t0 = time.time()
         fn(q, 10).collect()

@@ -34,6 +34,13 @@ def _parser() -> argparse.ArgumentParser:
     b.add_argument("--text-col", default="text")
     b.add_argument("--resume", action="store_true",
                    help="skip stages already marked done in the manifest")
+    b.add_argument("--analyzer", choices=["simple", "standard"],
+                   default="simple",
+                   help="simple = lowercase alnum runs (default); "
+                        "standard = additionally joins word-internal "
+                        "' \u2019 . (ES standard/UAX#29-leaning: can't, "
+                        "3.14 stay one token). Persisted with the index; "
+                        "queries follow it automatically")
     b.add_argument("--field", action="append", default=None,
                    metavar="NAME=COLUMN",
                    help="index COLUMN as an ADDITIONAL scored field NAME "
@@ -53,7 +60,8 @@ def _parser() -> argparse.ArgumentParser:
     q.add_argument("--mode",
                    choices=["or", "and", "dismax", "multi_match", "phrase",
                             "near", "prefix", "phrase_prefix", "bool_prefix",
-                            "fuzzy", "wildcard", "regexp", "query_string"],
+                            "fuzzy", "wildcard", "regexp", "query_string",
+                            "mlt"],
                    default="or",
                    help="or = disjunctive BM25 (default); and = ES "
                         "operator:and (doc must contain every term); "
@@ -70,7 +78,9 @@ def _parser() -> argparse.ArgumentParser:
                         "anchored regexp, see --rewrite); query_string = "
                         "ES simple_query_string (--q is the search-bar "
                         "grammar: +required -prohibited \"a phrase\" "
-                        "prefix* plain terms; see --default-operator)")
+                        "prefix* plain terms; see --default-operator); "
+                        "mlt = ES more_like_this (--q is the LIKE text; "
+                        "see --max-query-terms)")
     q.add_argument("--default-operator", choices=["or", "and"], default="or",
                    help="query_string mode: bare terms are optional (or, "
                         "the default) or required (and)")
@@ -136,6 +146,17 @@ def _parser() -> argparse.ArgumentParser:
                         "page's last (unrounded score, doc_id); returns "
                         "the next k docs with exact cursor-aware pruning "
                         "(deep paging without from/size cost)")
+    q.add_argument("--max-query-terms", type=int, default=25,
+                   help="mlt mode: keep this many highest-tf*idf input "
+                        "terms (ES default 25)")
+    q.add_argument("--rescore-q", default=None, metavar="PHRASE",
+                   help="or mode: ES rescore — re-rank the top --window "
+                        "hits by this phrase (score + "
+                        "--rescore-weight * phrase_score; non-matching "
+                        "window docs keep the base score)")
+    q.add_argument("--rescore-weight", type=float, default=1.0)
+    q.add_argument("--window", type=int, default=50,
+                   help="rescore window size (k must be <= window)")
     q.add_argument("--probe-min-blocks", type=int, default=2048,
                    help="estimated-decode-volume gate for the global "
                         "theta0 seed probe (lower = seed more queries)")
@@ -157,6 +178,18 @@ def _parser() -> argparse.ArgumentParser:
     m.add_argument("--index", required=True)
     m.add_argument("--max-segments", type=int, default=10,
                    help="merge the smallest segments down to this count")
+
+    sg = sub.add_parser(
+        "suggest",
+        help="ES term suggester (did-you-mean): dictionary terms within "
+             "--max-edits of --q, ranked distance asc, df desc",
+    )
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--q", required=True)
+    sg.add_argument("--max-edits", type=int, default=2)
+    sg.add_argument("--size", type=int, default=5)
+    sg.add_argument("--suggest-mode", choices=["missing", "always"],
+                    default="missing")
 
     g = sub.add_parser("gen-corpus", help="write a synthetic transcript corpus")
     g.add_argument("--out", required=True)
@@ -184,11 +217,13 @@ def main(argv: list[str] | None = None) -> int:
                     raise SystemExit(f"--field expects NAME=COLUMN, got {spec!r}")
                 fields[name] = col
             built = build_index_multifield(
-                spark, transcripts, fields, args.id_col, args.order_col
+                spark, transcripts, fields, args.id_col, args.order_col,
+                analyzer=args.analyzer,
             )
         else:
             built = build_index(
-                spark, transcripts, args.id_col, args.order_col, args.text_col
+                spark, transcripts, args.id_col, args.order_col,
+                args.text_col, analyzer=args.analyzer,
             )
         store = IndexStore(spark, args.index)
         store.save(built, segment=0, resume=args.resume)
@@ -213,6 +248,7 @@ def main(argv: list[str] | None = None) -> int:
             deleted_df=L.deleted_df,
             probe_min_blocks=args.probe_min_blocks,
             field_stats=L.field_stats,
+            analyzer=L.analyzer,
         )
         allowed = None
         if args.filter:
@@ -332,6 +368,13 @@ def main(argv: list[str] | None = None) -> int:
                     args.q, fields, args.k, mode=args.mm_type,
                     tie_breaker=args.tie_breaker,
                 )
+        elif args.mode == "mlt":
+            # ES more_like_this: --q is the LIKE text; its most
+            # interesting terms (Lucene tf*idf) run the pruned disjunction
+            top = s.topk_more_like_this(
+                args.q, args.k, max_query_terms=args.max_query_terms,
+                allowed=allowed, excluded=excluded,
+            )
         elif args.mode == "and":
             # conjunctions run inside the candidate-pruned scorer (ES runs
             # operator:and inside WAND); --path dataframe keeps the
@@ -368,6 +411,17 @@ def main(argv: list[str] | None = None) -> int:
                 args.q, args.k, after=(float(sc_s), int(id_s)),
                 allowed=allowed, excluded=excluded, boosts=boosts,
             )
+        elif args.rescore_q is not None:
+            if args.mode != "or" or not fast:
+                raise SystemExit(
+                    "--rescore-q applies to plain --mode or on "
+                    "--path blockmax"
+                )
+            top = s.topk_rescore(
+                args.q, args.rescore_q, k=args.k, window_size=args.window,
+                rescore_query_weight=args.rescore_weight,
+                allowed=allowed, excluded=excluded,
+            )
         elif allowed is not None or excluded is not None:
             # bool filter / must_not mask at block-decode time on the fast
             # path — blocks with no eligible doc in span skip undecoded
@@ -401,6 +455,24 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+
+    elif args.cmd == "suggest":
+        from .index.query import Searcher
+        from .index.store import IndexStore
+
+        L = IndexStore(spark, args.index).load()
+        s = Searcher(
+            spark, L.postings, L.dictionary, L.n_docs, L.avgdl,
+            deleted_df=L.deleted_df, analyzer=L.analyzer,
+        )
+        for r in s.suggest_term(
+            args.q, max_edits=args.max_edits, size=args.size,
+            suggest_mode=args.suggest_mode,
+        ).collect():
+            print(json.dumps(
+                {"term": r["term"], "distance": r["distance"],
+                 "df": r["df"]}
+            ))
 
     elif args.cmd == "delete-by-query":
         from .index.store import IndexStore

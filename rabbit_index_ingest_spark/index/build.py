@@ -89,6 +89,7 @@ class BuiltIndex:
     n_docs: int = 0
     avgdl: float = 0.0
     positions: bool = True  # whether pos_bytes carries the position stream
+    analyzer: str = "simple"  # the index's analyzer (persisted in stats)
     cached: tuple = ()  # build-time persisted frames (toks, postings)
     # multi-field indexes (build_index_multifield) additionally carry
     # per-scored-field statistics: (field, doc_count, avgdl, total_tokens)
@@ -339,6 +340,7 @@ def build_index(
     id_base: int = 0,
     persist_postings: bool = True,
     positions: bool = True,
+    analyzer: str = "simple",
 ) -> BuiltIndex:
     """Build all four index tables from a transcript DataFrame.
 
@@ -383,6 +385,7 @@ def build_index(
         range_bits=range_bits,
         persist_postings=persist_postings,
         positions=positions,
+        analyzer=analyzer,
         _ranged_cache=ranged_cache,
     )
 
@@ -396,6 +399,7 @@ def build_index_prenumbered(
     range_bits: int = RANGE_BITS,
     persist_postings: bool = True,
     positions: bool = True,
+    analyzer: str = "simple",
     _ranged_cache: DataFrame | None = None,
 ) -> BuiltIndex:
     """Build the index tables from an ALREADY-NUMBERED corpus —
@@ -423,7 +427,7 @@ def build_index_prenumbered(
         "conv_id",
         "turn_idx",
         "text",
-        tokens_expr("text").alias("tokens"),
+        tokens_expr("text", analyzer).alias("tokens"),
     ).persist()
 
     # docs (the ES _source analogue) carries dl so doc_stats is a pure
@@ -511,9 +515,9 @@ def build_index_prenumbered(
     # follow the index's setting instead of sampling blocks (a sampled
     # probe made the merged format nondeterministic on a mixed index)
     corpus_stats = spark.createDataFrame(
-        [(n_docs, avgdl, total_tokens, next_doc_id, positions)],
+        [(n_docs, avgdl, total_tokens, next_doc_id, positions, analyzer)],
         "n_docs long, avgdl double, total_tokens long, next_doc_id long,"
-        " positions boolean",
+        " positions boolean, analyzer string",
     )
 
     return BuiltIndex(
@@ -525,6 +529,7 @@ def build_index_prenumbered(
         n_docs=n_docs,
         avgdl=avgdl,
         positions=positions,
+        analyzer=analyzer,
         cached=(toks, postings) if persist_postings else (toks,),
     )
 
@@ -541,6 +546,7 @@ def build_index_multifield(
     id_base: int = 0,
     persist_postings: bool = True,
     positions: bool = True,
+    analyzer: str = "simple",
 ) -> BuiltIndex:
     """Build ONE index over several scored text fields (ES multi-field
     documents; the reference's own docs carry title/url/record_type/readme
@@ -599,6 +605,7 @@ def build_index_multifield(
         range_bits=range_bits,
         persist_postings=persist_postings,
         positions=positions,
+        analyzer=analyzer,
         _ranged_cache=ranged_cache,
     )
 
@@ -614,6 +621,7 @@ def build_index_multifield_prenumbered(
     range_bits: int = RANGE_BITS,
     persist_postings: bool = True,
     positions: bool = True,
+    analyzer: str = "simple",
     _ranged_cache: DataFrame | None = None,
 ) -> BuiltIndex:
     """Multi-field build over an ALREADY-NUMBERED corpus — ``numbered``
@@ -633,7 +641,7 @@ def build_index_multifield_prenumbered(
         "conv_id",
         "turn_idx",
         *[F.col(f).alias(f"_src_{f}") for f in fields],
-        *[tokens_expr(F.col(f)).alias(f"_toks_{f}") for f in fields],
+        *[tokens_expr(F.col(f), analyzer).alias(f"_toks_{f}") for f in fields],
     ).persist()
 
     docs = toks.select(
@@ -719,9 +727,9 @@ def build_index_multifield_prenumbered(
     total_default = next(r[3] for r in fs_rows if r[0] == default_field)
     avgdl = (total_default / n_docs) if n_docs else 0.0
     corpus_stats = spark.createDataFrame(
-        [(n_docs, avgdl, total_default, next_doc_id, positions)],
+        [(n_docs, avgdl, total_default, next_doc_id, positions, analyzer)],
         "n_docs long, avgdl double, total_tokens long, next_doc_id long,"
-        " positions boolean",
+        " positions boolean, analyzer string",
     )
     return BuiltIndex(
         docs=docs,
@@ -732,6 +740,7 @@ def build_index_multifield_prenumbered(
         n_docs=n_docs,
         avgdl=avgdl,
         positions=positions,
+        analyzer=analyzer,
         cached=(toks, postings) if persist_postings else (toks,),
         field_stats=field_stats,
         default_field=default_field,

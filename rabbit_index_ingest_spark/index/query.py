@@ -290,6 +290,7 @@ class Searcher:
         deleted_df: DataFrame | None = None,
         probe_min_blocks: int = 2048,
         field_stats: dict[str, tuple[int, float]] | DataFrame | None = None,
+        analyzer: str = "simple",
     ):
         """``deleted`` (small set, broadcast into scorer closures) or
         ``deleted_df`` (a doc_id DataFrame, cogrouped per doc range — the
@@ -309,6 +310,10 @@ class Searcher:
         self.deleted_df = deleted_df
         self.range_bits = range_bits
         self.probe_min_blocks = probe_min_blocks
+        # query-time analyzer — MUST match the index's build analyzer
+        # (IndexStore persists it in corpus_stats; pass LoadedIndex.analyzer)
+        self.analyzer = analyzer
+        self._tok = lambda text: py_tokenize(text, analyzer)
         # multi-field indexes: field → (doc_count, avgdl), Lucene semantics
         # (BuiltIndex.field_stats). Accepts the field_stats DataFrame
         # directly (collected once — it has one row per scored field).
@@ -354,7 +359,7 @@ class Searcher:
         self, query_text: str
     ) -> tuple[dict[str, float], DataFrame, dict[str, tuple[int, int, int]]] | None:
         """Analyze query (shared tokenizer), fetch idfs, prune block scan."""
-        terms = sorted(set(py_tokenize(query_text)))
+        terms = sorted(set(self._tok(query_text)))
         if not terms:
             return None
         meta = self._term_meta(terms)
@@ -806,7 +811,7 @@ class Searcher:
             raise ValueError(
                 f"unknown fields {unknown}; index has {sorted(self.field_stats)}"
             )
-        tokens = sorted(set(py_tokenize(query_text)))
+        tokens = sorted(set(self._tok(query_text)))
         if not tokens:
             return None
         pterm_of: dict[str, tuple[int, str]] = {}
@@ -1071,7 +1076,7 @@ class Searcher:
         """
         if isinstance(msm, str) or msm < 0:
             msm = parse_min_should_match(
-                msm, len(set(py_tokenize(query_text)))
+                msm, len(set(self._tok(query_text)))
             )
         if msm < 1:
             raise ValueError(f"msm must be >= 1, got {msm}")
@@ -1090,7 +1095,7 @@ class Searcher:
         # delegate to the conjunctive scorer only when every query term is
         # present: with an absent (df=0) term, operator:and returns empty
         # but msm == n_present must still match on the present terms
-        if msm == n and n == len(set(py_tokenize(query_text))):
+        if msm == n and n == len(set(self._tok(query_text))):
             return self.topk_blockmax_and(
                 query_text, k, skip_acc=skip_acc, allowed=allowed,
                 excluded=excluded,
@@ -1142,7 +1147,7 @@ class Searcher:
         one-letter prefix from turning into a million-term disjunction.
         ``truncate=True`` keeps the first ``max_expansions`` terms in
         sorted order instead — ES ``match_phrase_prefix`` semantics."""
-        toks = py_tokenize(prefix)
+        toks = self._tok(prefix)
         if len(toks) != 1:
             raise ValueError(
                 f"prefix must analyze to exactly one token, got {toks!r}"
@@ -1263,7 +1268,7 @@ class Searcher:
         truncated at ``max_expansions`` WITHOUT error (the ES
         match_phrase_prefix contract; a too_many_clauses bound applies to
         the raw ``prefix`` query, not the match_* conveniences)."""
-        qterms = py_tokenize(query_text)
+        qterms = self._tok(query_text)
         if not qterms:
             return _empty_topk(self.spark)
         fixed, last = qterms[:-1], qterms[-1]
@@ -1306,7 +1311,7 @@ class Searcher:
         ``top_terms_blended_freqs_N`` pick (which orders by frequency;
         the deviation only matters when the neighborhood exceeds
         ``max_expansions``, and determinism is what the oracle needs)."""
-        toks = py_tokenize(term)
+        toks = self._tok(term)
         if len(toks) != 1:
             raise ValueError(
                 f"fuzzy term must analyze to exactly one token, got {toks!r}"
@@ -1549,7 +1554,7 @@ class Searcher:
         positions never cross an executor boundary. No DataFrame twin —
         the oracle is the DuckDB LIKE-join twin (driver entry pp1) and
         the pure-Python fixture oracle in tests."""
-        qterms = py_tokenize(query_text)
+        qterms = self._tok(query_text)
         if not qterms:
             return _empty_topk(self.spark)
         fixed = qterms[:-1]
@@ -1626,7 +1631,7 @@ class Searcher:
         disjunctive scorer runs — no extra shuffle, and Catalyst plans the
         same term-pruned bucket scan. ``allowed`` optionally composes the
         bool-filter (see ``topk_filtered``) with the conjunction."""
-        terms = sorted(set(py_tokenize(query_text)))
+        terms = sorted(set(self._tok(query_text)))
         if not terms:
             return _empty_topk(self.spark)
         meta = self._term_meta(terms)
@@ -1665,7 +1670,7 @@ class Searcher:
         spec form (see ``topk_msm``)."""
         if isinstance(msm, str) or msm < 0:
             msm = parse_min_should_match(
-                msm, len(set(py_tokenize(query_text)))
+                msm, len(set(self._tok(query_text)))
             )
         if msm < 1:
             raise ValueError(f"msm must be >= 1, got {msm}")
@@ -1747,7 +1752,7 @@ class Searcher:
         the same block pruning applies (every phrase term is still
         required), positions still decode per-range for candidates only.
         """
-        qterms = py_tokenize(query_text)
+        qterms = self._tok(query_text)
         if not qterms:
             return _empty_topk(self.spark)
         # per-field phrase (ES match_phrase on a non-default field of a
@@ -1870,7 +1875,7 @@ class Searcher:
         combiner (``bool_query``) can compose a phrase as one clause among
         many. ``None`` marks a phrase that can match nothing (empty after
         analysis, or a phrase term absent from the corpus)."""
-        qterms = py_tokenize(query_text)
+        qterms = self._tok(query_text)
         if not qterms:
             return None
         uniq = sorted(set(qterms))
@@ -1986,7 +1991,7 @@ class Searcher:
             if plan is None:
                 return None
             idfs, blocks, _ = plan
-            n_clauses = len(set(py_tokenize(text)))
+            n_clauses = len(set(self._tok(text)))
             require_n = min_match = None
             if body.get("operator", "or") == "and":
                 if len(idfs) < n_clauses:
@@ -2653,7 +2658,7 @@ class Searcher:
         column-pruned dictionary scan with a JVM ``levenshtein`` + length
         band predicate and a sorted TakeOrdered limit; the dictionary is
         vocabulary-sized, never the postings."""
-        toks = py_tokenize(term)
+        toks = self._tok(term)
         if len(toks) != 1:
             raise ValueError(
                 f"suggest input must analyze to one token, got {toks!r}"
@@ -2711,7 +2716,7 @@ class Searcher:
         prose; the defaults here are 1 (the contract, not the constants,
         is the parity surface — pass ES's values for ES behavior)."""
         counts: dict[str, int] = {}
-        for tok in py_tokenize(like_text):
+        for tok in self._tok(like_text):
             counts[tok] = counts.get(tok, 0) + 1
         cand = {t: c for t, c in counts.items() if c >= min_term_freq}
         if not cand:
@@ -2732,6 +2737,157 @@ class Searcher:
         terms = [t for _, t in scored_terms]
         return self.topk_blockmax(
             " ".join(sorted(terms)), k, allowed=allowed, excluded=excluded
+        )
+
+    _RESCORE_MODES = ("total", "multiply", "avg", "max", "min")
+
+    def topk_rescore(
+        self,
+        query_text: str,
+        rescore_phrase: str,
+        k: int = 10,
+        window_size: int = 50,
+        query_weight: float = 1.0,
+        rescore_query_weight: float = 1.0,
+        score_mode: str = "total",
+        slop: int = 0,
+        allowed: DataFrame | None = None,
+        excluded: DataFrame | None = None,
+    ) -> DataFrame:
+        """ES ``rescore`` — re-rank the top ``window_size`` hits of the
+        cheap base query with a more expensive phrase query (the classic
+        two-stage retrieval: disjunctive BM25 recall, phrase precision):
+
+            new = combine(query_weight·base, rescore_query_weight·phrase)
+
+        ``score_mode`` ∈ total (sum, ES default) | multiply | avg | max |
+        min; a window doc NOT matching the rescore query keeps
+        ``query_weight·base`` untouched (the ES contract — not a
+        combine with 0). Returns the top ``k ≤ window_size`` re-ranked
+        hits (doc_id, score).
+
+        Plan: the window comes from the θ-pruned ``topk_blockmax`` (exact
+        top-window_size); the phrase scores only ever JOIN against that
+        window frame — at any corpus size the expensive positional decode
+        is bounded by the window's doc ranges after Catalyst pushes the
+        semi-join, which is the entire point of rescoring."""
+        if score_mode not in self._RESCORE_MODES:
+            raise ValueError(
+                f"score_mode must be one of {self._RESCORE_MODES}, got "
+                f"{score_mode!r}"
+            )
+        if k > window_size:
+            raise ValueError(
+                f"k ({k}) must be <= window_size ({window_size}) — docs "
+                "outside the rescore window keep base ordering"
+            )
+        # materialize the window ONCE (it is reused as both the join base
+        # and the phrase allow-list; lazy reuse would re-run the block-max
+        # query per consumer). window_size rows is driver-bounded by
+        # contract — the same bound ES places on its rescore window.
+        wrows = self.topk_blockmax(
+            query_text, window_size, allowed=allowed, excluded=excluded
+        ).collect()
+        if not wrows:
+            return _empty_topk(self.spark)
+        window = self.spark.createDataFrame(
+            [(int(r["doc_id"]), float(r["score"])) for r in wrows],
+            "doc_id long, _base double",
+        )
+        if slop == 0:
+            # the window IS the allow-list: every phrase term's decoded
+            # frame semi-joins it before the union/groupBy
+            resc = self._phrase_scored(rescore_phrase, allowed=window)
+        else:
+            # sloppy rescore rides the positional top-k path over the
+            # window as an allow-list (bounded decode), scored fully
+            resc = self.topk_phrase(
+                rescore_phrase, window_size, allowed=window, slop=slop
+            )
+        if resc is None:
+            combined = window.select(
+                "doc_id",
+                (F.col("_base") * F.lit(float(query_weight))).alias("score"),
+            )
+        else:
+            o = F.col("_base") * F.lit(float(query_weight))
+            r = F.col("_resc") * F.lit(float(rescore_query_weight))
+            mix = {
+                "total": o + r,
+                "multiply": o * r,
+                "avg": (o + r) / 2.0,
+                "max": F.greatest(o, r),
+                "min": F.least(o, r),
+            }[score_mode]
+            combined = (
+                window.join(
+                    resc.select("doc_id", F.col("score").alias("_resc")),
+                    "doc_id",
+                    "left",
+                )
+                .select(
+                    "doc_id",
+                    F.when(F.col("_resc").isNull(), o)
+                    .otherwise(mix)
+                    .alias("score"),
+                )
+            )
+        return combined.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def terms_agg(
+        self,
+        query_text: str,
+        attrs: DataFrame,
+        facet_col: str,
+        metrics: list[tuple[str, str, str]] | None = None,
+        size: int = 10,
+    ) -> DataFrame:
+        """ES ``terms`` aggregation WITH sub-aggregations — the
+        bread-and-butter Kibana table: top-``size`` buckets of
+        ``attrs[facet_col]`` over the match set (count desc, value asc —
+        the ES order), each carrying metric sub-aggregations
+        ``(out_name, fn, col)`` with ``fn`` ∈ avg | min | max | sum |
+        value_count over another attribute (nulls excluded per metric,
+        ES semantics). Returns ``(value, doc_count, <out_name>...)``.
+
+        Plan: ONE decode + ONE groupBy computes every bucket's count and
+        all sub-metrics together (no per-bucket jobs); bucket selection
+        is a TakeOrdered over the aggregated frame. At 10^12 docs the
+        groupBy is the same shuffle the count-only facet runs — the
+        sub-metrics are free map-side-combined columns."""
+        fns = {
+            "avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum,
+            "value_count": F.count,
+        }
+        metrics = list(metrics or [])
+        aggs = [F.count("*").alias("doc_count")]
+        for name, fn, col in metrics:
+            if fn not in fns:
+                raise ValueError(
+                    f"metric fn must be one of {sorted(fns)}, got {fn!r}"
+                )
+            aggs.append(
+                fns[fn](self._attr_col(attrs, col).cast("double"))
+                .alias(name)
+            )
+        fkey = self._attr_col(attrs, facet_col)
+        out_names = [n for n, _, _ in metrics]
+        matched = self._matched_docs(query_text)
+        if matched is None:
+            return (
+                attrs.select(
+                    fkey.alias("value"),
+                    F.lit(0).cast("long").alias("doc_count"),
+                    *[F.lit(0.0).alias(n) for n in out_names],
+                ).limit(0)
+            )
+        return (
+            matched.join(attrs, "doc_id", "inner")
+            .where(fkey.isNotNull())
+            .groupBy(fkey.alias("value"))
+            .agg(*aggs)
+            .orderBy(F.desc("doc_count"), F.asc("value"))
+            .limit(size)
         )
 
     def match_count(self, query_text: str) -> DataFrame:
@@ -3264,7 +3420,7 @@ class Searcher:
         Tombstones and ``allowed`` cogroup per range exactly like
         ``topk_blockmax``; ``skip_acc`` counts blocks skipped undecoded.
         """
-        qterms = py_tokenize(query_text)
+        qterms = self._tok(query_text)
         if not qterms:
             return _empty_topk(self.spark)
         uniq = sorted(set(qterms))
@@ -3321,7 +3477,7 @@ class Searcher:
         slots. Plan shape, block pruning, tombstone/filter cogrouping and
         ``skip_acc`` are exactly ``topk_near``'s.
         """
-        qterms = py_tokenize(query_text)
+        qterms = self._tok(query_text)
         if not qterms:
             return _empty_topk(self.spark)
         uniq = sorted(set(qterms))
@@ -3384,7 +3540,7 @@ class Searcher:
         doc pair of terms, zero Python. A term repeated in the query is
         decoded ONCE and exploded per query position.
         """
-        qterms = py_tokenize(query_text)
+        qterms = self._tok(query_text)
         if not qterms:
             return _empty_topk(self.spark)
         uniq = sorted(set(qterms))

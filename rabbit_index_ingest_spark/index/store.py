@@ -114,6 +114,8 @@ class LoadedIndex:
     # block sample): upsert and merge follow it so the format stays
     # uniform across segments
     positions: bool = True
+    # the index's persisted analyzer (legacy stores: "simple")
+    analyzer: str = "simple"
     # tombstones as a TABLE (None = no deletes). The scale path: queries
     # cogroup / anti-join this DataFrame; it is never collected by load().
     deleted_df: DataFrame | None = None
@@ -405,6 +407,10 @@ class IndexStore:
                 "total_tokens": pa.array([row["total_tokens"]], pa.int64()),
                 "next_doc_id": pa.array([row["next_doc_id"]], pa.int64()),
                 "positions": pa.array([row["positions"]], pa.bool_()),
+                "analyzer": pa.array(
+                    [row["analyzer"] if "analyzer" in row else "simple"],
+                    pa.string(),
+                ),
             }
         )
         path = self._path("corpus_stats", segment)
@@ -643,6 +649,9 @@ class IndexStore:
             # the index SETTING: uniform across segments by construction
             # (upsert/merge follow it); min() = "every segment positional"
             aggs.append(F.min("positions").alias("pos"))
+        has_an_col = "analyzer" in stats_df.columns
+        if has_an_col:
+            aggs.append(F.max("analyzer").alias("an"))
         corpus = stats_df.agg(*aggs).collect()[0]
         n_docs = int(corpus["n_docs"])
         avgdl = (int(corpus["tt"]) / n_docs) if n_docs else 0.0
@@ -653,6 +662,11 @@ class IndexStore:
             True
             if not has_pos_col or corpus["pos"] is None
             else bool(corpus["pos"])
+        )
+        analyzer = (
+            str(corpus["an"])
+            if has_an_col and corpus["an"] is not None
+            else "simple"
         )
         dictionary = self._merged_dictionary()
         postings = self._read_all("postings")
@@ -703,6 +717,7 @@ class IndexStore:
             # (build.py corpus_stats) — no max(doc_id) scan of docs
             next_doc_id=int(corpus["next_id"]),
             positions=positions,
+            analyzer=analyzer,
             field_stats=field_stats,
         )
 
@@ -758,8 +773,16 @@ class IndexStore:
         aggs = [F.max("next_doc_id").alias("next_id")]
         if has_pos:
             aggs.append(F.min("positions").alias("pos"))
+        has_an = "analyzer" in stats_df.columns
+        if has_an:
+            aggs.append(F.max("analyzer").alias("an"))
         stats_row = stats_df.agg(*aggs).collect()[0]
         next_doc_id = int(stats_row["next_id"])
+        analyzer = (
+            str(stats_row["an"])
+            if has_an and stats_row["an"] is not None
+            else "simple"
+        )
         # follow the index's positions setting — a positionless index must
         # not silently become mixed-format after an upsert (round-3 ADVICE);
         # null-safe: an all-null flag column keeps the True default
@@ -808,11 +831,13 @@ class IndexStore:
                 self.spark, new_turns, {f: f for f in finfo[0]},
                 id_col, order_col, default_field=finfo[1],
                 id_base=next_doc_id, positions=positions,
+                analyzer=analyzer,
             )
         else:
             built = build_index(
                 self.spark, new_turns, id_col, order_col, text_col,
                 id_base=next_doc_id, positions=positions,
+                analyzer=analyzer,
             )
         if built.n_docs == 0:
             # empty batch (reference: no messages → no bulk actions). An
@@ -932,6 +957,9 @@ class IndexStore:
         stat_aggs = [F.max("next_doc_id").alias("hi")]
         if has_pos_col:
             stat_aggs.append(F.min("positions").alias("pos"))
+        has_an_col = "analyzer" in stats_df.columns
+        if has_an_col:
+            stat_aggs.append(F.max("analyzer").alias("an"))
         stats = stats_df.agg(*stat_aggs).collect()[0]
         # null-safe: an all-null flag column keeps the True default
         has_positions = (
@@ -944,14 +972,25 @@ class IndexStore:
         if finfo:
             from .build import build_index_multifield_prenumbered
 
+            merge_analyzer = (
+                str(stats["an"])
+                if has_an_col and stats["an"] is not None
+                else "simple"
+            )
             built = build_index_multifield_prenumbered(
                 self.spark, docs, finfo[0], default_field=finfo[1],
                 next_doc_id=int(stats["hi"]), positions=has_positions,
+                analyzer=merge_analyzer,
             )
         else:
+            merge_analyzer = (
+                str(stats["an"])
+                if has_an_col and stats["an"] is not None
+                else "simple"
+            )
             built = build_index_prenumbered(
                 self.spark, docs, next_doc_id=int(stats["hi"]),
-                positions=has_positions,
+                positions=has_positions, analyzer=merge_analyzer,
             )
         if built.n_docs == 0:
             # every doc in these segments was tombstoned — nothing to
@@ -1035,10 +1074,12 @@ class IndexStore:
             built = build_index_multifield(
                 self.spark, latest, {f: f for f in finfo[0]},
                 default_field=finfo[1], positions=existing.positions,
+                analyzer=existing.analyzer,
             )
         else:
             built = build_index(
-                self.spark, latest, positions=existing.positions
+                self.spark, latest, positions=existing.positions,
+                analyzer=existing.analyzer,
             )
         import shutil
 

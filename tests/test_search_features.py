@@ -1580,3 +1580,94 @@ def test_more_like_this_term_selection(spark, pcorpus):
     }
     assert got3 == want3
     assert s.topk_more_like_this("qzx1 qzx2", 10).count() == 0
+
+
+def test_rescore_phrase_window(spark, pcorpus):
+    _, _, s = pcorpus
+    W, QW, RW = 30, 1.0, 2.0
+    base = [
+        (r["doc_id"], r["score"])
+        for r in s.topk_blockmax("karo", W).collect()
+    ]
+    ph = _scored_map(s.topk_phrase_dataframe("karo roka", BIGK))
+    assert any(d in ph for d, _ in base), "fixture: window must hit phrase"
+    assert any(d not in ph for d, _ in base)
+    combos = {
+        "total": lambda o, r: o + r,
+        "multiply": lambda o, r: o * r,
+        "avg": lambda o, r: (o + r) / 2.0,
+        "max": max,
+        "min": min,
+    }
+    for mode, f in combos.items():
+        want = sorted(
+            (
+                (d, f(QW * v, RW * ph[d]) if d in ph else QW * v)
+                for d, v in base
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[:10]
+        got = [
+            (r["doc_id"], r["score"])
+            for r in s.topk_rescore(
+                "karo", "karo roka", k=10, window_size=W,
+                query_weight=QW, rescore_query_weight=RW, score_mode=mode,
+            ).collect()
+        ]
+        assert [(d, round(v, 9)) for d, v in got] == [
+            (d, round(v, 9)) for d, v in want
+        ], mode
+    # a rescore phrase matching nothing keeps query_weight * base
+    got0 = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_rescore(
+            "karo", "qzxa qzxb", k=10, window_size=W, query_weight=0.5
+        ).collect()
+    ]
+    want0 = sorted(
+        ((d, round(0.5 * v, 9)) for d, v in base),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert got0 == want0
+    with pytest.raises(ValueError, match="score_mode"):
+        s.topk_rescore("karo", "karo roka", score_mode="sum")
+    with pytest.raises(ValueError, match="window_size"):
+        s.topk_rescore("karo", "karo roka", k=100, window_size=10)
+    assert s.topk_rescore("qzxabsent", "karo roka", 5).count() == 0
+
+
+def test_terms_agg_with_submetrics(spark, pcorpus):
+    _, built, s = pcorpus
+    attrs = built.doc_stats.select("doc_id", "turn_idx")
+    matched = set(_scored_map(s.topk_dataframe("karo", BIGK)))
+    tv = {r["doc_id"]: r["turn_idx"] for r in attrs.collect()}
+    buckets: dict[int, list[int]] = {}
+    for d in matched:
+        buckets.setdefault(tv[d], []).append(d)
+    want = sorted(
+        (
+            (key, len(ds), sum(ds) / len(ds), float(min(ds)))
+            for key, ds in buckets.items()
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    got = [
+        (r["value"], r["doc_count"], r["avg_doc"], r["min_doc"])
+        for r in s.terms_agg(
+            "karo", attrs, "turn_idx",
+            metrics=[("avg_doc", "avg", "doc_id"), ("min_doc", "min", "doc_id")],
+            size=5,
+        ).collect()
+    ]
+    assert [(k, c, round(a, 9), m) for k, c, a, m in got] == [
+        (k, c, round(a, 9), m) for k, c, a, m in want
+    ] and got
+    # plain terms agg (no metrics) == facet-count semantics
+    got2 = [
+        (r["value"], r["doc_count"])
+        for r in s.terms_agg("karo", attrs, "turn_idx", size=3).collect()
+    ]
+    assert got2 == [(k, c) for k, c, _, _ in want][:3]
+    with pytest.raises(ValueError, match="metric fn"):
+        s.terms_agg("karo", attrs, "turn_idx", metrics=[("x", "median", "doc_id")])
+    assert s.terms_agg("qzxabsent", attrs, "turn_idx").count() == 0
