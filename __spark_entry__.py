@@ -1623,6 +1623,117 @@ def _q_mm2_most_fields(spark, sf_dir):
     return _q_mm_topk(spark, sf_dir, "most_fields")
 
 
+def _q_bst1_boosting(spark, sf_dir):
+    """ES boosting query: docs matching 'spark query' ranked by BM25,
+    DEMOTED ×0.3 (not excluded) where they also match 'shuffle' — the
+    prefer-don't-filter query. Full scored set."""
+    built, searcher = _searcher(spark, sf_dir)
+    top = searcher.topk_boosting(
+        {"match": {"query": "spark query"}},
+        {"match": {"query": "shuffle"}},
+        0.3,
+        k=10_000_000,
+    )
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_g13_filters(spark, sf_dir):
+    """ES filters aggregation: overlapping NAMED buckets (short/long
+    n_chars ranges + exists(source)) plus the other-bucket over the
+    'spark query' match set — one conditional-sum aggregation, never a
+    per-filter job."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = _agg_attrs(spark, sf_dir, built, "n_chars", "source")
+    return searcher.filters_agg(
+        "spark query",
+        attrs,
+        {
+            "short": {"range": {"col": "n_chars", "lt": 300}},
+            "long": {"range": {"col": "n_chars", "gte": 300}},
+            "has_src": {"exists": {"col": "source"}},
+        },
+        other_bucket_key="rest",
+    )
+
+
+def _q_ts1_terms_set(spark, sf_dir):
+    """ES terms_set query: docs containing at least M of
+    {spark, query, shuffle} where M is the PER-DOC field
+    1 + n_chars % 2 (so docs alternate between needing 1 and 2 matched
+    terms); score = BM25 sum of matched terms. Full scored set."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = _agg_attrs(spark, sf_dir, built, "n_chars").select(
+        "doc_id", (F.lit(1) + F.col("n_chars") % 2).alias("req")
+    )
+    top = searcher.topk_terms_set(
+        ["spark", "query", "shuffle"], attrs, "req", k=10_000_000
+    )
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_g14_histo_terms(spark, sf_dir):
+    """ES NESTED bucket agg: date_histogram (month) with a top-2 terms
+    sub-aggregation on source over the 'spark query' match set — the
+    Kibana stacked-bar shape (per-bucket total + per-sub-bucket count).
+    Bucket emitted as a string (timezone-representation-free hash)."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = built.doc_stats.select(
+        "doc_id",
+        F.expr(
+            "timestamp'2024-01-01' + make_interval(0, 0, 0, "
+            "cast(cast(conv_id AS long) % 300 AS int))"
+        ).alias("ts"),
+    ).join(
+        _agg_attrs(spark, sf_dir, built, "source"), "doc_id"
+    )
+    h = searcher.date_histogram_terms_agg(
+        "spark query", attrs, "ts", "source",
+        calendar_interval="month", size=2,
+    )
+    return h.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "bucket_count",
+        "value",
+        "doc_count",
+    )
+
+
+def _q_spf1_span_first(spark, sf_dir):
+    """ES span_first: 'spark' only within the first 10 token positions
+    (Lucene SpanFirstQuery, span.end() <= 10); freq = qualifying
+    occurrences, scored with the standard BM25 tf-norm. Full scored
+    set."""
+    built, searcher = _searcher(spark, sf_dir)
+    top = searcher.topk_span_first("spark", 10, k=10_000_000)
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_ex1_explain(spark, sf_dir):
+    """ES _explain API: the per-term score breakdown (term, tf, df, idf,
+    dl, contribution) of the top-1 doc of the reference query —
+    sum(contribution) is exactly the doc's ranked score."""
+    built, searcher = _searcher(spark, sf_dir)
+    q = " ".join(BM25_QUERY_TERMS)
+    top = searcher.topk_dataframe(q, 1).collect()
+    if not top:  # corpus without the query terms: empty breakdown
+        return searcher.explain(q, -1).select(
+            "term", "tf", "df",
+            F.round("idf", 6).alias("idf"), "dl",
+            F.round("contribution", 6).alias("contribution"),
+        )
+    return searcher.explain(q, top[0]["doc_id"]).select(
+        "term", "tf", "df",
+        F.round("idf", 6).alias("idf"), "dl",
+        F.round("contribution", 6).alias("contribution"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "b1_doc_lengths": _q_b1_doc_lengths,
@@ -1676,6 +1787,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dm1_dismax_topk": _q_dm1_dismax_topk,
         "mm1_best_fields": _q_mm1_best_fields,
         "mm2_most_fields": _q_mm2_most_fields,
+        "bst1_boosting": _q_bst1_boosting,
+        "g13_filters": _q_g13_filters,
+        "ts1_terms_set": _q_ts1_terms_set,
+        "g14_histo_terms": _q_g14_histo_terms,
+        "spf1_span_first": _q_spf1_span_first,
+        "ex1_explain": _q_ex1_explain,
         "p4_field_phrase": _q_p4_field_phrase,
         "b9_delete_by_query_topk": _q_b9_delete_by_query_topk,
         "q1_match_count": _q_q1_match_count,
@@ -2899,6 +3016,195 @@ vals AS (
     sql["dm1_dismax_topk"] = _dismax_sql(q, DM1_TIEBREAK)
     sql["mm1_best_fields"] = _multimatch_sql("best_fields", MM_TB)
     sql["mm2_most_fields"] = _multimatch_sql("most_fields", MM_TB)
+
+    # bst1: boosting query twin — the 'spark query' BM25 scored set with
+    # scores ×0.3 where the doc also contains 'shuffle' (the tok CTE of
+    # the base covers all docs, so the negative match set is one scan)
+    bst_base = _bm25_sql("spark query", None)
+    bst_tail = "SELECT doc_id, round(score, 4) AS score FROM scored"
+    assert bst_base.endswith(bst_tail)
+    sql["bst1_boosting"] = bst_base[: -len(bst_tail)] + """
+SELECT doc_id,
+       round(CASE WHEN doc_id IN (
+                SELECT DISTINCT doc_id FROM tok WHERE term = 'shuffle'
+             ) THEN score * 0.3 ELSE score END, 4) AS score
+FROM scored
+"""
+
+    # g13: filters agg twin — conditional counts over the match set;
+    # the other-bucket counts docs matching NO named filter
+    sql["g13_filters"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+matched AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ('query', 'spark')
+),
+j AS (
+  SELECT d.n_chars, d.source FROM documents d JOIN matched USING (doc_id)
+)
+SELECT * FROM (
+  SELECT 'has_src' AS name,
+         count(*) FILTER (WHERE source IS NOT NULL) AS doc_count FROM j
+  UNION ALL
+  SELECT 'long', count(*) FILTER (WHERE n_chars >= 300) FROM j
+  UNION ALL
+  SELECT 'rest', count(*) FILTER (WHERE NOT (
+           coalesce(n_chars < 300, FALSE)
+           OR coalesce(n_chars >= 300, FALSE)
+           OR source IS NOT NULL)) FROM j
+  UNION ALL
+  SELECT 'short', count(*) FILTER (WHERE n_chars < 300) FROM j
+) ORDER BY name
+"""
+
+    # ts1: terms_set twin — BM25 sum gated by the per-doc matched-term
+    # count >= max(1, 1 + n_chars % 2)
+    sql["ts1_terms_set"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(dl), 0) FROM dl)
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dft AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN ('query', 'shuffle', 'spark') GROUP BY 1
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS score,
+         count(*) AS nt
+  FROM tf
+  JOIN dft USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, round(s.score, 4) AS score
+FROM scored s
+JOIN documents d ON d.doc_id = s.doc_id
+WHERE s.nt >= greatest(1 + d.n_chars % 2, 1)
+"""
+
+    # g14: nested date_histogram×terms twin — month buckets of the synth
+    # timestamp, top-2 sources per bucket (count desc, value asc), each
+    # row carrying the bucket total
+    sql["g14_histo_terms"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+matched AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ('query', 'spark')
+),
+j AS (
+  SELECT date_trunc('month',
+           TIMESTAMP '2024-01-01' + (d.doc_id % 300) * INTERVAL 1 DAY
+         ) AS bucket,
+         d.source AS value
+  FROM documents d JOIN matched USING (doc_id)
+),
+counts AS (
+  SELECT bucket, value, count(*) AS doc_count FROM j GROUP BY 1, 2
+),
+ranked AS (
+  SELECT bucket,
+         sum(doc_count) OVER (PARTITION BY bucket) AS bucket_count,
+         value, doc_count,
+         row_number() OVER (
+           PARTITION BY bucket
+           ORDER BY (value IS NULL), doc_count DESC, value
+         ) AS r
+  FROM counts
+)
+SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       bucket_count::BIGINT AS bucket_count, value, doc_count
+FROM ranked
+WHERE value IS NOT NULL AND r <= 2
+ORDER BY bucket, doc_count DESC, value
+"""
+
+    # spf1: span_first twin — 1-based subscripts, span.end() = subscript,
+    # so the gate is subscript <= 10; freq = qualifying occurrences
+    sql["spf1_span_first"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term,
+         generate_subscripts({_TOK}, 1) AS pos
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(dl), 0) FROM dl)
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dft AS (
+  SELECT count(DISTINCT doc_id)::DOUBLE AS df FROM tok WHERE term = 'spark'
+),
+sf AS (
+  SELECT doc_id, count(*)::DOUBLE AS sf FROM tok
+  WHERE term = 'spark' AND pos <= 10 GROUP BY 1
+)
+SELECT sf.doc_id,
+       round(ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+             * sf.sf * ({K1} + 1.0)
+             / (sf.sf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)),
+             4) AS score
+FROM sf
+JOIN dl USING (doc_id)
+CROSS JOIN stats
+CROSS JOIN dft
+"""
+
+    # ex1: _explain twin — per-term breakdown of the top-1 doc of the
+    # reference query (argmax by score desc, doc_id asc — the engine's
+    # tiebreak; lpad-keyed internal ids preserve numeric doc_id order)
+    sql["ex1_explain"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(dl), 0) FROM dl)
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dft AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN ('query', 'shuffle', 'spark') GROUP BY 1
+),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf::BIGINT AS tf_i, dft.df::BIGINT AS df_i,
+         ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5)) AS idf,
+         dl.dl::BIGINT AS dl_i,
+         ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+           AS contribution
+  FROM tf
+  JOIN dft USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+target AS (
+  SELECT doc_id FROM contrib GROUP BY doc_id
+  ORDER BY sum(contribution) DESC, doc_id LIMIT 1
+)
+SELECT term, tf_i AS tf, df_i AS df, round(idf, 6) AS idf,
+       dl_i AS dl, round(contribution, 6) AS contribution
+FROM contrib JOIN target USING (doc_id)
+ORDER BY term
+"""
     # per-field phrase twin: title tokens (first 4, empty for doc_id%7==0),
     # field docCount stats, sliding-bigram phrase tf, pseudo-term BM25
     sql["p4_field_phrase"] = f"""

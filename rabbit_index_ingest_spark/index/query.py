@@ -498,6 +498,7 @@ class Searcher:
         idfs: dict[str, float],
         require_n: int | None = None,
         min_match: int | None = None,
+        keep_match_count: bool = False,
     ) -> DataFrame:
         """Shared disjunctive BM25 aggregation over decoded flat postings
         (doc_id, term, tf, dl): idf broadcast join → per-term contrib →
@@ -526,6 +527,11 @@ class Searcher:
             "doc_id"
         )
         if require_n is None and min_match is None:
+            if keep_match_count:  # (doc_id, score, _nt) — terms_set gate
+                return grouped.agg(
+                    F.sum("contrib").alias("score"),
+                    F.count("*").alias("_nt"),
+                )
             return grouped.agg(F.sum("contrib").alias("score"))
         pred = (
             (F.col("_nt") == require_n)
@@ -1124,6 +1130,71 @@ class Searcher:
         else:
             local = grouped.applyInPandas(scorer, TOPK_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def topk_terms_set(
+        self,
+        terms: list[str],
+        attrs: DataFrame,
+        minimum_should_match_field: str,
+        k: int = 10,
+    ) -> DataFrame:
+        """ES ``terms_set`` query: match docs containing at least M of the
+        given terms where M is read from a PER-DOCUMENT field
+        (``minimum_should_match_field``) — the "required skills" query
+        (each job posting stores how many of its listed skills are
+        mandatory). The per-doc gate is what distinguishes it from
+        ``minimum_should_match``'s single global M.
+
+        Semantics (Lucene CoveringQuery shape): candidate docs are the
+        union iteration (≥1 term present); a candidate matches when its
+        matched-term count ≥ max(1, its field value) — the max(1,·)
+        clamp reflects that CoveringQuery never surfaces zero-term docs;
+        docs missing the field never match (inner join; ES docs advise a
+        default value at index time). Score = sum of matched terms' BM25
+        (bool/should scoring). Terms are TERM-level (not analyzed) like
+        ES — pass analyzer-space tokens.
+
+        Plan shape: ONE term-pruned decode + ONE aggregation keeping the
+        per-doc matched-term count (the same single pipeline as
+        ``topk_msm_dataframe``) + ONE join against the attr frame with
+        the gate as a codegen predicate — the per-doc M never alters the
+        scan, so this costs exactly one join more than a plain match.
+        Replaces the reference's delegation of terms_set to ES 7.9.1."""
+        uniq = sorted(set(terms))
+        if not uniq:
+            raise ValueError("terms_set needs at least one term")
+        self._attr_col(attrs, minimum_should_match_field)
+        meta = self._term_meta(uniq)
+        idfs = {
+            t: lucene_idf(self.n_docs, m[0])
+            for t, m in meta.items()
+            if m[0] > 0
+        }
+        if not idfs:
+            return _empty_topk(self.spark)
+        buckets = _term_buckets(self.spark, list(idfs))
+        blocks = self.postings.where(F.col("bucket").isin(buckets)).where(
+            F.col("term").isin(list(idfs))
+        )
+        scored = self._bm25_scored(
+            self._mask_deleted(flat_postings(blocks)), idfs,
+            keep_match_count=True,
+        )
+        req = attrs.where(
+            F.col(minimum_should_match_field).isNotNull()
+        ).select(
+            "doc_id",
+            F.greatest(
+                F.col(minimum_should_match_field).cast("long"), F.lit(1)
+            ).alias("_req"),
+        )
+        return (
+            scored.join(req, "doc_id", "inner")
+            .where(F.col("_nt") >= F.col("_req"))
+            .select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
 
     # ---------------- prefix (multi-term expansion) retrieval ----------------
 
@@ -2064,31 +2135,43 @@ class Searcher:
         if kind in ("term", "range", "exists"):
             if attrs is None:
                 raise ValueError(f"{kind!r} clause needs attrs=")
-            c = self._attr_col(attrs, body["col"])
-            if kind == "term":
-                pred = c == F.lit(body["value"])
-            elif kind == "exists":
-                pred = c.isNotNull()
-            else:
-                ops = [
-                    (op, body[op])
-                    for op in ("gte", "gt", "lte", "lt")
-                    if op in body
-                ]
-                if not ops:
-                    raise ValueError(
-                        "range clause needs at least one of gte/gt/lte/lt"
-                    )
-                pred = F.lit(True)
-                for op, v in ops:
-                    cmp = {
-                        "gte": c >= F.lit(v), "gt": c > F.lit(v),
-                        "lte": c <= F.lit(v), "lt": c < F.lit(v),
-                    }[op]
-                    pred = pred & cmp
+            pred = self._attr_pred(attrs, kind, body)
             return attrs.where(pred).select("doc_id")
         scored = self._clause_scored(clause)
         return None if scored is None else scored.select("doc_id")
+
+    def _attr_pred(self, attrs: DataFrame, kind: str, body: dict):
+        """Column predicate for an attr clause spec (term/range/exists —
+        the ES filter-context workhorses), shared by ``_clause_matchset``
+        and ``filters_agg`` so the spec grammar exists exactly once.
+        Pushed-down column expressions over ``attrs``: when attrs derives
+        from the docs parquet, Catalyst pushes these to the scan."""
+        c = self._attr_col(attrs, body["col"])
+        if kind == "term":
+            return c == F.lit(body["value"])
+        if kind == "exists":
+            return c.isNotNull()
+        if kind == "range":
+            ops = [
+                (op, body[op])
+                for op in ("gte", "gt", "lte", "lt")
+                if op in body
+            ]
+            if not ops:
+                raise ValueError(
+                    "range clause needs at least one of gte/gt/lte/lt"
+                )
+            pred = F.lit(True)
+            for op, v in ops:
+                cmp = {
+                    "gte": c >= F.lit(v), "gt": c > F.lit(v),
+                    "lte": c <= F.lit(v), "lt": c < F.lit(v),
+                }[op]
+                pred = pred & cmp
+            return pred
+        raise ValueError(
+            f"unknown attr clause kind {kind!r}; expected term/range/exists"
+        )
 
     def bool_query(
         self,
@@ -2234,6 +2317,64 @@ class Searcher:
         for m in sets[1:]:
             ex = ex.unionByName(m)
         return df.join(ex, "doc_id", "left_anti")
+
+    def topk_boosting(
+        self,
+        positive: dict,
+        negative: dict,
+        negative_boost: float,
+        attrs: DataFrame | None = None,
+        k: int = 10,
+        allowed: DataFrame | None = None,
+        excluded: DataFrame | None = None,
+    ) -> DataFrame:
+        """ES ``boosting`` query: return every match of the ``positive``
+        clause, but DEMOTE (not exclude) docs that also match the
+        ``negative`` clause by multiplying their score by
+        ``negative_boost`` — the "prefer, don't filter" query (e.g. rank
+        apple-the-company above apple-the-fruit without dropping fruit
+        docs). Unlike ``bool.must_not`` the negative matches stay in the
+        result set, re-ranked. ES contract: ``negative_boost`` in
+        [0, 1.0] (0 floors negative matches to score 0 but keeps them).
+
+        Clause specs are the ``bool_query`` grammar: scored kinds
+        (match / match_phrase / prefix) for ``positive``; ``negative``
+        additionally accepts the attr predicates (term/range/exists,
+        needs ``attrs=``) since it only ever needs a match SET.
+
+        Plan shape: positive = one term-pruned decode + aggregation
+        (``_clause_scored``); negative = one doc_id match set; combine =
+        ONE left join (AQE broadcasts a selective negative side) + a
+        codegen conditional multiply. Nothing collects. Replaces the
+        reference's delegation of the boosting query to Elasticsearch
+        (rabbit_indexer delegates all search to ES 7.9.1)."""
+        if not (0.0 <= negative_boost <= 1.0):
+            raise ValueError(
+                f"negative_boost must be in [0, 1], got {negative_boost}"
+            )
+        pos = self._clause_scored(positive)
+        if pos is None:
+            return _empty_topk(self.spark)
+        neg = self._clause_matchset(negative, attrs)
+        if neg is not None:
+            marked = neg.select("doc_id", F.lit(1).alias("_neg"))
+            pos = (
+                pos.join(marked, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.when(
+                        F.col("_neg").isNotNull(),
+                        F.col("score") * F.lit(float(negative_boost)),
+                    )
+                    .otherwise(F.col("score"))
+                    .alias("score"),
+                )
+            )
+        if allowed is not None:
+            pos = pos.join(allowed.select("doc_id"), "doc_id", "left_semi")
+        if excluded is not None:
+            pos = pos.join(excluded.select("doc_id"), "doc_id", "left_anti")
+        return pos.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def topk_query_string(
         self,
@@ -2902,6 +3043,65 @@ class Searcher:
             )
         return matched.agg(F.count("*").cast("long").alias("n"))
 
+    def explain(self, query_text: str, doc_id: int) -> DataFrame:
+        """ES ``_explain`` API: the per-term score breakdown of ONE doc
+        for a (disjunctive) match query — ``(term, tf, df, idf, dl,
+        contribution)`` rows, one per query term present in the doc,
+        ordered by term; sum(contribution) is exactly the doc's
+        ``topk_dataframe``/``topk_blockmax`` score (same formula, same
+        float64 accumulation). Empty when the doc matches no term or is
+        tombstoned. The relational rendering of ES's explanation tree
+        (each row = one TermQuery leaf: "score(freq=tf), computed as
+        boost * idf * tf-norm from ...").
+
+        Plan shape: the block scan prunes to the query's terms AND the
+        doc's single range partition (``range_id = doc_id >> range_bits``
+        — a literal predicate under the decode, so one doc's explain
+        reads a handful of blocks out of 10^12 docs), then one decode +
+        one broadcast idf join; no shuffle, no top-k."""
+        plan = self._plan(query_text)
+        empty = self.spark.createDataFrame(
+            [],
+            "term string, tf long, df long, idf double, dl long, "
+            "contribution double",
+        )
+        if plan is None:
+            return empty
+        idfs, blocks, meta = plan
+        doc_id = int(doc_id)
+        blocks = blocks.where(
+            F.col("range_id") == F.lit(doc_id >> self.range_bits)
+        )
+        flat = self._mask_deleted(flat_postings(blocks)).where(
+            F.col("doc_id") == F.lit(doc_id)
+        )
+        stats = F.broadcast(
+            self.spark.createDataFrame(
+                sorted(
+                    (t, meta[t][0], idf) for t, idf in idfs.items()
+                ),
+                "term string, df long, idf double",
+            )
+        )
+        contribution = (
+            F.col("idf")
+            * F.col("tf")
+            * (codec.K1 + 1.0)
+            / (
+                F.col("tf")
+                + codec.K1
+                * (1.0 - codec.B + codec.B * F.col("dl") / F.lit(self.avgdl))
+            )
+        )
+        return (
+            flat.join(stats, "term")
+            .select(
+                "term", "tf", "df", "idf", "dl",
+                contribution.alias("contribution"),
+            )
+            .orderBy("term")
+        )
+
     @staticmethod
     def _attr_col(attrs: DataFrame, col: str):
         """attrs column by name with fail-fast validation and canonical
@@ -3151,6 +3351,147 @@ class Searcher:
             time_zone=time_zone,
         )
 
+    def filters_agg(
+        self,
+        query_text: str,
+        attrs: DataFrame,
+        filters: dict[str, dict],
+        other_bucket_key: str | None = None,
+    ) -> DataFrame:
+        """ES ``filters`` aggregation: one NAMED bucket per filter spec,
+        each counting the docs of the query's match set that satisfy it
+        (buckets may overlap — a doc can land in several, unlike
+        ``terms``/``range``). Specs are the attr-predicate grammar of the
+        bool DSL (term / range / exists over ``attrs`` columns — the
+        Kibana filters-bar shape). ``other_bucket_key`` adds the ES
+        other-bucket: docs matching NO named filter.
+
+        Plan shape: ONE match-set decode + ONE left join + ONE
+        aggregation — every bucket is a conditional-sum column in the
+        same map-side-combined agg, never a per-filter job/semi-join, so
+        adding buckets adds zero shuffles at 10^12 docs. Returns
+        ``(name, doc_count)`` ordered by name (named buckets are a dict;
+        a deterministic order replaces ES's insertion order). Empty
+        buckets return doc_count 0 (ES keeps named buckets). Replaces
+        the reference's delegation of aggregations to Elasticsearch."""
+        if not filters:
+            raise ValueError("filters_agg needs at least one named filter")
+        preds = {}
+        for name, clause in filters.items():
+            (kind, body), = clause.items()
+            preds[name] = self._attr_pred(attrs, kind, body)
+        names = sorted(preds)
+        matched = self._matched_docs(query_text)
+        empty = self.spark.createDataFrame(
+            [(n, 0) for n in names]
+            + ([(other_bucket_key, 0)] if other_bucket_key else []),
+            "name string, doc_count long",
+        ).orderBy("name")
+        if matched is None:
+            return empty
+        joined = matched.join(attrs, "doc_id", "left")
+        aggs = [
+            F.sum(F.when(preds[n], 1).otherwise(0)).alias(n) for n in names
+        ]
+        if other_bucket_key is not None:
+            none_match = F.lit(True)
+            for n in names:
+                # null predicate (null attr) counts as non-matching
+                none_match = none_match & ~F.coalesce(preds[n], F.lit(False))
+            aggs.append(
+                F.sum(F.when(none_match, 1).otherwise(0))
+                .alias(other_bucket_key)
+            )
+            names = names + [other_bucket_key]
+        row = joined.agg(*aggs)
+        # melt the single row to (name, doc_count) — driver never sees data
+        pairs = F.array(*[
+            F.struct(F.lit(n).alias("name"), F.col(n).alias("doc_count"))
+            for n in names
+        ])
+        out = (
+            row.select(F.explode(pairs).alias("b"))
+            .select("b.name", F.coalesce("b.doc_count", F.lit(0)).alias("doc_count"))
+            .orderBy("name")
+        )
+        return out
+
+    def date_histogram_terms_agg(
+        self,
+        query_text: str,
+        attrs: DataFrame,
+        ts_col: str,
+        sub_col: str,
+        calendar_interval: str = "month",
+        size: int = 3,
+    ) -> DataFrame:
+        """ES NESTED bucket aggregation: ``date_histogram`` with a
+        ``terms`` sub-aggregation — "top ``size`` values of ``sub_col``
+        per time bucket", the canonical Kibana stacked-bar shape. Each
+        sub-bucket row carries its own doc_count plus the parent
+        bucket's total (``bucket_count``); sub-buckets order by the ES
+        terms contract (count desc, value asc) within their bucket.
+        Returns flat rows ``(bucket, bucket_count, value, doc_count)``
+        — the relational rendering of the nested JSON; time buckets with
+        no matching docs are omitted (min_doc_count=1 semantics; the
+        zero-fill spine belongs to the flat date_histogram).
+
+        Plan shape: ONE match-set decode + ONE join + ONE
+        groupBy(bucket, value) (map-side combined) + ONE window
+        (partitionBy bucket) for the per-bucket top-size cut and the
+        bucket total — never a per-bucket job, so 10^6 buckets cost the
+        same two shuffles as 10. NULL ``sub_col`` values drop from
+        sub-buckets but still count in ``bucket_count`` (ES: missing
+        values leave the terms sub-agg, not the parent)."""
+        from pyspark.sql import Window
+
+        from ..operators.analytics import CALENDAR_UNITS
+
+        if calendar_interval not in CALENDAR_UNITS:
+            raise ValueError(
+                f"calendar_interval must be one of {CALENDAR_UNITS}, "
+                f"got {calendar_interval!r}"
+            )
+        self._attr_col(attrs, ts_col)
+        self._attr_col(attrs, sub_col)
+        matched = self._matched_docs(query_text)
+        if matched is None:
+            return self.spark.createDataFrame(
+                [],
+                "bucket timestamp, bucket_count long, "
+                "value string, doc_count long",
+            )
+        joined = matched.join(
+            attrs.where(F.col(ts_col).isNotNull()), "doc_id", "inner"
+        ).select(
+            F.date_trunc(calendar_interval, F.col(ts_col)).alias("bucket"),
+            F.col(sub_col).cast("string").alias("value"),
+        )
+        counts = joined.groupBy("bucket", "value").agg(
+            F.count("*").alias("doc_count")
+        )
+        w = Window.partitionBy("bucket")
+        ranked = counts.select(
+            "bucket",
+            F.sum("doc_count").over(w).alias("bucket_count"),
+            "value",
+            "doc_count",
+            F.row_number()
+            .over(
+                w.orderBy(
+                    F.col("value").isNull(),  # nulls drop below real values
+                    F.desc("doc_count"),
+                    F.asc("value"),
+                )
+            )
+            .alias("_r"),
+        )
+        return (
+            ranked.where(F.col("value").isNotNull() & (F.col("_r") <= size))
+            .drop("_r")
+            .orderBy("bucket", F.desc("doc_count"), F.asc("value"))
+        )
+
     def significant_terms(
         self,
         query_text: str,
@@ -3396,6 +3737,75 @@ class Searcher:
             .where(F.col("_r") <= top_values)
             .drop("_r")
         )
+
+    def topk_span_first(
+        self,
+        term: str,
+        end: int,
+        k: int = 10,
+        allowed: DataFrame | None = None,
+        excluded: DataFrame | None = None,
+    ) -> DataFrame:
+        """ES ``span_first`` query: match ``term`` only where it occurs
+        within the FIRST ``end`` token positions of the doc (Lucene
+        SpanFirstQuery: spans with ``span.end() <= end``; a single-term
+        span at 0-based position p has end p+1, so the gate is
+        ``p < end``) — the "title-ish boost without a title field" query.
+        Scoring is Lucene SpanScorer: freq = number of qualifying spans
+        (each contributes sloppyFreq(0)=1), then the standard BM25
+        tf-norm with that freq — a doc with 5 occurrences of which 2 are
+        early scores as tf=2.
+
+        Plan shape: ONE term+bucket-pruned positional decode (only this
+        term's blocks read their pos stream) + a codegen array filter/
+        size — positions never leave their executor, no extra shuffle vs
+        a plain match. Replaces the reference's delegation of span
+        queries to Elasticsearch (rabbit_indexer delegates all search to
+        ES 7.9.1)."""
+        if end <= 0:
+            raise ValueError(f"end must be > 0, got {end}")
+        toks = self._tok(term)
+        if len(toks) != 1:
+            raise ValueError(
+                f"span_first term must analyze to one token, got {toks!r}"
+            )
+        tok = toks[0]
+        meta = self._term_meta([tok])
+        df_t = meta[tok][0]
+        if df_t == 0:
+            return _empty_topk(self.spark)
+        idf = lucene_idf(self.n_docs, df_t)
+        blocks = self.postings.where(
+            F.col("bucket").isin(_term_buckets(self.spark, [tok]))
+        ).where(F.col("term") == tok)
+        flat = self._mask_deleted(flat_postings_positional(blocks))
+        if allowed is not None:
+            flat = flat.join(allowed.select("doc_id"), "doc_id", "left_semi")
+        if excluded is not None:
+            flat = flat.join(excluded.select("doc_id"), "doc_id", "left_anti")
+        sf = F.size(F.filter("positions", lambda p: p < F.lit(int(end))))
+        scored = (
+            flat.select("doc_id", "dl", sf.alias("sf"))
+            .where(F.col("sf") > 0)
+            .select(
+                "doc_id",
+                (
+                    F.lit(idf)
+                    * F.col("sf")
+                    * (codec.K1 + 1.0)
+                    / (
+                        F.col("sf")
+                        + codec.K1
+                        * (
+                            1.0
+                            - codec.B
+                            + codec.B * F.col("dl") / F.lit(self.avgdl)
+                        )
+                    )
+                ).alias("score"),
+            )
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def topk_near(
         self,

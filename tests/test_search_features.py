@@ -1671,3 +1671,271 @@ def test_terms_agg_with_submetrics(spark, pcorpus):
     with pytest.raises(ValueError, match="metric fn"):
         s.terms_agg("karo", attrs, "turn_idx", metrics=[("x", "median", "doc_id")])
     assert s.terms_agg("qzxabsent", attrs, "turn_idx").count() == 0
+
+
+# ---------------- round-6 batch 2: boosting / filters / terms_set /
+# nested aggs / span_first / explain ----------------
+
+
+def test_boosting_demotes_not_excludes(spark, pcorpus):
+    """ES boosting query: negative matches stay in the result, score
+    multiplied by negative_boost — recompute from the positive scored
+    set and the negative match set."""
+    _, _, s = pcorpus
+    big = 10_000_000
+    nb = 0.25
+    pos = {r["doc_id"]: r["score"]
+           for r in s.topk_dataframe("zephyr karo", big).collect()}
+    neg = {r["doc_id"]
+           for r in s.topk_dataframe("quantum", big).collect()}
+    want = sorted(
+        ((d, sc * nb if d in neg else sc) for d, sc in pos.items()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    got = [
+        (r["doc_id"], r["score"])
+        for r in s.topk_boosting(
+            {"match": {"query": "zephyr karo"}},
+            {"match": {"query": "quantum"}}, nb, k=big,
+        ).collect()
+    ]
+    assert [(d, round(x, 9)) for d, x in got] == [
+        (d, round(x, 9)) for d, x in want
+    ] and got
+    assert pos.keys() & neg, "fixture must demote at least one doc"
+    # unmatchable negative = no demotion; unmatchable positive = empty
+    base = [
+        (r["doc_id"], r["score"])
+        for r in s.topk_boosting(
+            {"match": {"query": "zephyr karo"}},
+            {"match": {"query": "qzxabsent"}}, nb, k=big,
+        ).collect()
+    ]
+    assert base == sorted(pos.items(), key=lambda t: (-t[1], t[0]))
+    assert s.topk_boosting(
+        {"match": {"query": "qzxabsent"}},
+        {"match": {"query": "zephyr"}}, nb,
+    ).count() == 0
+    with pytest.raises(ValueError, match="negative_boost"):
+        s.topk_boosting({"match": {"query": "zephyr"}},
+                        {"match": {"query": "karo"}}, 1.5)
+
+
+def test_filters_agg_named_buckets(spark, pcorpus):
+    """ES filters aggregation: overlapping named buckets + other bucket,
+    counted against a pandas oracle over the match set."""
+    pdf, built, s = pcorpus
+    q = "zephyr karo"
+    qt = set(py_tokenize(q))
+    matched = [i for i, t in enumerate(pdf["text"])
+               if qt & set(py_tokenize(t))]
+    tv = {i: int(pdf["turn_idx"][i]) for i in matched}
+    want = {
+        "early": sum(1 for i in matched if tv[i] < 3),
+        "late": sum(1 for i in matched if tv[i] >= 3),
+        "all": len(matched),
+        "rest": 0,  # early/late cover everything, all overlaps both
+    }
+    attrs = built.doc_stats.select("doc_id", "turn_idx")
+    got = {
+        r["name"]: r["doc_count"]
+        for r in s.filters_agg(
+            q, attrs,
+            {"early": {"range": {"col": "turn_idx", "lt": 3}},
+             "late": {"range": {"col": "turn_idx", "gte": 3}},
+             "all": {"exists": {"col": "turn_idx"}}},
+            other_bucket_key="rest",
+        ).collect()
+    }
+    assert got == want and want["all"] > 0
+    # term filter + empty bucket keeps its name at 0
+    got2 = {
+        r["name"]: r["doc_count"]
+        for r in s.filters_agg(
+            q, attrs,
+            {"t0": {"term": {"col": "turn_idx", "value": 0}},
+             "none": {"term": {"col": "turn_idx", "value": -99}}},
+        ).collect()
+    }
+    assert got2 == {
+        "t0": sum(1 for i in matched if tv[i] == 0), "none": 0
+    }
+    # absent query: named buckets all zero
+    gone = {
+        r["name"]: r["doc_count"]
+        for r in s.filters_agg(
+            "qzxabsent", attrs,
+            {"t0": {"term": {"col": "turn_idx", "value": 0}}},
+        ).collect()
+    }
+    assert gone == {"t0": 0}
+    with pytest.raises(ValueError, match="at least one"):
+        s.filters_agg(q, attrs, {})
+
+
+def test_terms_set_per_doc_msm(spark, pcorpus):
+    """ES terms_set: per-doc minimum_should_match from an attr field —
+    oracle = disjunction scored set gated by a pandas matched-term
+    count."""
+    pdf, built, s = pcorpus
+    terms = ["zephyr", "karo", "quantum"]
+    big = 10_000_000
+    scores = {r["doc_id"]: r["score"]
+              for r in s.topk_dataframe(" ".join(terms), big).collect()}
+    # per-doc requirement: turn_idx (0..n) — 0 clamps to 1 (CoveringQuery)
+    attrs = built.doc_stats.select("doc_id", "turn_idx")
+    req = {r["doc_id"]: int(r["turn_idx"]) for r in attrs.collect()}
+    docs_toks = {
+        r["doc_id"]: set(py_tokenize(pdf["text"][i]))
+        for i, r in enumerate(
+            built.doc_stats.orderBy("conv_id", "turn_idx").collect()
+        )
+    }
+    want = sorted(
+        (
+            (d, sc) for d, sc in scores.items()
+            if len(set(terms) & docs_toks[d]) >= max(1, req[d])
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    got = [
+        (r["doc_id"], r["score"])
+        for r in s.topk_terms_set(terms, attrs, "turn_idx", k=big).collect()
+    ]
+    assert [(d, round(x, 9)) for d, x in got] == [
+        (d, round(x, 9)) for d, x in want
+    ] and got
+    # requirements above the term count are unsatisfiable
+    hi = attrs.select("doc_id", (F.col("turn_idx") + 99).alias("r"))
+    assert s.topk_terms_set(terms, hi, "r", k=big).count() == 0
+    # docs whose requirement field is NULL never match
+    nulls = attrs.select("doc_id", F.lit(None).cast("long").alias("r"))
+    assert s.topk_terms_set(terms, nulls, "r", k=big).count() == 0
+    with pytest.raises(ValueError, match="at least one term"):
+        s.topk_terms_set([], attrs, "turn_idx")
+    with pytest.raises(ValueError, match="not in attrs"):
+        s.topk_terms_set(terms, attrs, "nope")
+
+
+def test_date_histogram_terms_nested(spark, pcorpus):
+    """Nested bucket agg: top-size terms sub-buckets per month bucket,
+    with the parent bucket total carrying NULL sub-values."""
+    pdf, built, s = pcorpus
+    q = "zephyr karo"
+    qt = set(py_tokenize(q))
+    stats = built.doc_stats.orderBy("conv_id", "turn_idx").collect()
+    toks = [set(py_tokenize(t)) for t in pdf["text"]]
+    # deterministic synthetic attrs: month from doc_id, source with NULLs
+    month = {r["doc_id"]: int(r["doc_id"]) % 3 + 1 for r in stats}
+    src = {
+        r["doc_id"]: (None if r["doc_id"] % 5 == 0
+                      else f"s{int(r['doc_id']) % 4}")
+        for r in stats
+    }
+    matched = [r["doc_id"] for i, r in enumerate(stats) if qt & toks[i]]
+    assert matched
+    from collections import Counter
+    per_bucket: dict[int, Counter] = {}
+    totals: dict[int, int] = {}
+    for d in matched:
+        totals[month[d]] = totals.get(month[d], 0) + 1
+        if src[d] is not None:
+            per_bucket.setdefault(month[d], Counter())[src[d]] += 1
+    want = []
+    for m in sorted(per_bucket):
+        top = sorted(per_bucket[m].items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        want.extend(
+            (f"2024-0{m}-01 00:00:00", totals[m], v, c) for v, c in top
+        )
+    attrs = built.doc_stats.select(
+        "doc_id",
+        F.expr("make_timestamp(2024, cast(doc_id % 3 + 1 AS int), 1, 0, 0, 0)")
+        .alias("ts"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("s"), (F.col("doc_id") % 4).cast("string")))
+        .alias("src"),
+    )
+    got = [
+        (r["bucket"].strftime("%Y-%m-%d %H:%M:%S"), r["bucket_count"],
+         r["value"], r["doc_count"])
+        for r in s.date_histogram_terms_agg(
+            q, attrs, "ts", "src", calendar_interval="month", size=2
+        ).collect()
+    ]
+    assert got == want and got
+    assert s.date_histogram_terms_agg(
+        "qzxabsent", attrs, "ts", "src"
+    ).count() == 0
+    with pytest.raises(ValueError, match="calendar_interval"):
+        s.date_histogram_terms_agg(q, attrs, "ts", "src",
+                                   calendar_interval="fortnight")
+
+
+def test_span_first_matches_python(spark, pcorpus):
+    """span_first: freq = occurrences in the first `end` positions, then
+    the standard BM25 tf-norm — full pandas recompute."""
+    import math
+
+    pdf, built, s = pcorpus
+    term, end = "karo", 6
+    stats = built.doc_stats.orderBy("conv_id", "turn_idx").collect()
+    toks = [py_tokenize(t) for t in pdf["text"]]
+    df_t = sum(1 for ts in toks if term in ts)
+    idf = math.log(1.0 + (built.n_docs - df_t + 0.5) / (df_t + 0.5))
+    want = []
+    for i, r in enumerate(stats):
+        sf = sum(1 for p in toks[i][:end] if p == term)
+        if sf:
+            dl = len(toks[i])
+            sc = idf * sf * 2.2 / (
+                sf + 1.2 * (1 - 0.75 + 0.75 * dl / built.avgdl)
+            )
+            want.append((r["doc_id"], sc))
+    want.sort(key=lambda t: (-t[1], t[0]))
+    got = [
+        (r["doc_id"], r["score"])
+        for r in s.topk_span_first(term, end, k=10_000_000).collect()
+    ]
+    assert [(d, round(x, 9)) for d, x in got] == [
+        (d, round(x, 9)) for d, x in want
+    ] and got
+    # a doc with the term ONLY late must be excluded vs the plain match
+    plain = {r["doc_id"]
+             for r in s.topk_dataframe(term, 10_000_000).collect()}
+    assert {d for d, _ in got} < plain
+    assert s.topk_span_first("qzxabsent", 5).count() == 0
+    with pytest.raises(ValueError, match="one token"):
+        s.topk_span_first("two words", 5)
+    with pytest.raises(ValueError, match="end"):
+        s.topk_span_first(term, 0)
+
+
+def test_explain_decomposes_topk_score(spark, pcorpus):
+    """_explain: per-term contributions sum to the exact ranked score,
+    tf/df agree with the pandas truth, tombstoned/absent docs are
+    empty."""
+    pdf, built, s = pcorpus
+    q = "zephyr karo quantum"
+    top = s.topk_blockmax(q, 3).collect()
+    assert top
+    toks = [py_tokenize(t) for t in pdf["text"]]
+    stats = built.doc_stats.orderBy("conv_id", "turn_idx").collect()
+    row_of = {r["doc_id"]: i for i, r in enumerate(stats)}
+    for hit in top:
+        rows = s.explain(q, hit["doc_id"]).collect()
+        assert sum(r["contribution"] for r in rows) == pytest.approx(
+            hit["score"], rel=1e-12
+        )
+        dtoks = toks[row_of[hit["doc_id"]]]
+        for r in rows:
+            assert r["tf"] == sum(1 for t in dtoks if t == r["term"])
+            assert r["dl"] == len(dtoks)
+            assert r["df"] == sum(1 for ts in toks if r["term"] in ts)
+        assert [r["term"] for r in rows] == sorted(r["term"] for r in rows)
+    # non-matching doc: no rows; absent query: no rows
+    unmatched = next(
+        r["doc_id"] for i, r in enumerate(stats)
+        if not (set(py_tokenize(q)) & set(toks[i]))
+    )
+    assert s.explain(q, unmatched).count() == 0
+    assert s.explain("qzxabsent", top[0]["doc_id"]).count() == 0
