@@ -61,7 +61,7 @@ def _parser() -> argparse.ArgumentParser:
                    choices=["or", "and", "dismax", "multi_match", "phrase",
                             "near", "prefix", "phrase_prefix", "bool_prefix",
                             "fuzzy", "wildcard", "regexp", "query_string",
-                            "mlt"],
+                            "mlt", "boosting", "terms_set", "span_first"],
                    default="or",
                    help="or = disjunctive BM25 (default); and = ES "
                         "operator:and (doc must contain every term); "
@@ -160,6 +160,24 @@ def _parser() -> argparse.ArgumentParser:
     q.add_argument("--probe-min-blocks", type=int, default=2048,
                    help="estimated-decode-volume gate for the global "
                         "theta0 seed probe (lower = seed more queries)")
+    q.add_argument("--negative-q", default=None,
+                   help="boosting mode: the negative (demotion) match "
+                        "text — docs matching it keep their rank set but "
+                        "score x --negative-boost (ES boosting query)")
+    q.add_argument("--negative-boost", type=float, default=0.5,
+                   help="boosting mode: multiplier in [0,1] applied to "
+                        "negative matches (ES negative_boost)")
+    q.add_argument("--msm-field", default=None,
+                   help="terms_set mode: docs-table column holding each "
+                        "doc's own minimum_should_match (ES "
+                        "minimum_should_match_field); --q is the "
+                        "space-separated term set")
+    q.add_argument("--span-end", type=int, default=10,
+                   help="span_first mode: --q must occur within the "
+                        "first N token positions (Lucene span.end() <= N)")
+    q.add_argument("--explain", default=None, metavar="CONV_ID,TURN_IDX",
+                   help="print the per-term score breakdown (ES _explain) "
+                        "of one doc for --q instead of running top-k")
 
     c = sub.add_parser("compact", help="force-merge to one segment, drop tombstones")
     c.add_argument("--index", required=True)
@@ -276,6 +294,31 @@ def main(argv: list[str] | None = None) -> int:
         if excluded is not None and not fast:
             raise SystemExit("--exclude requires --path blockmax (the "
                              "scorer-masked must_not path)")
+        if args.explain is not None:
+            # ES _explain: resolve (conv_id, turn_idx) -> internal doc_id,
+            # print the per-term breakdown, skip the top-k machinery
+            cid, sep, tix = args.explain.rpartition(",")
+            if not sep:
+                raise SystemExit(
+                    f"--explain expects CONV_ID,TURN_IDX, got {args.explain!r}"
+                )
+            hit = (
+                L.doc_stats.where(
+                    (F.col("conv_id") == cid)
+                    & (F.col("turn_idx") == int(tix))
+                )
+                .select("doc_id")
+                .collect()
+            )
+            if not hit:
+                raise SystemExit(f"no indexed doc {args.explain!r}")
+            for r in s.explain(args.q, hit[0]["doc_id"]).collect():
+                print(json.dumps({
+                    "term": r["term"], "tf": r["tf"], "df": r["df"],
+                    "idf": round(r["idf"], 6), "dl": r["dl"],
+                    "contribution": round(r["contribution"], 6),
+                }))
+            return 0
         if args.mode == "prefix":
             top = s.topk_prefix(
                 args.q, args.k, rewrite=args.rewrite, allowed=allowed,
@@ -373,6 +416,37 @@ def main(argv: list[str] | None = None) -> int:
             # interesting terms (Lucene tf*idf) run the pruned disjunction
             top = s.topk_more_like_this(
                 args.q, args.k, max_query_terms=args.max_query_terms,
+                allowed=allowed, excluded=excluded,
+            )
+        elif args.mode == "boosting":
+            # ES boosting query: --q is the positive match, --negative-q
+            # demotes (never excludes) by x --negative-boost
+            if not args.negative_q:
+                raise SystemExit("--mode boosting requires --negative-q")
+            top = s.topk_boosting(
+                {"match": {"query": args.q}},
+                {"match": {"query": args.negative_q}},
+                args.negative_boost, k=args.k,
+                allowed=allowed, excluded=excluded,
+            )
+        elif args.mode == "terms_set":
+            # ES terms_set: per-doc minimum_should_match read from a
+            # docs-table column; --q is the space-separated term set
+            if not args.msm_field:
+                raise SystemExit("--mode terms_set requires --msm-field")
+            if allowed is not None or excluded is not None:
+                raise SystemExit(
+                    "--filter/--exclude don't compose with --mode "
+                    "terms_set yet"
+                )
+            attrs = L.docs.select("doc_id", args.msm_field)
+            top = s.topk_terms_set(
+                args.q.split(), attrs, args.msm_field, k=args.k
+            )
+        elif args.mode == "span_first":
+            # ES span_first: --q within the first --span-end positions
+            top = s.topk_span_first(
+                args.q, args.span_end, args.k,
                 allowed=allowed, excluded=excluded,
             )
         elif args.mode == "and":
