@@ -69,7 +69,8 @@ def _searcher(spark: SparkSession, sf_dir: str):
 
     built = _doc_index(spark, sf_dir)
     return built, Searcher(
-        spark, built.postings, built.dictionary, built.n_docs, built.avgdl
+        spark, built.postings, built.dictionary, built.n_docs, built.avgdl,
+        doc_stats=built.doc_stats,
     )
 
 

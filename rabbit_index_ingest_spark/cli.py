@@ -8,7 +8,8 @@ Run via spark-submit on a cluster:
 
 or locally: ``python -m rabbit_index_ingest_spark.cli <cmd> ...``.
 
-Subcommands: build [--resume] | upsert | query | compact | gen-corpus.
+Subcommands: build [--resume] | upsert | query | suggest |
+delete-by-query | merge | compact | stats | gen-corpus.
 """
 
 from __future__ import annotations
@@ -209,6 +210,13 @@ def _parser() -> argparse.ArgumentParser:
     sg.add_argument("--suggest-mode", choices=["missing", "always"],
                     default="missing")
 
+    st = sub.add_parser(
+        "stats",
+        help="ES _stats / _cat-indices analogue: segments, live/deleted "
+             "doc counts, corpus totals, analyzer, fields, store size",
+    )
+    st.add_argument("--index", required=True)
+
     g = sub.add_parser("gen-corpus", help="write a synthetic transcript corpus")
     g.add_argument("--out", required=True)
     g.add_argument("--n-conv", type=int, default=1000)
@@ -267,6 +275,7 @@ def main(argv: list[str] | None = None) -> int:
             probe_min_blocks=args.probe_min_blocks,
             field_stats=L.field_stats,
             analyzer=L.analyzer,
+            doc_stats=L.doc_stats,
         )
         allowed = None
         if args.filter:
@@ -561,6 +570,11 @@ def main(argv: list[str] | None = None) -> int:
 
         IndexStore(spark, args.index).compact()
         print(json.dumps({"compacted": True}))
+
+    elif args.cmd == "stats":
+        from .index.store import IndexStore
+
+        print(json.dumps(IndexStore(spark, args.index).stats()))
 
     elif args.cmd == "merge":
         from .index.store import IndexStore

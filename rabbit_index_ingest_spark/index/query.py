@@ -291,6 +291,7 @@ class Searcher:
         probe_min_blocks: int = 2048,
         field_stats: dict[str, tuple[int, float]] | DataFrame | None = None,
         analyzer: str = "simple",
+        doc_stats: DataFrame | None = None,
     ):
         """``deleted`` (small set, broadcast into scorer closures) or
         ``deleted_df`` (a doc_id DataFrame, cogrouped per doc range — the
@@ -314,6 +315,12 @@ class Searcher:
         # (IndexStore persists it in corpus_stats; pass LoadedIndex.analyzer)
         self.analyzer = analyzer
         self._tok = lambda text: py_tokenize(text, analyzer)
+        # per-doc roster (BuiltIndex.doc_stats / LoadedIndex.doc_stats) —
+        # the ONLY table that knows about zero-token docs, which match_all
+        # and ids must still match (ES: an empty-text doc is a live doc).
+        # Optional: without it, match_all falls back to the postings-
+        # derived doc set (misses dl=0 docs; documented on _all_docs_attrs).
+        self.doc_stats = doc_stats
         # multi-field indexes: field → (doc_count, avgdl), Lucene semantics
         # (BuiltIndex.field_stats). Accepts the field_stats DataFrame
         # directly (collected once — it has one row per scored field).
@@ -2046,6 +2053,11 @@ class Searcher:
         * ``{"match_phrase": {"query": text[, "boost": w]}}``
         * ``{"prefix": {"value": p[, "boost": w]}}`` — ES's
           constant_score rewrite: every matching doc scores 1.0·boost.
+        * ``{"match_all": {[, "boost": w]}}`` — every LIVE doc at
+          constant 1.0·boost (the ES match_all query).
+        * ``{"ids": {"values": [doc_id, ...][, "boost": w]}}`` — the ES
+          ids query: the given INTERNAL doc_ids at constant 1.0·boost
+          (live docs only); an empty list matches nothing.
 
         Each clause is ONE independent decode + aggregation over its own
         term-pruned block scan (scale shape identical to
@@ -2087,11 +2099,30 @@ class Searcher:
             if ms is None:
                 return None
             scored = ms.select("doc_id", F.lit(1.0).alias("score"))
+        elif kind == "match_all":
+            scored = self._all_docs_attrs().select(
+                "doc_id", F.lit(1.0).alias("score")
+            )
+        elif kind == "ids":
+            vals = [int(v) for v in body["values"]]
+            if not vals:
+                return None  # ES: an empty ids list matches nothing
+            ids_df = self.spark.createDataFrame(
+                [(v,) for v in sorted(set(vals))], "doc_id long"
+            )
+            scored = (
+                self._mask_deleted(ids_df)
+                .join(
+                    self._all_docs_attrs(), "doc_id", "left_semi"
+                )  # only INDEXED ids match (ES drops unknown ids)
+                .select("doc_id", F.lit(1.0).alias("score"))
+            )
         else:
             raise ValueError(
                 f"unknown scored clause kind {kind!r}; expected "
-                "match / match_phrase / prefix (put attr predicates — "
-                "term/range/exists — in filter or must_not)"
+                "match / match_phrase / prefix / match_all / ids (put "
+                "attr predicates — term/range/exists — in filter or "
+                "must_not)"
             )
         if boost != 1.0:
             scored = scored.select(
@@ -2421,10 +2452,14 @@ class Searcher:
         )
 
     def _all_docs_attrs(self) -> DataFrame:
-        """Minimal attrs frame covering every live doc (match_all's
-        candidate set): the distinct doc_ids of the dl stream — a
-        metadata-cheap derivation used only by prohibit-only query
-        strings, where ES rewrites to match_all + must_not."""
+        """Minimal attrs frame covering every live doc (match_all's /
+        ids' candidate set). With a ``doc_stats`` roster (pass it at
+        construction — one doc_id column prune of the docs table) this is
+        ES-exact INCLUDING zero-token docs, which appear in no posting.
+        Without one it falls back to the distinct doc_ids of the dl
+        stream — a metadata-cheap derivation that misses dl=0 docs."""
+        if self.doc_stats is not None:
+            return self._mask_deleted(self.doc_stats.select("doc_id"))
         return self._mask_deleted(
             flat_postings(self.postings).select("doc_id").distinct()
         )

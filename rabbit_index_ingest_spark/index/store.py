@@ -870,6 +870,65 @@ class IndexStore:
             for r in df.select("seg", "n_docs").collect()
         }
 
+    def stats(self) -> dict:
+        """ES ``_stats`` / ``_cat/indices`` analogue: one metadata-sized
+        summary of the index — segment count/ids, docs.count (live),
+        docs.deleted (tombstoned, the Lucene deleted-docs gauge that
+        drives merge decisions), corpus totals (tokens, avgdl — summed
+        per-segment like the scorers do), the analyzer, scored fields
+        (multi-field stores), and store size in bytes.
+
+        Cost shape: corpus_stats is one row per segment (a metadata
+        scan), the tombstone count is one distributed count (never
+        collected), and the size walk is the store root's file listing —
+        the same listing ES's stats endpoint does. No postings are
+        read."""
+        segs = self.segments()
+        if not segs:
+            raise FileNotFoundError(
+                f"no index segments under {self.root!r}"
+            )
+        cs = self.spark.read.parquet(
+            os.path.join(self.root, "corpus_stats")
+        )
+        aggs = [
+            F.sum("n_docs").alias("n"),
+            F.sum("total_tokens").alias("tok"),
+        ]
+        has_an = "analyzer" in cs.columns
+        if has_an:  # legacy (pre-analyzer-column) stores are "simple"
+            aggs.append(F.max("analyzer").alias("an"))
+        totals = cs.agg(*aggs).collect()[0]
+        n_indexed = int(totals["n"])
+        total_tokens = int(totals["tok"])
+        analyzer = (
+            str(totals["an"])
+            if has_an and totals["an"] is not None
+            else "simple"
+        )
+        tdf = self.tombstones_df()
+        n_deleted = int(tdf.count()) if tdf is not None else 0
+        finfo = self._field_info()
+        size = 0
+        for dirpath, _, files in os.walk(self.root):
+            for f in files:
+                try:
+                    size += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+        return {
+            "segments": segs,
+            "n_segments": len(segs),
+            "docs_count": n_indexed - n_deleted,
+            "docs_deleted": n_deleted,
+            "docs_indexed": n_indexed,
+            "total_tokens": total_tokens,
+            "avgdl": (total_tokens / n_indexed) if n_indexed else 0.0,
+            "analyzer": analyzer,
+            "fields": list(finfo[0]) if finfo else ["text"],
+            "store_size_bytes": size,
+        }
+
     def merge_segments(self, seg_ids: list[int]) -> int:
         """Tiered-merge step (Lucene/ES merge-policy analogue, SURVEY B3):
         rebuild the given segments as ONE new segment, purging their

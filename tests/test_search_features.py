@@ -152,7 +152,8 @@ def pcorpus(spark):
     pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     built = build_index(spark, spark.createDataFrame(pdf))
     s = Searcher(
-        spark, built.postings, built.dictionary, built.n_docs, built.avgdl
+        spark, built.postings, built.dictionary, built.n_docs, built.avgdl,
+        doc_stats=built.doc_stats,
     )
     yield pdf, built, s
     built.release()
@@ -1939,3 +1940,51 @@ def test_explain_decomposes_topk_score(spark, pcorpus):
     )
     assert s.explain(q, unmatched).count() == 0
     assert s.explain("qzxabsent", top[0]["doc_id"]).count() == 0
+
+
+def test_bool_ids_and_match_all_clauses(spark, pcorpus):
+    """bool DSL completeness: ids (constant-score per listed live doc,
+    unknown ids dropped, empty list unmatchable) and match_all (every
+    live doc at 1.0·boost)."""
+    _, built, s = pcorpus
+    big = 10_000_000
+    n_live = built.n_docs
+    # match_all as the only must: every doc at 1.0 (doc_id order)
+    all_rows = s.bool_query(
+        must=[{"match_all": {}}], k=big
+    ).collect()
+    assert len(all_rows) == n_live
+    assert {r["score"] for r in all_rows} == {1.0}
+    some = [r["doc_id"] for r in all_rows[:3]]
+    # ids: exactly the listed docs, constant score, unknown ids dropped
+    got = s.bool_query(
+        must=[{"ids": {"values": some + [10**9], "boost": 2.0}}], k=big
+    ).collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(some)
+    assert {r["score"] for r in got} == {2.0}
+    # empty ids list = unmatchable must
+    assert s.bool_query(
+        must=[{"ids": {"values": []}}], k=big
+    ).count() == 0
+    # match_all in should adds a constant to every match-set doc
+    base = {r["doc_id"]: r["score"]
+            for r in s.topk_dataframe("zephyr", big).collect()}
+    combo = {
+        r["doc_id"]: r["score"]
+        for r in s.bool_query(
+            must=[{"match": {"query": "zephyr"}}],
+            should=[{"match_all": {"boost": 0.5}}],
+            k=big,
+        ).collect()
+    }
+    assert combo.keys() == base.keys()
+    for d, sc in combo.items():
+        assert sc == pytest.approx(base[d] + 0.5, rel=1e-12)
+    # ids in filter position gate a scored query
+    keep = sorted(base)[:2]
+    filt = s.bool_query(
+        must=[{"match": {"query": "zephyr"}}],
+        filter=[{"ids": {"values": keep}}],
+        k=big,
+    ).collect()
+    assert sorted(r["doc_id"] for r in filt) == keep

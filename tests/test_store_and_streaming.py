@@ -651,3 +651,42 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     texts = [r["text"].lower() for r in spark.table("dedup_out").collect()]
     assert texts.count("alpha beta gamma") == 1
     assert texts.count("delta") == 1
+
+
+def test_store_stats_api(spark, tmp_path):
+    """ES _stats analogue: segment list, live vs deleted doc counts,
+    corpus totals, analyzer, fields, store size — tracked across an
+    upsert that tombstones superseded docs."""
+    from rabbit_index_ingest_spark.datagen import transcripts_df
+    from rabbit_index_ingest_spark.index.build import build_index
+    from rabbit_index_ingest_spark.index.store import IndexStore
+    from pyspark.sql import functions as F
+
+    t = transcripts_df(spark, n_conv=12)
+    n0 = t.count()
+    built = build_index(spark, t)
+    store = IndexStore(spark, str(tmp_path / "idx"))
+    store.save(built)
+    st = store.stats()
+    assert st["segments"] == [0] and st["n_segments"] == 1
+    assert st["docs_indexed"] == n0 == st["docs_count"]
+    assert st["docs_deleted"] == 0
+    assert st["analyzer"] == "simple" and st["fields"] == ["text"]
+    assert st["total_tokens"] > 0 and st["store_size_bytes"] > 0
+    assert st["avgdl"] == pytest.approx(st["total_tokens"] / n0)
+    # upsert: 3 replacements (tombstoned) + 1 brand-new doc
+    batch = t.where(F.col("turn_idx") == 0).limit(3).select(
+        "conv_id", "turn_idx", F.concat(F.lit("karo "), "text").alias("text")
+    ).unionByName(
+        spark.createDataFrame(
+            [("zz-new", 0, "karo zephyr")], "conv_id string, turn_idx long, text string"
+        )
+    )
+    store.upsert(batch)
+    st2 = store.stats()
+    assert st2["n_segments"] == 2
+    assert st2["docs_indexed"] == n0 + 4  # all versions ever indexed
+    assert st2["docs_deleted"] == 3  # superseded originals
+    assert st2["docs_count"] == n0 + 1  # live docs
+    assert st2["store_size_bytes"] > st["store_size_bytes"]
+    built.release()
