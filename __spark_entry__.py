@@ -10,6 +10,7 @@ SQL-expressible) get the driver's rows-only check and are marked below.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -1735,6 +1736,131 @@ def _q_ex1_explain(spark, sf_dir):
     )
 
 
+def _q_g15_pipeline(spark, sf_dir):
+    """ES pipeline aggs over a date_histogram (cumulative_sum /
+    derivative / moving_avg): month buckets of the per-doc deterministic
+    timestamp over the BM25 match set — the zero-fill spine makes
+    derivative adjacency exact, trailing window=3 moving average includes
+    the current bucket (partial leading windows)."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = built.doc_stats.select(
+        "doc_id",
+        F.expr(
+            "timestamp'2024-01-01' + make_interval(0, 0, 0, "
+            "cast(cast(conv_id AS long) % 300 AS int))"
+        ).alias("ts"),
+    )
+    h = searcher.date_histogram_pipeline_agg(
+        " ".join(BM25_QUERY_TERMS), attrs, "ts",
+        calendar_interval="month", window=3,
+    )
+    return h.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "doc_count", "cumulative_sum", "derivative",
+        F.round("moving_avg", 6).alias("moving_avg"),
+    )
+
+
+def _q_g16_extended_stats(spark, sf_dir):
+    """ES extended_stats aggregation: stats + sum_of_squares + POPULATION
+    variance/std_deviation + ±2σ bounds of n_chars over the match set
+    (floats rounded: summation-order differences)."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = _agg_attrs(spark, sf_dir, built, "n_chars")
+    row = searcher.extended_stats_agg(
+        " ".join(BM25_QUERY_TERMS), attrs, "n_chars", sigma=2.0
+    )
+    return row.select(
+        "count", "min", "max", "sum",
+        F.round("avg", 4).alias("avg"),
+        "sum_of_squares",
+        F.round("variance", 4).alias("variance"),
+        F.round("std_deviation", 4).alias("std_deviation"),
+        F.round("std_upper", 4).alias("std_upper"),
+        F.round("std_lower", 4).alias("std_lower"),
+    )
+
+
+def _q_g17_adjacency(spark, sf_dir):
+    """ES adjacency_matrix aggregation: singles + 'A&B' pair
+    intersections over the 'spark query' match set — empty intersections
+    DROP (short&long is disjoint), one conditional-sum pass."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = _agg_attrs(spark, sf_dir, built, "n_chars", "source")
+    return searcher.adjacency_matrix_agg(
+        "spark query",
+        attrs,
+        {
+            "short": {"range": {"col": "n_chars", "lt": 300}},
+            "long": {"range": {"col": "n_chars", "gte": 300}},
+            "has_src": {"exists": {"col": "source"}},
+        },
+    )
+
+
+def _q_g18_weighted_avg(spark, sf_dir):
+    """ES weighted_avg aggregation: n_chars weighted by the synthetic
+    per-doc weight (doc_id % 3 + 1, NULL → 1 for doc_id % 5 == 0) over
+    the BM25 match set."""
+    built, searcher = _searcher(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("conv_id"),
+        F.col("n_chars").alias("v"),
+        F.when(
+            F.col("doc_id") % 5 != 0, (F.col("doc_id") % 3 + 1)
+        ).cast("double").alias("w"),
+    )
+    attrs = built.doc_stats.select("doc_id", "conv_id").join(
+        F.broadcast(docs), "conv_id"
+    ).select("doc_id", "v", "w")
+    row = searcher.weighted_avg_agg(
+        " ".join(BM25_QUERY_TERMS), attrs, "v", "w"
+    )
+    return row.select(F.round("value", 6).alias("value"))
+
+
+def _q_g19_missing(spark, sf_dir):
+    """ES missing aggregation: matched docs with NO value for the
+    synthetic field (source nulled for doc_id % 5 == 0 on both sides)."""
+    built, searcher = _searcher(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("conv_id"),
+        F.when(F.col("doc_id") % 5 != 0, F.col("source")).alias("maybe_src"),
+    )
+    attrs = built.doc_stats.select("doc_id", "conv_id").join(
+        F.broadcast(docs), "conv_id"
+    ).select("doc_id", "maybe_src")
+    return searcher.missing_agg(
+        " ".join(BM25_QUERY_TERMS), attrs, "maybe_src"
+    )
+
+
+FS2_DECAY = dict(origin=200.0, scale=150.0, offset=25.0, decay=0.5)
+
+
+def _q_fs2_decay(spark, sf_dir):
+    """ES function_score gauss decay on n_chars (origin 200, scale 150,
+    offset 25, decay 0.5): factor is exactly 0.5 at |n_chars−200| = 175 —
+    the boost-by-closeness query. Full scored set."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = _agg_attrs(spark, sf_dir, built, "n_chars")
+    top = searcher.topk_decay(
+        " ".join(BM25_QUERY_TERMS), attrs, "n_chars",
+        k=10_000_000, kind="gauss", **FS2_DECAY,
+    )
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_sug2_completion(spark, sf_dir):
+    """ES completion suggester: top-5 'qu'-prefixed vocabulary terms by
+    document frequency (weight), term asc tie-break — the exact term can
+    complete itself (unlike the term suggester)."""
+    _, searcher = _searcher(spark, sf_dir)
+    return searcher.suggest_completion("qu", size=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "b1_doc_lengths": _q_b1_doc_lengths,
@@ -1792,6 +1918,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g13_filters": _q_g13_filters,
         "ts1_terms_set": _q_ts1_terms_set,
         "g14_histo_terms": _q_g14_histo_terms,
+        "g15_pipeline": _q_g15_pipeline,
+        "g16_extended_stats": _q_g16_extended_stats,
+        "g17_adjacency": _q_g17_adjacency,
+        "g18_weighted_avg": _q_g18_weighted_avg,
+        "g19_missing": _q_g19_missing,
+        "fs2_decay": _q_fs2_decay,
+        "sug2_completion": _q_sug2_completion,
         "spf1_span_first": _q_spf1_span_first,
         "ex1_explain": _q_ex1_explain,
         "p4_field_phrase": _q_p4_field_phrase,
@@ -3057,6 +3190,126 @@ SELECT * FROM (
   UNION ALL
   SELECT 'short', count(*) FILTER (WHERE n_chars < 300) FROM j
 ) ORDER BY name
+"""
+
+    # g15: pipeline aggs over the month date_histogram — window functions
+    # over the SAME zero-filled spine shape as g6/g7
+    sql["g15_pipeline"] = matched_cte.rstrip() + """,
+ts AS (
+  SELECT TIMESTAMP '2024-01-01' + INTERVAL ((doc_id % 300)) DAY AS ts
+  FROM matched
+),
+b AS (
+  SELECT date_trunc('month', ts) AS bucket, count(*)::BIGINT AS doc_count
+  FROM ts GROUP BY 1
+),
+bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+series AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS bucket
+  FROM bounds WHERE lo IS NOT NULL
+),
+spine AS (
+  SELECT series.bucket, coalesce(doc_count, 0)::BIGINT AS doc_count
+  FROM series LEFT JOIN b USING (bucket)
+)
+SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       doc_count,
+       (sum(doc_count) OVER (
+          ORDER BY bucket ROWS UNBOUNDED PRECEDING))::BIGINT
+         AS cumulative_sum,
+       (doc_count - lag(doc_count) OVER (ORDER BY bucket))::BIGINT
+         AS derivative,
+       round(avg(doc_count) OVER (
+          ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+         AS moving_avg
+FROM spine ORDER BY bucket
+"""
+
+    sql["g16_extended_stats"] = matched_cte + """
+SELECT count(*) AS count,
+       min(n_chars)::DOUBLE AS min,
+       max(n_chars)::DOUBLE AS max,
+       sum(n_chars)::DOUBLE AS sum,
+       round(sum(n_chars)::DOUBLE / count(*), 4) AS avg,
+       sum(n_chars::DOUBLE * n_chars::DOUBLE) AS sum_of_squares,
+       round(var_pop(n_chars), 4) AS variance,
+       round(stddev_pop(n_chars), 4) AS std_deviation,
+       round(avg(n_chars) + 2.0 * stddev_pop(n_chars), 4) AS std_upper,
+       round(avg(n_chars) - 2.0 * stddev_pop(n_chars), 4) AS std_lower
+FROM matched JOIN documents USING (doc_id)
+WHERE n_chars IS NOT NULL
+"""
+
+    # g17: adjacency_matrix twin — singles + sorted-pair keys as FILTER
+    # counts, empty buckets drop ('long&short' is disjoint by design)
+    sql["g17_adjacency"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+matched AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ('query', 'spark')
+),
+j AS (
+  SELECT d.n_chars, d.source FROM documents d JOIN matched USING (doc_id)
+)
+SELECT key, doc_count FROM (
+  SELECT 'has_src' AS key,
+         count(*) FILTER (WHERE source IS NOT NULL)::BIGINT AS doc_count
+  FROM j
+  UNION ALL
+  SELECT 'long', count(*) FILTER (WHERE n_chars >= 300) FROM j
+  UNION ALL
+  SELECT 'short', count(*) FILTER (WHERE n_chars < 300) FROM j
+  UNION ALL
+  SELECT 'has_src&long', count(*) FILTER (
+    WHERE source IS NOT NULL AND n_chars >= 300) FROM j
+  UNION ALL
+  SELECT 'has_src&short', count(*) FILTER (
+    WHERE source IS NOT NULL AND n_chars < 300) FROM j
+  UNION ALL
+  SELECT 'long&short', count(*) FILTER (
+    WHERE n_chars >= 300 AND n_chars < 300) FROM j
+)
+WHERE doc_count > 0 ORDER BY key
+"""
+
+    sql["g18_weighted_avg"] = matched_cte + """
+SELECT round(
+  sum(n_chars * CASE WHEN doc_id % 5 <> 0
+                     THEN (doc_id % 3 + 1)::DOUBLE ELSE 1.0 END)
+  / sum(CASE WHEN doc_id % 5 <> 0
+             THEN (doc_id % 3 + 1)::DOUBLE ELSE 1.0 END), 6) AS value
+FROM matched JOIN documents USING (doc_id)
+WHERE n_chars IS NOT NULL
+"""
+
+    sql["g19_missing"] = matched_cte + """
+SELECT sum(CASE WHEN doc_id % 5 = 0 OR source IS NULL
+                THEN 1 ELSE 0 END)::BIGINT AS doc_count
+FROM matched JOIN documents USING (doc_id)
+"""
+
+    # fs2: gauss decay twin — 2σ² computed the same way topk_decay does
+    _fs2_two_sigma2 = 2.0 * (
+        -(FS2_DECAY["scale"] ** 2) / (2.0 * math.log(FS2_DECAY["decay"]))
+    )
+    sql["fs2_decay"] = fs_base[: -len(fs_tail)] + f"""
+SELECT s.doc_id,
+       round(s.score * coalesce(
+         exp(-(greatest(abs(d.n_chars - {FS2_DECAY["origin"]!r})
+                        - {FS2_DECAY["offset"]!r}, 0.0)
+               * greatest(abs(d.n_chars - {FS2_DECAY["origin"]!r})
+                          - {FS2_DECAY["offset"]!r}, 0.0))
+             / {_fs2_two_sigma2!r}), 1.0), 4) AS score
+FROM scored s LEFT JOIN documents d USING (doc_id)
+"""
+
+    sql["sug2_completion"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+SELECT term, df::BIGINT AS df FROM dfs
+WHERE term LIKE 'qu%'
+ORDER BY df DESC, term ASC LIMIT 5
 """
 
     # ts1: terms_set twin — BM25 sum gated by the per-doc matched-term

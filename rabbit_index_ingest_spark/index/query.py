@@ -2762,6 +2762,93 @@ class Searcher:
             .limit(k)
         )
 
+    def topk_decay(
+        self,
+        query_text: str,
+        attrs: DataFrame,
+        col: str,
+        origin: float,
+        scale: float,
+        offset: float = 0.0,
+        decay: float = 0.5,
+        kind: str = "gauss",
+        boost_mode: str = "multiply",
+        k: int = 10,
+        allowed: DataFrame | None = None,
+        excluded: DataFrame | None = None,
+    ) -> DataFrame:
+        """ES ``function_score`` DECAY functions (gauss / exp / linear)
+        on a numeric attribute — "boost by closeness" (recency, price,
+        distance-from-target). The exact ES numeric formulas, with
+        ``d = max(0, |value − origin| − offset)``:
+
+        * ``gauss``:  exp(−d² / 2σ²),  σ² = −scale² / (2·ln decay)
+        * ``exp``:    exp(λ·d),        λ  = ln(decay) / scale
+        * ``linear``: max(0, (s − d)/s),  s = scale / (1 − decay)
+
+        so the factor is exactly ``decay`` at distance ``scale`` beyond
+        ``offset`` for every kind. Docs with a NULL/absent field get
+        factor 1.0 — the documented ES behavior for missing numeric
+        fields. ``boost_mode`` multiply (default) or sum.
+
+        Plan shape: same as ``topk_function_score`` — ONE full-match-set
+        BM25 aggregation + one left join to attrs + a pure codegen column
+        expression; unbounded-attribute rescales can't block-max prune,
+        which is ES's own function_score caveat."""
+        if kind not in ("gauss", "exp", "linear"):
+            raise ValueError(
+                f"kind must be gauss / exp / linear, got {kind!r}"
+            )
+        if boost_mode not in ("multiply", "sum"):
+            raise ValueError(
+                f"boost_mode must be multiply or sum, got {boost_mode!r}"
+            )
+        if scale <= 0:
+            raise ValueError(f"scale must be > 0, got {scale}")
+        if not (0.0 < decay < 1.0):
+            raise ValueError(f"decay must be in (0, 1), got {decay}")
+        if offset < 0:
+            raise ValueError(f"offset must be >= 0, got {offset}")
+        plan = self._plan(query_text)
+        if plan is None:
+            return _empty_topk(self.spark)
+        idfs, blocks, _ = plan
+        flat = self._mask_deleted(flat_postings(blocks))
+        if allowed is not None:
+            flat = flat.join(allowed.select("doc_id"), "doc_id", "left_semi")
+        if excluded is not None:
+            flat = flat.join(excluded.select("doc_id"), "doc_id", "left_anti")
+        scored = self._bm25_scored(flat, idfs)
+        v = self._attr_col(attrs, col).cast("double")
+        joined = scored.join(
+            attrs.select("doc_id", v.alias("_dv")), "doc_id", "left"
+        )
+        d = F.greatest(
+            F.abs(F.col("_dv") - F.lit(float(origin))) - F.lit(float(offset)),
+            F.lit(0.0),
+        )
+        if kind == "gauss":
+            sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+            factor = F.exp(-(d * d) / F.lit(2.0 * sigma2))
+        elif kind == "exp":
+            lam = math.log(decay) / scale
+            factor = F.exp(F.lit(lam) * d)
+        else:  # linear
+            s = scale / (1.0 - decay)
+            factor = F.greatest(
+                (F.lit(s) - d) / F.lit(s), F.lit(0.0)
+            )
+        factor = F.coalesce(factor, F.lit(1.0))  # missing field → 1.0 (ES)
+        new_score = (
+            F.col("score") * factor if boost_mode == "multiply"
+            else F.col("score") + factor
+        )
+        return (
+            joined.select("doc_id", new_score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def topk_collapse(
         self,
         query_text: str,
@@ -2864,6 +2951,39 @@ class Searcher:
         return cand.orderBy(
             F.asc("distance"), F.desc("df"), F.asc("term")
         ).limit(size)
+
+    def suggest_completion(
+        self,
+        prefix: str,
+        size: int = 5,
+        min_doc_freq: int = 1,
+    ) -> DataFrame:
+        """ES completion-suggester analogue (search-as-you-type term
+        completion): dictionary terms starting with the analyzed
+        ``prefix``, ranked by weight — document frequency here, ES's
+        default when no explicit per-suggestion weight is supplied — then
+        term asc, as ``(term, df)`` rows. The input term CAN be its own
+        completion (unlike the term suggester: "qu" → "quantum" must
+        include an exact "qu" token if indexed).
+
+        Plan: a column-pruned dictionary scan (StartsWith pushed to
+        parquet) + sorted TakeOrdered — vocabulary-sized, postings never
+        touched, the same shape as ``expand_prefix``. ES builds a
+        dedicated FST for this; at 10^12 docs the dictionary IS the FST
+        analogue (one row per term, not per posting)."""
+        toks = self._tok(prefix)
+        if len(toks) != 1:
+            raise ValueError(
+                f"completion prefix must analyze to one token, got {toks!r}"
+            )
+        return (
+            self.dictionary
+            .where(F.col("term").startswith(toks[0]))
+            .where(F.col("df") >= int(min_doc_freq))
+            .select("term", F.col("df").cast("long").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(size)
+        )
 
     def topk_more_like_this(
         self,
@@ -3204,6 +3324,105 @@ class Searcher:
             )
         )
 
+    def extended_stats_agg(
+        self,
+        query_text: str,
+        attrs: DataFrame,
+        col: str,
+        sigma: float = 2.0,
+    ) -> DataFrame:
+        """ES ``extended_stats`` aggregation over the match set: the
+        ``stats`` row plus sum_of_squares, variance, std_deviation and
+        the ±``sigma`` std_deviation_bounds. ES computes POPULATION
+        variance/std (sum_of_sq/n − mean²) — ``var_pop``/``stddev_pop``
+        here, same in the DuckDB twin. Nulls excluded from every
+        statistic (ES). One aggregation job, all columns in the same
+        map-side-combined pass."""
+        if sigma < 0:
+            raise ValueError(f"sigma must be >= 0, got {sigma}")
+        out_schema = (
+            "count long, min double, max double, sum double, avg double, "
+            "sum_of_squares double, variance double, std_deviation double, "
+            "std_upper double, std_lower double"
+        )
+        matched = self._matched_docs(query_text)
+        if matched is None:
+            return self.spark.createDataFrame([], out_schema)
+        v = self._attr_col(attrs, col).cast("double")
+        sg = F.lit(float(sigma))
+        return (
+            matched.join(attrs, "doc_id", "inner")
+            .where(v.isNotNull())
+            .agg(
+                F.count("*").alias("count"),
+                F.min(v).alias("min"),
+                F.max(v).alias("max"),
+                F.sum(v).alias("sum"),
+                F.avg(v).alias("avg"),
+                F.sum(v * v).alias("sum_of_squares"),
+                F.var_pop(v).alias("variance"),
+                F.stddev_pop(v).alias("std_deviation"),
+            )
+            .select(
+                "*",
+                (F.col("avg") + sg * F.col("std_deviation"))
+                .alias("std_upper"),
+                (F.col("avg") - sg * F.col("std_deviation"))
+                .alias("std_lower"),
+            )
+        )
+
+    def weighted_avg_agg(
+        self,
+        query_text: str,
+        attrs: DataFrame,
+        value_col: str,
+        weight_col: str,
+    ) -> DataFrame:
+        """ES ``weighted_avg`` aggregation over the match set:
+        Σ(value·weight) / Σ(weight). ES skips docs missing the VALUE and
+        treats a missing WEIGHT as 1 — both honored here (null value →
+        row drops; null weight → 1.0). One aggregation job."""
+        out_schema = "value double"
+        matched = self._matched_docs(query_text)
+        if matched is None:
+            return self.spark.createDataFrame([], out_schema)
+        v = self._attr_col(attrs, value_col).cast("double")
+        w = F.coalesce(
+            self._attr_col(attrs, weight_col).cast("double"), F.lit(1.0)
+        )
+        return (
+            matched.join(attrs, "doc_id", "inner")
+            .where(v.isNotNull())
+            .agg(
+                (F.sum(v * w) / F.sum(w)).alias("value")
+            )
+        )
+
+    def missing_agg(
+        self, query_text: str, attrs: DataFrame, col: str
+    ) -> DataFrame:
+        """ES ``missing`` aggregation: how many docs of the match set
+        have NO value for the field — the complement of
+        ``exists_filter``, as a count. Docs with no attrs row at all are
+        missing too (left join), exactly ES's no-field docs. One
+        aggregation job."""
+        out_schema = "doc_count long"
+        matched = self._matched_docs(query_text)
+        if matched is None:
+            return self.spark.createDataFrame([], out_schema)
+        v = self._attr_col(attrs, col)
+        return (
+            matched.join(
+                attrs.select("doc_id", v.alias("_mv")), "doc_id", "left"
+            )
+            .agg(
+                F.sum(F.when(F.col("_mv").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("doc_count")
+            )
+        )
+
     def percentiles_agg(
         self,
         query_text: str,
@@ -3386,6 +3605,66 @@ class Searcher:
             time_zone=time_zone,
         )
 
+    def date_histogram_pipeline_agg(
+        self,
+        query_text: str,
+        attrs: DataFrame,
+        ts_col: str,
+        calendar_interval: str | None = None,
+        fixed_interval_s: int | None = None,
+        window: int = 3,
+        time_zone: str | None = None,
+    ) -> DataFrame:
+        """ES PIPELINE aggregations over a ``date_histogram``: per time
+        bucket, the parent doc_count plus
+
+        * ``cumulative_sum``   — running total of doc_count,
+        * ``derivative``       — doc_count − previous bucket's (NULL for
+          the first bucket, the ES contract; the zero-fill spine of the
+          parent histogram, ``min_doc_count: 0``, is what makes adjacent
+          buckets truly adjacent — ES requires exactly that for
+          derivatives),
+        * ``moving_avg``       — mean of the trailing ``window`` buckets
+          INCLUDING the current one (the legacy ``moving_avg`` /
+          ``moving_fn`` with ``shift = window`` model; partial leading
+          windows average what exists, so no NULL warm-up).
+
+        Plan shape: the parent histogram's one decode + join + groupBy,
+        then ONE window over the bucket spine — a bucket-count-sized
+        frame (thousands of rows at 100 TB), single partition by
+        construction and negligible next to the match-set scan. Returns
+        ``(bucket, doc_count, cumulative_sum, derivative, moving_avg)``
+        ordered by bucket."""
+        from pyspark.sql.window import Window
+
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        hist = self.date_histogram_agg(
+            query_text,
+            attrs,
+            ts_col,
+            calendar_interval=calendar_interval,
+            fixed_interval_s=fixed_interval_s,
+            min_doc_count=0,  # dense spine: derivative needs adjacency
+            time_zone=time_zone,
+        )
+        w = Window.orderBy("bucket")
+        return (
+            hist.select(
+                "bucket",
+                "doc_count",
+                F.sum("doc_count")
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .alias("cumulative_sum"),
+                (F.col("doc_count") - F.lag("doc_count", 1).over(w))
+                .alias("derivative"),
+                F.avg("doc_count")
+                .over(w.rowsBetween(-(window - 1), 0))
+                .alias("moving_avg"),
+            )
+            .orderBy("bucket")
+        )
+
     def filters_agg(
         self,
         query_text: str,
@@ -3450,6 +3729,73 @@ class Searcher:
             .orderBy("name")
         )
         return out
+
+    def adjacency_matrix_agg(
+        self,
+        query_text: str,
+        attrs: DataFrame,
+        filters: dict[str, dict],
+        separator: str = "&",
+    ) -> DataFrame:
+        """ES ``adjacency_matrix`` aggregation: for named filters A, B, C
+        over the query's match set, one bucket per filter (docs matching
+        it) AND one per pair intersection keyed ``"A&B"`` (ES joins the
+        two names — sorted — with ``separator``). Specs are the bool-DSL
+        attr-predicate grammar (term / range / exists), like
+        ``filters_agg``. ES returns only NON-EMPTY buckets (unlike
+        ``filters``) — matched here.
+
+        Plan shape: identical to ``filters_agg`` — ONE match-set decode +
+        ONE left join + ONE aggregation where every bucket (singles and
+        the n·(n−1)/2 pairs) is a conditional-sum column in the same
+        map-side-combined pass, then one explode. n filters add n(n+1)/2
+        COLUMNS, zero extra shuffles/jobs — the ES warning about matrix
+        growth is a column-width cost here, not a pass cost."""
+        if not filters:
+            raise ValueError(
+                "adjacency_matrix_agg needs at least one named filter"
+            )
+        if any(separator in n for n in filters):
+            raise ValueError(
+                f"filter names must not contain the separator "
+                f"{separator!r}: {sorted(filters)}"
+            )
+        preds = {}
+        for name, clause in filters.items():
+            (kind, body), = clause.items()
+            # null attr = non-matching (ES): coalesce the predicate
+            preds[name] = F.coalesce(
+                self._attr_pred(attrs, kind, body), F.lit(False)
+            )
+        names = sorted(preds)
+        keys: list[tuple[str, object]] = [(n, preds[n]) for n in names]
+        for i, a in enumerate(names):
+            for b in names[i + 1:]:
+                keys.append((a + separator + b, preds[a] & preds[b]))
+        out_schema = "key string, doc_count long"
+        matched = self._matched_docs(query_text)
+        if matched is None:
+            return self.spark.createDataFrame([], out_schema)
+        joined = matched.join(attrs, "doc_id", "left")
+        row = joined.agg(*[
+            F.sum(F.when(p, 1).otherwise(0)).alias(f"_c{i}")
+            for i, (_k, p) in enumerate(keys)
+        ])
+        pairs = F.array(*[
+            F.struct(
+                F.lit(k).alias("key"),
+                F.coalesce(F.col(f"_c{i}"), F.lit(0))
+                .cast("long")
+                .alias("doc_count"),
+            )
+            for i, (k, _p) in enumerate(keys)
+        ])
+        return (
+            row.select(F.explode(pairs).alias("b"))
+            .select("b.key", "b.doc_count")
+            .where(F.col("doc_count") > 0)  # ES: empty buckets drop
+            .orderBy("key")
+        )
 
     def date_histogram_terms_agg(
         self,

@@ -1988,3 +1988,297 @@ def test_bool_ids_and_match_all_clauses(spark, pcorpus):
         k=big,
     ).collect()
     assert sorted(r["doc_id"] for r in filt) == keep
+
+
+# -------- round-6 agg/function additions (extended_stats, weighted_avg,
+# missing, adjacency_matrix, pipeline aggs, decay, completion) --------------
+
+
+def _matched_ids(pdf, built, q):
+    """Doc_ids of the OR match set of query q — the pandas twin of
+    Searcher._matched_docs over the pcorpus fixture."""
+    qt = set(py_tokenize(q))
+    stats = built.doc_stats.orderBy("conv_id", "turn_idx").collect()
+    toks = [set(py_tokenize(t)) for t in pdf["text"]]
+    return [r["doc_id"] for i, r in enumerate(stats) if qt & toks[i]]
+
+
+def test_extended_stats_agg(spark, pcorpus):
+    """ES extended_stats: stats + sum_of_squares + POPULATION variance /
+    std_deviation + sigma bounds; nulls excluded; empty match → 0 rows."""
+    import numpy as np
+
+    pdf, built, s = pcorpus
+    q = "zephyr karo"
+    matched = set(_matched_ids(pdf, built, q))
+    # null out every 4th doc's value — must leave all statistics
+    attrs = built.doc_stats.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 != 0, F.col("turn_idx")).alias("v"),
+    )
+    vals = np.array(sorted(
+        r["v"] for r in attrs.collect()
+        if r["doc_id"] in matched and r["v"] is not None
+    ), dtype=float)
+    row = s.extended_stats_agg(q, attrs, "v", sigma=3.0).collect()[0]
+    assert row["count"] == len(vals)
+    assert row["min"] == vals.min() and row["max"] == vals.max()
+    assert row["sum"] == pytest.approx(vals.sum(), rel=1e-12)
+    assert row["avg"] == pytest.approx(vals.mean(), rel=1e-12)
+    assert row["sum_of_squares"] == pytest.approx(
+        (vals * vals).sum(), rel=1e-12
+    )
+    assert row["variance"] == pytest.approx(vals.var(), rel=1e-9)  # ddof=0
+    assert row["std_deviation"] == pytest.approx(vals.std(), rel=1e-9)
+    assert row["std_upper"] == pytest.approx(
+        vals.mean() + 3.0 * vals.std(), rel=1e-9
+    )
+    assert row["std_lower"] == pytest.approx(
+        vals.mean() - 3.0 * vals.std(), rel=1e-9
+    )
+    assert s.extended_stats_agg("qzxabsent", attrs, "v").count() == 0
+    with pytest.raises(ValueError, match="sigma"):
+        s.extended_stats_agg(q, attrs, "v", sigma=-1.0)
+
+
+def test_weighted_avg_and_missing_aggs(spark, pcorpus):
+    """weighted_avg: sum(v*w)/sum(w), null value drops, null weight → 1;
+    missing: null values AND absent attrs rows both count."""
+    pdf, built, s = pcorpus
+    q = "zephyr karo"
+    matched = set(_matched_ids(pdf, built, q))
+    attrs = built.doc_stats.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 != 0, F.col("turn_idx")).alias("v"),
+        F.when(F.col("doc_id") % 3 != 0, (F.col("doc_id") % 4) + 1)
+        .cast("double").alias("w"),
+    )
+    rows = [r for r in attrs.collect() if r["doc_id"] in matched]
+    num = sum(r["v"] * (r["w"] if r["w"] is not None else 1.0)
+              for r in rows if r["v"] is not None)
+    den = sum((r["w"] if r["w"] is not None else 1.0)
+              for r in rows if r["v"] is not None)
+    got = s.weighted_avg_agg(q, attrs, "v", "w").collect()[0]["value"]
+    assert got == pytest.approx(num / den, rel=1e-12)
+    # missing: null v among matched, plus docs with NO attrs row at all
+    half = attrs.where(F.col("doc_id") % 2 == 0)
+    want_missing = sum(
+        1 for r in rows
+        if r["doc_id"] % 2 != 0 or r["v"] is None
+    )
+    got_m = s.missing_agg(q, half, "v").collect()[0]["doc_count"]
+    assert got_m == want_missing
+    assert s.weighted_avg_agg("qzxabsent", attrs, "v", "w").count() == 0
+    assert s.missing_agg("qzxabsent", attrs, "v").count() == 0
+
+
+def test_adjacency_matrix_agg(spark, pcorpus):
+    """ES adjacency_matrix: singles + pair intersections as 'A&B' keys,
+    empty buckets DROP (unlike filters), one agg pass."""
+    pdf, built, s = pcorpus
+    q = "zephyr karo"
+    matched = _matched_ids(pdf, built, q)
+    attrs = built.doc_stats.select(
+        "doc_id", "turn_idx",
+        F.when(F.col("doc_id") % 5 != 0, F.lit("x")).alias("tag"),
+    )
+    ti = {r["doc_id"]: r["turn_idx"] for r in built.doc_stats.collect()}
+    preds = {
+        "early": lambda d: ti[d] < 2,
+        "late": lambda d: ti[d] >= 2,
+        "tagged": lambda d: d % 5 != 0,
+    }
+    want = {}
+    names = sorted(preds)
+    for i, a in enumerate(names):
+        for d in matched:
+            if preds[a](d):
+                want[a] = want.get(a, 0) + 1
+        for b in names[i + 1:]:
+            k = f"{a}&{b}"
+            c = sum(1 for d in matched if preds[a](d) and preds[b](d))
+            if c:
+                want[k] = c
+    want = {k: v for k, v in want.items() if v}
+    got = {
+        r["key"]: r["doc_count"]
+        for r in s.adjacency_matrix_agg(q, attrs, {
+            "early": {"range": {"col": "turn_idx", "lt": 2}},
+            "late": {"range": {"col": "turn_idx", "gte": 2}},
+            "tagged": {"exists": {"col": "tag"}},
+        }).collect()
+    }
+    assert got == want
+    assert "early&late" not in got  # disjoint pair must drop
+    with pytest.raises(ValueError, match="separator"):
+        s.adjacency_matrix_agg(q, attrs, {"a&b": {"exists": {"col": "tag"}}})
+    with pytest.raises(ValueError, match="at least one"):
+        s.adjacency_matrix_agg(q, attrs, {})
+    assert s.adjacency_matrix_agg("qzxabsent", attrs, {
+        "early": {"range": {"col": "turn_idx", "lt": 2}},
+    }).count() == 0
+
+
+def test_date_histogram_pipeline_agg(spark, pcorpus):
+    """Pipeline aggs over date_histogram: cumulative_sum, derivative
+    (NULL first bucket; zero-fill spine makes buckets adjacent), trailing
+    moving_avg including the current bucket with partial leading
+    windows."""
+    pdf, built, s = pcorpus
+    q = "zephyr karo"
+    matched = _matched_ids(pdf, built, q)
+    # months 1 and 3 only — the spine must interpolate month 2 at 0
+    attrs = built.doc_stats.select(
+        "doc_id",
+        F.expr(
+            "make_timestamp(2024, cast(1 + (doc_id % 2) * 2 AS int), "
+            "1, 0, 0, 0)"
+        ).alias("ts"),
+    )
+    by_month = {1: 0, 2: 0, 3: 0}
+    for d in matched:
+        by_month[1 + (d % 2) * 2] += 1
+    assert by_month[1] and by_month[3]
+    counts = [by_month[m] for m in (1, 2, 3)]
+    cum, want = 0, []
+    for i, c in enumerate(counts):
+        cum += c
+        deriv = None if i == 0 else c - counts[i - 1]
+        window = counts[max(0, i - 1): i + 1]  # window=2 trailing incl.
+        want.append((f"2024-0{i+1}-01", c, cum, deriv,
+                     sum(window) / len(window)))
+    got = [
+        (r["bucket"].strftime("%Y-%m-%d"), r["doc_count"],
+         r["cumulative_sum"], r["derivative"], r["moving_avg"])
+        for r in s.date_histogram_pipeline_agg(
+            q, attrs, "ts", calendar_interval="month", window=2
+        ).collect()
+    ]
+    assert got == want
+    with pytest.raises(ValueError, match="window"):
+        s.date_histogram_pipeline_agg(
+            q, attrs, "ts", calendar_interval="month", window=0
+        )
+    assert s.date_histogram_pipeline_agg(
+        "qzxabsent", attrs, "ts", calendar_interval="month"
+    ).count() == 0
+
+
+def test_decay_functions_match_formulas(spark, pcorpus):
+    """gauss/exp/linear decay: the exact ES numeric formulas (factor ==
+    decay at distance scale beyond offset), missing field → 1.0,
+    boost_mode sum, validation errors."""
+    import math
+
+    _, built, s = pcorpus
+    attrs = built.doc_stats.select("doc_id", "turn_idx")
+    base = _scored_map(s.topk_dataframe("karo", BIGK))
+    tv = {r["doc_id"]: r["turn_idx"] for r in attrs.collect()}
+    origin, scale, offset, decay = 2.0, 3.0, 0.5, 0.4
+
+    def py_factor(kind, v):
+        d = max(0.0, abs(v - origin) - offset)
+        if kind == "gauss":
+            s2 = -(scale * scale) / (2.0 * math.log(decay))
+            return math.exp(-(d * d) / (2.0 * s2))
+        if kind == "exp":
+            return math.exp(math.log(decay) / scale * d)
+        return max(0.0, (scale / (1 - decay) - d) / (scale / (1 - decay)))
+
+    for kind in ("gauss", "exp", "linear"):
+        # factor == decay exactly at |v-origin| == offset + scale
+        assert py_factor(kind, origin + offset + scale) == pytest.approx(
+            decay, rel=1e-12
+        )
+        want = sorted(
+            ((d, v * py_factor(kind, tv[d])) for d, v in base.items()),
+            key=lambda t: (-t[1], t[0]),
+        )[:8]
+        got = [
+            (r["doc_id"], r["score"])
+            for r in s.topk_decay(
+                "karo", attrs, "turn_idx", origin=origin, scale=scale,
+                offset=offset, decay=decay, kind=kind, k=8,
+            ).collect()
+        ]
+        assert [(d, round(v, 9)) for d, v in got] == [
+            (d, round(v, 9)) for d, v in want
+        ], kind
+    # missing field → factor 1.0 (doc keeps its raw score)
+    half = attrs.where(F.col("doc_id") % 2 == 0)
+    got2 = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in s.topk_decay(
+            "karo", half, "turn_idx", origin=origin, scale=scale,
+            decay=decay, kind="exp", k=BIGK,
+        ).collect()
+    }
+    want2 = {
+        d: round(v * (py_factor("exp", tv[d]) if d % 2 == 0 else 1.0), 9)
+        for d, v in base.items()
+    }
+    # py_factor with offset=0.5 above; recompute with offset=0 default
+    def pf0(v):
+        d = abs(v - origin)
+        return math.exp(math.log(decay) / scale * d)
+    want2 = {
+        d: round(v * (pf0(tv[d]) if d % 2 == 0 else 1.0), 9)
+        for d, v in base.items()
+    }
+    assert got2 == want2
+    # boost_mode=sum
+    got3 = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_decay(
+            "karo", attrs, "turn_idx", origin=origin, scale=scale,
+            kind="linear", boost_mode="sum", k=5,
+        ).collect()
+    ]
+    def pfl(v):
+        d = abs(v - origin)
+        span = scale / (1 - 0.5)
+        return max(0.0, (span - d) / span)
+    want3 = sorted(
+        ((d, v + pfl(tv[d])) for d, v in base.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert got3 == [(d, round(v, 9)) for d, v in want3]
+    for bad in (
+        dict(kind="nope"), dict(scale=0.0), dict(decay=1.0),
+        dict(decay=0.0), dict(offset=-1.0), dict(boost_mode="max"),
+    ):
+        kw = dict(origin=0.0, scale=1.0)
+        kw.update(bad)
+        with pytest.raises(ValueError):
+            s.topk_decay("karo", attrs, "turn_idx", **kw)
+    assert s.topk_decay(
+        "qzxabsent", attrs, "turn_idx", origin=0.0, scale=1.0
+    ).count() == 0
+
+
+def test_suggest_completion(spark, pcorpus):
+    """Completion suggester: prefix-matching vocab ranked df desc, term
+    asc; the exact term CAN complete itself; min_doc_freq gates."""
+    pdf, built, s = pcorpus
+    from collections import Counter
+    df_by_term = Counter()
+    for txt in pdf["text"]:
+        for t in set(py_tokenize(txt)):
+            df_by_term[t] += 1
+    for prefix in ("qu", "z", "ka"):
+        cands = [(t, c) for t, c in df_by_term.items()
+                 if t.startswith(prefix)]
+        want = sorted(cands, key=lambda tc: (-tc[1], tc[0]))[:4]
+        got = [(r["term"], r["df"])
+               for r in s.suggest_completion(prefix, size=4).collect()]
+        assert got == want, prefix
+    # min_doc_freq filters rare completions
+    hi = [(t, c) for t, c in df_by_term.items()
+          if t.startswith("z") and c >= 3]
+    want_hi = sorted(hi, key=lambda tc: (-tc[1], tc[0]))[:10]
+    got_hi = [(r["term"], r["df"]) for r in
+              s.suggest_completion("z", size=10, min_doc_freq=3).collect()]
+    assert got_hi == want_hi
+    assert s.suggest_completion("xyzzynope").count() == 0
+    with pytest.raises(ValueError, match="one token"):
+        s.suggest_completion("two words")
