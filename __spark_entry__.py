@@ -1853,6 +1853,46 @@ def _q_fs2_decay(spark, sf_dir):
     )
 
 
+UB1_STORE = "/tmp/rii_ub1_update_store"
+UB1_MATCH = "lattice"      # docs to update
+UB1_APPEND = " karoupd"    # sentinel token appended by the script
+UB1_QUERY = "karoupd zephyr"
+
+
+def _q_ub1_update_by_query(spark, sf_dir):
+    """ES _update_by_query: every live doc matching 'lattice' is
+    re-indexed with a sentinel token appended (the script), through the
+    doc_as_upsert segment path — then a BM25 query over the sentinel +
+    zephyr is answered with Lucene segment semantics (stats/df include
+    the superseded versions until compaction, ranking covers live docs
+    only). The DuckDB twin replays the same generational model."""
+    import shutil
+
+    from rabbit_index_ingest_spark.datagen import transcripts_df
+    from rabbit_index_ingest_spark.index.build import build_index
+    from rabbit_index_ingest_spark.index.query import Searcher
+    from rabbit_index_ingest_spark.index.store import IndexStore
+
+    _write_b7_corpus()
+    shutil.rmtree(UB1_STORE, ignore_errors=True)
+    t = transcripts_df(spark, n_conv=60)
+    store = IndexStore(spark, UB1_STORE)
+    store.save(build_index(spark, t), segment=0)
+    n = store.update_by_query(
+        UB1_MATCH, {"text": f"concat(text, '{UB1_APPEND}')"}
+    )
+    assert n > 0, "fixture corpus must contain the match term"
+    L = store.load()
+    s = Searcher(
+        spark, L.postings, L.dictionary, L.n_docs, L.avgdl,
+        deleted_df=L.deleted_df, probe_min_blocks=1,
+    )
+    top = s.topk_blockmax(UB1_QUERY, 10)
+    return top.join(L.doc_stats, "doc_id").select(
+        "conv_id", "turn_idx", F.round("score", 4).alias("score")
+    )
+
+
 def _q_sug2_completion(spark, sf_dir):
     """ES completion suggester: top-5 'qu'-prefixed vocabulary terms by
     document frequency (weight), term asc tie-break — the exact term can
@@ -1925,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g19_missing": _q_g19_missing,
         "fs2_decay": _q_fs2_decay,
         "sug2_completion": _q_sug2_completion,
+        "ub1_update_by_query": _q_ub1_update_by_query,
         "spf1_span_first": _q_spf1_span_first,
         "ex1_explain": _q_ex1_explain,
         "p4_field_phrase": _q_p4_field_phrase,
@@ -3310,6 +3351,77 @@ dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
 SELECT term, df::BIGINT AS df FROM dfs
 WHERE term LIKE 'qu%'
 ORDER BY df DESC, term ASC LIMIT 5
+"""
+
+    # ub1: update_by_query twin — the b7_upsert generational model with
+    # the batch derived from the MATCH SET of '{UB1_MATCH}' instead of a
+    # fixed key list: stats/df over all doc versions, ranking over live
+    sql["ub1_update_by_query"] = f"""
+WITH docs0 AS (
+  SELECT conv_id, turn_idx, text FROM read_parquet('{B7_CORPUS_PARQUET}')
+),
+m AS (
+  SELECT DISTINCT conv_id, turn_idx FROM (
+    SELECT conv_id, turn_idx, unnest({tok}) AS term FROM docs0
+  ) WHERE term = '{UB1_MATCH}'
+),
+batch AS (
+  SELECT d.conv_id, d.turn_idx, d.text || '{UB1_APPEND}' AS text
+  FROM docs0 d JOIN m USING (conv_id, turn_idx)
+),
+full_docs AS (
+  SELECT conv_id, turn_idx, text, 0 AS gen FROM docs0
+  UNION ALL
+  SELECT conv_id, turn_idx, text, 1 AS gen FROM batch
+),
+live AS (
+  SELECT conv_id, turn_idx, text FROM batch
+  UNION ALL
+  SELECT d.conv_id, d.turn_idx, d.text FROM docs0 d
+  WHERE NOT EXISTS (
+    SELECT 1 FROM batch b
+    WHERE b.conv_id = d.conv_id AND b.turn_idx = d.turn_idx
+  )
+),
+tok_full AS (
+  SELECT conv_id, turn_idx, gen, unnest({tok}) AS term FROM full_docs
+),
+tf_full AS (
+  SELECT conv_id, turn_idx, gen, term, count(*)::DOUBLE AS tf
+  FROM tok_full GROUP BY 1, 2, 3, 4
+),
+dl_full AS (
+  SELECT conv_id, turn_idx, gen, count(*)::DOUBLE AS dl
+  FROM tok_full GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT (SELECT count(*) FROM full_docs)::DOUBLE AS n,
+         (SELECT coalesce(sum(dl), 0) FROM dl_full)
+           / (SELECT count(*) FROM full_docs)::DOUBLE AS avgdl
+),
+qterms AS (SELECT DISTINCT unnest({TOKEN_SQL.format(c=f"'{UB1_QUERY}'")}) AS term),
+dft AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf_full
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+tok AS (SELECT conv_id, turn_idx, unnest({tok}) AS term FROM live),
+tf AS (SELECT conv_id, turn_idx, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2, 3),
+dl AS (SELECT conv_id, turn_idx, count(*)::DOUBLE AS dl FROM tok GROUP BY 1, 2),
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx,
+         sum(
+           ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf
+  JOIN dft USING (term)
+  JOIN dl USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  GROUP BY 1, 2
+)
+SELECT conv_id, turn_idx, round(score, 4) AS score FROM scored
+ORDER BY score DESC, conv_id, turn_idx LIMIT 10
 """
 
     # ts1: terms_set twin — BM25 sum gated by the per-doc matched-term

@@ -9,7 +9,8 @@ Run via spark-submit on a cluster:
 or locally: ``python -m rabbit_index_ingest_spark.cli <cmd> ...``.
 
 Subcommands: build [--resume] | upsert | query | suggest |
-delete-by-query | merge | compact | stats | gen-corpus.
+delete-by-query | update-by-query | snapshot | restore | merge |
+compact | stats | gen-corpus.
 """
 
 from __future__ import annotations
@@ -192,6 +193,35 @@ def _parser() -> argparse.ArgumentParser:
     d.add_argument("--index", required=True)
     d.add_argument("--q", required=True)
     d.add_argument("--mode", choices=["or", "and", "phrase"], default="or")
+
+    ub = sub.add_parser(
+        "update-by-query",
+        help="ES _update_by_query: re-index every live doc matching the "
+             "query with a SQL transform over its content columns "
+             "(doc_as_upsert path: new segment + tombstoned old versions)",
+    )
+    ub.add_argument("--index", required=True)
+    ub.add_argument("--q", required=True)
+    ub.add_argument(
+        "--set", action="append", required=True, metavar="COL=SQL_EXPR",
+        help="content column transform, e.g. --set \"text=concat(text, "
+             "' flagged')\"; repeatable",
+    )
+    ub.add_argument("--mode", choices=["or", "and", "phrase"], default="or")
+
+    sn = sub.add_parser(
+        "snapshot",
+        help="ES _snapshot: point-in-time copy of the immutable segment "
+             "tree (the copy is itself a complete store)",
+    )
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--dest", required=True)
+
+    rs = sub.add_parser(
+        "restore", help="ES _restore: materialize a snapshot as a live store"
+    )
+    rs.add_argument("--snapshot", required=True)
+    rs.add_argument("--dest", required=True)
 
     m = sub.add_parser("merge", help="tiered merge: fold smallest segments")
     m.add_argument("--index", required=True)
@@ -564,6 +594,34 @@ def main(argv: list[str] | None = None) -> int:
             args.q, mode=args.mode
         )
         print(json.dumps({"deleted": n}))
+
+    elif args.cmd == "update-by-query":
+        from .index.store import IndexStore
+
+        set_exprs = {}
+        for spec in args.set:
+            col, eq, expr = spec.partition("=")
+            if not eq or not col or not expr:
+                raise SystemExit(
+                    f"--set expects COL=SQL_EXPR, got {spec!r}"
+                )
+            set_exprs[col] = expr
+        n = IndexStore(spark, args.index).update_by_query(
+            args.q, set_exprs, mode=args.mode
+        )
+        print(json.dumps({"updated": n}))
+
+    elif args.cmd == "snapshot":
+        from .index.store import IndexStore
+
+        info = IndexStore(spark, args.index).snapshot(args.dest)
+        print(json.dumps(info))
+
+    elif args.cmd == "restore":
+        from .index.store import IndexStore
+
+        IndexStore.restore(spark, args.snapshot, args.dest)
+        print(json.dumps({"restored": args.dest}))
 
     elif args.cmd == "compact":
         from .index.store import IndexStore

@@ -632,6 +632,152 @@ class IndexStore:
         _seg, n = self.delete_matching(matched)
         return n
 
+    def update_by_query(
+        self,
+        query_text: str,
+        set_exprs: dict[str, str],
+        mode: str = "or",
+    ) -> int:
+        """ES ``_update_by_query`` (with a script): re-index every LIVE
+        doc matching the query with the given content transforms — SQL
+        expressions over the doc's current columns, e.g.
+        ``{"text": "concat(text, ' flagged')"}``. Only scored content
+        columns may be set (attrs live outside the index). The matched
+        set comes through the same Searcher the read path uses
+        (tombstones masked), and the updated rows flow matched semi-join
+        → transform → ``upsert`` entirely distributed — doc rows never
+        touch the driver — so the ES semantics come from the upsert
+        machinery for free: fresh segment, superseded versions
+        tombstoned, additive corpus stats until merge/compact. Returns
+        the number of docs updated.
+
+        Scale shape: ONE match-set decode + ONE semi-join of the docs
+        table + the standard segment build — cost proportional to the
+        MATCHED doc count, not the index size. Reference parity: the
+        reference has no in-place update either; modified files re-enter
+        through the same bulk doc_as_upsert path
+        (rabbit_indexer/queue_handler consumers) — this is that path
+        driven by a query instead of a message batch."""
+        if not set_exprs:
+            raise ValueError(
+                "update_by_query needs at least one set expression"
+            )
+        finfo = self._field_info()
+        content_cols = finfo[0] if finfo else ["text"]
+        bad = sorted(c for c in set_exprs if c not in content_cols)
+        if bad:
+            raise ValueError(
+                f"update_by_query can only set scored content column(s) "
+                f"{content_cols}, got {bad}"
+            )
+        from .query import Searcher
+
+        loaded = self.load()
+        searcher = Searcher(
+            self.spark, loaded.postings, loaded.dictionary,
+            loaded.n_docs, loaded.avgdl, deleted_df=loaded.deleted_df,
+        )
+        if mode == "or":
+            matched = searcher._matched_docs(query_text)
+        elif mode == "and":
+            matched = searcher.topk_blockmax_and(
+                query_text, (1 << 31) - 1
+            ).select("doc_id")
+        elif mode == "phrase":
+            matched = searcher.topk_phrase(query_text, (1 << 31) - 1).select(
+                "doc_id"
+            )
+        else:
+            raise ValueError(f"unknown update_by_query mode {mode!r}")
+        if matched is None:
+            return 0
+        batch = (
+            self._read_all("docs")
+            .join(matched.select("doc_id"), "doc_id", "left_semi")
+            .select("conv_id", "turn_idx", *content_cols)
+        )
+        for c, expr in set_exprs.items():
+            batch = batch.withColumn(c, F.expr(expr))
+        # materialize ONCE: the count and the upsert's build both read it
+        batch = batch.persist()
+        try:
+            n = int(batch.count())
+            if n:
+                self.upsert(batch)
+        finally:
+            batch.unpersist()
+        self.log_manifest("update_by_query", "done", docs_updated=n)
+        return n
+
+    def snapshot(self, dest: str) -> dict:
+        """ES ``_snapshot`` analogue: a point-in-time copy of the whole
+        store tree. Segments are write-once (save/upsert/merge only ever
+        ADD files), so a consistent snapshot is a plain tree copy — the
+        same immutability that makes Lucene snapshots hard-link cheap.
+        The copy is itself a complete store: "restore" = point an
+        ``IndexStore`` at it (or ``IndexStore.restore`` to copy it back).
+        Refuses a non-empty destination. Returns ``{files, bytes,
+        segments}``.
+
+        Scale note: this local implementation walks the driver
+        filesystem; on a real deployment the same contract is a
+        storage-layer copy (S3 CopyObject / distcp) of the immutable
+        tree — the API and layout are what carry over."""
+        if not self.segments():
+            raise FileNotFoundError(
+                f"no index segments under {self.root!r}"
+            )
+        if os.path.exists(dest) and os.listdir(dest):
+            raise FileExistsError(
+                f"snapshot destination {dest!r} exists and is non-empty"
+            )
+        if os.path.abspath(dest).startswith(
+            os.path.abspath(self.root) + os.sep
+        ):
+            raise ValueError(
+                f"snapshot destination {dest!r} is inside the store root"
+            )
+        import shutil
+
+        shutil.copytree(self.root, dest, dirs_exist_ok=True)
+        files = n_bytes = 0
+        for dirpath, _, fs in os.walk(dest):
+            for f in fs:
+                files += 1
+                try:
+                    n_bytes += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+        self.log_manifest(
+            "snapshot", "done", dest=dest, files=files, bytes=n_bytes
+        )
+        return {
+            "files": files, "bytes": n_bytes, "segments": self.segments()
+        }
+
+    @classmethod
+    def restore(
+        cls, spark: SparkSession, snapshot_dir: str, dest: str
+    ) -> "IndexStore":
+        """ES ``_restore``: materialize a snapshot as a live store at
+        ``dest`` (non-empty destinations refused — restoring over a live
+        index is the ES error too) and return the opened ``IndexStore``."""
+        if os.path.exists(dest) and os.listdir(dest):
+            raise FileExistsError(
+                f"restore destination {dest!r} exists and is non-empty"
+            )
+        src = cls(spark, snapshot_dir)
+        if not src.segments():
+            raise FileNotFoundError(
+                f"no index segments under snapshot {snapshot_dir!r}"
+            )
+        import shutil
+
+        shutil.copytree(snapshot_dir, dest, dirs_exist_ok=True)
+        out = cls(spark, dest)
+        out.log_manifest("restore", "done", source=snapshot_dir)
+        return out
+
     def load(self) -> LoadedIndex:
         # doc_stats = column-pruned projection of the docs table (columnar
         # storage: reading 4 narrow columns skips the text entirely)

@@ -690,3 +690,116 @@ def test_store_stats_api(spark, tmp_path):
     assert st2["docs_count"] == n0 + 1  # live docs
     assert st2["store_size_bytes"] > st["store_size_bytes"]
     built.release()
+
+
+def test_update_by_query(spark, tmp_path):
+    """ES _update_by_query: matched LIVE docs re-indexed through the
+    upsert path with a SQL transform — old versions tombstoned, search
+    reflects the new text, unmatched docs untouched, count returned."""
+    from rabbit_index_ingest_spark.datagen import transcripts_df
+    from rabbit_index_ingest_spark.index.build import build_index
+    from rabbit_index_ingest_spark.index.query import Searcher
+    from rabbit_index_ingest_spark.index.store import IndexStore
+    from pyspark.sql import functions as F
+
+    t = transcripts_df(spark, n_conv=12)
+    store = IndexStore(spark, str(tmp_path / "idx"))
+    store.save(build_index(spark, t))
+
+    def searcher():
+        L = store.load()
+        return L, Searcher(
+            spark, L.postings, L.dictionary, L.n_docs, L.avgdl,
+            deleted_df=L.deleted_df,
+        )
+
+    L0, s0 = searcher()
+    before = {r["doc_id"] for r in s0._matched_docs("zephyr").collect()}
+    assert before
+    # docs matching 'zephyr' get a sentinel token appended
+    n = store.update_by_query(
+        "zephyr", {"text": "concat(text, ' qqsentinelqq')"}
+    )
+    assert n == len(before)
+    L1, s1 = searcher()
+    # the sentinel now matches exactly the updated KEYS (fresh doc_ids)
+    sent = s1._matched_docs("qqsentinelqq")
+    keys = {
+        (r["conv_id"], r["turn_idx"])
+        for r in sent.join(L1.doc_stats, "doc_id").collect()
+    }
+    want_keys = {
+        (r["conv_id"], r["turn_idx"])
+        for r in L0.doc_stats.join(
+            spark.createDataFrame(
+                [(d,) for d in sorted(before)], "doc_id long"
+            ), "doc_id",
+        ).collect()
+    }
+    assert keys == want_keys
+    # old versions are tombstoned: zephyr match count unchanged (the new
+    # versions still contain zephyr), but all matched doc_ids are NEW
+    after = {r["doc_id"] for r in s1._matched_docs("zephyr").collect()}
+    assert len(after) == len(before) and not (after & before)
+    # stats see the updates as upsert segments
+    st = store.stats()
+    assert st["docs_deleted"] == n and st["docs_count"] == t.count()
+    # validation: unknown column, empty exprs, unknown mode
+    with pytest.raises(ValueError, match="content column"):
+        store.update_by_query("zephyr", {"nope": "'x'"})
+    with pytest.raises(ValueError, match="at least one"):
+        store.update_by_query("zephyr", {})
+    with pytest.raises(ValueError, match="mode"):
+        store.update_by_query("zephyr", {"text": "text"}, mode="xor")
+    # no match → no-op, 0
+    assert store.update_by_query("qzxabsent", {"text": "text"}) == 0
+
+
+def test_snapshot_and_restore(spark, tmp_path):
+    """Snapshot = point-in-time full copy (immutable segment tree);
+    restore materializes it as a live store; later mutations to the
+    original never leak into the snapshot."""
+    from rabbit_index_ingest_spark.datagen import transcripts_df
+    from rabbit_index_ingest_spark.index.build import build_index
+    from rabbit_index_ingest_spark.index.query import Searcher
+    from rabbit_index_ingest_spark.index.store import IndexStore
+
+    t = transcripts_df(spark, n_conv=10)
+    store = IndexStore(spark, str(tmp_path / "idx"))
+    store.save(build_index(spark, t))
+
+    def topk(st):
+        L = st.load()
+        s = Searcher(
+            spark, L.postings, L.dictionary, L.n_docs, L.avgdl,
+            deleted_df=L.deleted_df,
+        )
+        return [
+            (r["doc_id"], round(r["score"], 9))
+            for r in s.topk_blockmax("zephyr karo", 10).collect()
+        ]
+
+    want = topk(store)
+    snap = str(tmp_path / "snap")
+    info = store.snapshot(snap)
+    assert info["files"] > 0 and info["bytes"] > 0
+    assert info["segments"] == [0]
+    # mutate the original AFTER the snapshot
+    n_del = store.delete_by_query("zephyr")
+    assert n_del > 0 and topk(store) != want
+    # the snapshot still answers with the point-in-time state
+    assert topk(IndexStore(spark, snap)) == want
+    # restore to a fresh location
+    restored = IndexStore.restore(spark, snap, str(tmp_path / "rest"))
+    assert topk(restored) == want
+    # guards: non-empty destination, nested destination, empty source
+    with pytest.raises(FileExistsError):
+        store.snapshot(snap)
+    with pytest.raises(ValueError, match="inside the store root"):
+        store.snapshot(str(tmp_path / "idx" / "sub"))
+    with pytest.raises(FileExistsError):
+        IndexStore.restore(spark, snap, str(tmp_path / "rest"))
+    with pytest.raises(FileNotFoundError):
+        IndexStore(spark, str(tmp_path / "nope")).snapshot(
+            str(tmp_path / "snap2")
+        )
