@@ -1893,6 +1893,90 @@ def _q_ub1_update_by_query(spark, sf_dir):
     )
 
 
+def _q_g20_auto_histo(spark, sf_dir):
+    """ES auto_date_histogram: target 10 buckets over the ~300-day
+    deterministic timestamp span → the ladder's month rung is the
+    smallest whose estimate (floor(span/30d)+1) fits, calendar month
+    buckets + the chosen interval ride back. The twin recomputes the
+    LADDER CHOICE in SQL (any estimator drift mismatches the interval
+    column) with the bucket spine on the resulting month branch."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = built.doc_stats.select(
+        "doc_id",
+        F.expr(
+            "timestamp'2024-01-01' + make_interval(0, 0, 0, "
+            "cast(cast(conv_id AS long) % 300 AS int))"
+        ).alias("ts"),
+    )
+    h = searcher.auto_date_histogram_agg(
+        " ".join(BM25_QUERY_TERMS), attrs, "ts", buckets=10
+    )
+    return h.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "doc_count", "interval",
+    )
+
+
+MG1_STORE = "/tmp/rii_mg1_store"
+TV1_DOC = ("conv-00000000", 0)
+
+
+def _q_mg1_mget(spark, sf_dir):
+    """ES _mget: every requested (conv_id, turn_idx) answers — found
+    rows carry the NEWEST live source (one key upserted first) + dl,
+    missing keys answer found=false with NULL source."""
+    import shutil
+
+    from rabbit_index_ingest_spark.datagen import transcripts_df
+    from rabbit_index_ingest_spark.index.build import build_index
+    from rabbit_index_ingest_spark.index.store import IndexStore
+
+    _write_b7_corpus()
+    shutil.rmtree(MG1_STORE, ignore_errors=True)
+    t = transcripts_df(spark, n_conv=60)
+    store = IndexStore(spark, MG1_STORE)
+    store.save(build_index(spark, t), segment=0)
+    store.upsert(spark.createDataFrame(
+        [("conv-00000001", 0, "karo zephyr upserted")],
+        "conv_id string, turn_idx int, text string",
+    ))
+    out = store.mget([
+        ("conv-00000000", 0),
+        ("conv-00000001", 0),
+        ("conv-00000002", 1),
+        ("conv-nope", 7),
+    ])
+    return out.select(
+        "conv_id", "turn_idx",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce(F.col("dl").cast("long"), F.lit(-1)).alias("dl"),
+        "found",
+    )
+
+
+def _q_tv1_term_vectors(spark, sf_dir):
+    """ES _termvectors (term_statistics): per-(term, position) rows of
+    one doc with tf (in-doc), df/ttf (corpus-wide, merged dictionary) —
+    the forward-index operation: the docs table is scanned key-pruned,
+    postings never read."""
+    import shutil
+
+    from rabbit_index_ingest_spark.datagen import transcripts_df
+    from rabbit_index_ingest_spark.index.build import build_index
+    from rabbit_index_ingest_spark.index.store import IndexStore
+
+    _write_b7_corpus()
+    TV1_STORE = "/tmp/rii_tv1_store"
+    shutil.rmtree(TV1_STORE, ignore_errors=True)
+    t = transcripts_df(spark, n_conv=60)
+    store = IndexStore(spark, TV1_STORE)
+    store.save(build_index(spark, t), segment=0)
+    tv = store.term_vectors(*TV1_DOC)
+    return tv.select(
+        "term", F.col("pos").cast("long").alias("pos"), "tf", "df", "ttf"
+    )
+
+
 def _q_sug2_completion(spark, sf_dir):
     """ES completion suggester: top-5 'qu'-prefixed vocabulary terms by
     document frequency (weight), term asc tie-break — the exact term can
@@ -1966,6 +2050,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs2_decay": _q_fs2_decay,
         "sug2_completion": _q_sug2_completion,
         "ub1_update_by_query": _q_ub1_update_by_query,
+        "g20_auto_histo": _q_g20_auto_histo,
+        "mg1_mget": _q_mg1_mget,
+        "tv1_term_vectors": _q_tv1_term_vectors,
         "spf1_span_first": _q_spf1_span_first,
         "ex1_explain": _q_ex1_explain,
         "p4_field_phrase": _q_p4_field_phrase,
@@ -3343,6 +3430,102 @@ SELECT s.doc_id,
                           - {FS2_DECAY["offset"]!r}, 0.0))
              / {_fs2_two_sigma2!r}), 1.0), 4) AS score
 FROM scored s LEFT JOIN documents d USING (doc_id)
+"""
+
+    # g20: auto_date_histogram twin — the LADDER CHOICE recomputed in SQL
+    # (estimator drift mismatches the "interval" column), spine pinned to
+    # the month branch the data selects
+    sql["g20_auto_histo"] = matched_cte.rstrip() + """,
+ts AS (
+  SELECT TIMESTAMP '2024-01-01' + INTERVAL ((doc_id % 300)) DAY AS ts
+  FROM matched
+),
+span AS (
+  SELECT date_diff('second', min(ts), max(ts))::DOUBLE AS s FROM ts
+),
+choice AS (
+  SELECT CASE
+    WHEN floor(s / 1) + 1 <= 10 THEN '1s'
+    WHEN floor(s / 5) + 1 <= 10 THEN '5s'
+    WHEN floor(s / 10) + 1 <= 10 THEN '10s'
+    WHEN floor(s / 30) + 1 <= 10 THEN '30s'
+    WHEN floor(s / 60) + 1 <= 10 THEN '1m'
+    WHEN floor(s / 300) + 1 <= 10 THEN '5m'
+    WHEN floor(s / 600) + 1 <= 10 THEN '10m'
+    WHEN floor(s / 1800) + 1 <= 10 THEN '30m'
+    WHEN floor(s / 3600) + 1 <= 10 THEN '1h'
+    WHEN floor(s / 10800) + 1 <= 10 THEN '3h'
+    WHEN floor(s / 43200) + 1 <= 10 THEN '12h'
+    WHEN floor(s / 86400) + 1 <= 10 THEN '1d'
+    WHEN floor(s / 604800) + 1 <= 10 THEN '7d'
+    WHEN floor(s / 2592000) + 1 <= 10 THEN 'month'
+    WHEN floor(s / 7776000) + 1 <= 10 THEN 'quarter'
+    ELSE 'year' END AS "interval"
+  FROM span
+),
+b AS (
+  SELECT date_trunc('month', ts) AS bucket, count(*)::BIGINT AS doc_count
+  FROM ts GROUP BY 1
+),
+bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+series AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS bucket
+  FROM bounds WHERE lo IS NOT NULL
+)
+SELECT strftime(series.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       coalesce(doc_count, 0)::BIGINT AS doc_count,
+       (SELECT "interval" FROM choice) AS "interval"
+FROM series LEFT JOIN b USING (bucket)
+"""
+
+    sql["mg1_mget"] = f"""
+WITH docs0 AS (
+  SELECT conv_id, turn_idx, text FROM read_parquet('{B7_CORPUS_PARQUET}')
+),
+live AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN conv_id = 'conv-00000001' AND turn_idx = 0
+              THEN 'karo zephyr upserted' ELSE text END AS text
+  FROM docs0
+),
+keys(conv_id, turn_idx) AS (
+  VALUES ('conv-00000000', 0), ('conv-00000001', 0),
+         ('conv-00000002', 1), ('conv-nope', 7)
+)
+SELECT k.conv_id, k.turn_idx::BIGINT AS turn_idx,
+       coalesce(l.text, '') AS text,
+       coalesce(len({TOKEN_SQL.format(c="l.text")})::BIGINT, -1) AS dl,
+       l.conv_id IS NOT NULL AS found
+FROM keys k LEFT JOIN live l USING (conv_id, turn_idx)
+ORDER BY conv_id, turn_idx
+"""
+
+    sql["tv1_term_vectors"] = f"""
+WITH docs0 AS (
+  SELECT conv_id, turn_idx, text FROM read_parquet('{B7_CORPUS_PARQUET}')
+),
+target AS (
+  SELECT {tok} AS arr FROM docs0
+  WHERE conv_id = '{TV1_DOC[0]}' AND turn_idx = {TV1_DOC[1]}
+),
+pos AS (
+  SELECT unnest(arr) AS term,
+         generate_subscripts(arr, 1) - 1 AS pos
+  FROM target
+),
+tf AS (SELECT term, count(*)::BIGINT AS tf FROM pos GROUP BY 1),
+alltok AS (
+  SELECT conv_id, turn_idx, unnest({tok}) AS term FROM docs0
+),
+dfs AS (
+  SELECT term,
+         count(DISTINCT conv_id || '#' || turn_idx)::BIGINT AS df,
+         count(*)::BIGINT AS ttf
+  FROM alltok GROUP BY 1
+)
+SELECT p.term, p.pos::BIGINT AS pos, tf.tf, dfs.df, dfs.ttf
+FROM pos p JOIN tf USING (term) JOIN dfs USING (term)
+ORDER BY term, pos
 """
 
     sql["sug2_completion"] = f"""

@@ -9,8 +9,8 @@ Run via spark-submit on a cluster:
 or locally: ``python -m rabbit_index_ingest_spark.cli <cmd> ...``.
 
 Subcommands: build [--resume] | upsert | query | suggest |
-delete-by-query | update-by-query | snapshot | restore | merge |
-compact | stats | gen-corpus.
+delete-by-query | update-by-query | mget | termvectors | snapshot |
+restore | merge | compact | stats | gen-corpus.
 """
 
 from __future__ import annotations
@@ -222,6 +222,25 @@ def _parser() -> argparse.ArgumentParser:
     )
     rs.add_argument("--snapshot", required=True)
     rs.add_argument("--dest", required=True)
+
+    mg = sub.add_parser(
+        "mget",
+        help="ES _mget: fetch live docs by key; every requested key "
+             "answers (found flag, newest version after upserts)",
+    )
+    mg.add_argument("--index", required=True)
+    mg.add_argument(
+        "--key", action="append", required=True, metavar="CONV_ID,TURN_IDX",
+        help="repeatable document key",
+    )
+
+    tv = sub.add_parser(
+        "termvectors",
+        help="ES _termvectors: per-(term, position) rows of one live doc "
+             "with tf/df/ttf (forward-index op; postings never read)",
+    )
+    tv.add_argument("--index", required=True)
+    tv.add_argument("--key", required=True, metavar="CONV_ID,TURN_IDX")
 
     m = sub.add_parser("merge", help="tiered merge: fold smallest segments")
     m.add_argument("--index", required=True)
@@ -622,6 +641,27 @@ def main(argv: list[str] | None = None) -> int:
 
         IndexStore.restore(spark, args.snapshot, args.dest)
         print(json.dumps({"restored": args.dest}))
+
+    elif args.cmd == "mget":
+        from .index.store import IndexStore
+
+        keys = []
+        for spec in args.key:
+            c, _, i = spec.rpartition(",")
+            if not c:
+                raise SystemExit(f"--key expects CONV_ID,TURN_IDX, got {spec!r}")
+            keys.append((c, int(i)))
+        for r in IndexStore(spark, args.index).mget(keys).collect():
+            print(json.dumps(r.asDict()))
+
+    elif args.cmd == "termvectors":
+        from .index.store import IndexStore
+
+        c, _, i = args.key.rpartition(",")
+        if not c:
+            raise SystemExit(f"--key expects CONV_ID,TURN_IDX, got {args.key!r}")
+        for r in IndexStore(spark, args.index).term_vectors(c, int(i)).collect():
+            print(json.dumps(r.asDict()))
 
     elif args.cmd == "compact":
         from .index.store import IndexStore

@@ -3605,6 +3605,84 @@ class Searcher:
             time_zone=time_zone,
         )
 
+    # ES auto_date_histogram rounding ladder: (label, estimate seconds,
+    # kind). Months+ bucket on CALENDAR boundaries; the ladder CHOICE uses
+    # fixed-second estimates (30 d months, 90 d quarters, 365 d years —
+    # ES's own estimator is the same shape). Capped at year: ES continues
+    # to 5/10/20/50/100 y, so a multi-century span here returns more than
+    # `buckets` year rows instead of a fixed multi-year approximation.
+    _AUTO_LADDER: tuple = (
+        ("1s", 1, "fixed"), ("5s", 5, "fixed"), ("10s", 10, "fixed"),
+        ("30s", 30, "fixed"),
+        ("1m", 60, "fixed"), ("5m", 300, "fixed"), ("10m", 600, "fixed"),
+        ("30m", 1800, "fixed"),
+        ("1h", 3600, "fixed"), ("3h", 10800, "fixed"),
+        ("12h", 43200, "fixed"),
+        ("1d", 86400, "fixed"), ("7d", 604800, "fixed"),
+        ("month", 2_592_000, "calendar"),
+        ("quarter", 7_776_000, "calendar"),
+        ("year", 31_536_000, "calendar"),
+    )
+
+    def auto_date_histogram_agg(
+        self,
+        query_text: str,
+        attrs: DataFrame,
+        ts_col: str,
+        buckets: int = 10,
+        time_zone: str | None = None,
+    ) -> DataFrame:
+        """ES ``auto_date_histogram``: pick the smallest rounding from the
+        ES ladder (1s…30s, 1m…30m, 1h/3h/12h, 1d/7d, month/quarter/year)
+        whose estimated bucket count ``floor(span/interval) + 1`` fits the
+        ``buckets`` target, then run the ordinary ``date_histogram`` at
+        that interval (calendar buckets for month and up, zero-filled
+        spine). Returns ``(bucket, doc_count, interval)`` — the chosen
+        interval rides along like ES's response ``interval`` field.
+
+        Plan: ONE tiny min/max aggregation over the match-set join picks
+        the interval on the driver (two timestamps — bounded), then the
+        shared ``date_histogram_agg`` path runs once. Never iterates
+        intervals against the data (ES reshards its collector; here the
+        estimate decides up front)."""
+        if buckets < 1:
+            raise ValueError(f"buckets must be >= 1, got {buckets}")
+        out_schema = "bucket timestamp, doc_count long, interval string"
+        matched = self._matched_docs(query_text)
+        if matched is None:
+            return self.spark.createDataFrame([], out_schema)
+        v = self._attr_col(attrs, ts_col).cast("timestamp")
+        row = (
+            matched.join(attrs, "doc_id", "inner")
+            .where(v.isNotNull())
+            .agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
+            .collect()[0]
+        )
+        if row["lo"] is None:
+            return self.spark.createDataFrame([], out_schema)
+        span = (row["hi"] - row["lo"]).total_seconds()
+        label, _est, kind = self._AUTO_LADDER[-1]
+        for cand_label, est, cand_kind in self._AUTO_LADDER:
+            if math.floor(span / est) + 1 <= buckets:
+                label, kind = cand_label, cand_kind
+                break
+        hist = self.date_histogram_agg(
+            query_text,
+            attrs,
+            ts_col,
+            calendar_interval=label if kind == "calendar" else None,
+            fixed_interval_s=(
+                None if kind == "calendar"
+                else next(e for (l_, e, _k) in self._AUTO_LADDER
+                          if l_ == label)
+            ),
+            min_doc_count=0,
+            time_zone=time_zone,
+        )
+        return hist.select(
+            "bucket", "doc_count", F.lit(label).alias("interval")
+        )
+
     def date_histogram_pipeline_agg(
         self,
         query_text: str,

@@ -940,6 +940,16 @@ class IndexStore:
         existing_keys = self._read_all("docs").select(
             "doc_id", "conv_id", "turn_idx"
         )
+        # normalize batch KEY dtypes to the store's schema: a batch
+        # carrying e.g. turn_idx as long on an int store would write a
+        # segment whose parquet physical type (INT64) conflicts with the
+        # existing INT32 files and make the whole docs table unreadable
+        # (partition discovery requires one physical type per column)
+        store_types = {f.name: f.dataType for f in existing_keys.schema.fields}
+        for batch_col, store_col in ((id_col, "conv_id"), (order_col, "turn_idx")):
+            new_turns = new_turns.withColumn(
+                batch_col, F.col(batch_col).cast(store_types[store_col])
+            )
         # in-batch last-write-wins: the reference applies messages one at a
         # time, so a batch carrying the same (conv_id, turn_idx) twice must
         # leave exactly ONE live version. Deterministic pick: max (ts,
@@ -1074,6 +1084,101 @@ class IndexStore:
             "fields": list(finfo[0]) if finfo else ["text"],
             "store_size_bytes": size,
         }
+
+    def _analyzer(self) -> str:
+        """The persisted analyzer setting (ONE tiny agg over the
+        1-row-per-segment stats table; legacy stores → 'simple')."""
+        cs = self.spark.read.parquet(os.path.join(self.root, "corpus_stats"))
+        if "analyzer" not in cs.columns:
+            return "simple"
+        row = cs.agg(F.max("analyzer").alias("an")).collect()[0]
+        return str(row["an"]) if row["an"] is not None else "simple"
+
+    def _live_docs(self) -> DataFrame:
+        """The docs table minus tombstoned versions (anti-join; no-op
+        scan shape when the index has no deletes)."""
+        docs = self._read_all("docs")
+        tdf = self.tombstones_df()
+        return docs if tdf is None else docs.join(tdf, "doc_id", "left_anti")
+
+    def mget(self, keys: list[tuple[str, int]]) -> DataFrame:
+        """ES ``_mget``: fetch the LIVE doc (source + dl) for each
+        ``(conv_id, turn_idx)`` key — one row per REQUESTED key, with
+        ``found=false`` and NULL source for absent keys (the ES contract:
+        every requested id answers, in request terms). Superseded
+        versions are excluded via the tombstone anti-join, so an upserted
+        key returns its newest text.
+
+        Plan: the (deduplicated) key list broadcasts against a docs scan
+        with the tombstone anti-join — ONE job, result size =
+        ``len(keys)``; at 10^12 docs the scan prunes on the pushed-down
+        key predicates of the broadcast hash join probe side."""
+        if not keys:
+            raise ValueError("mget needs at least one (conv_id, turn_idx) key")
+        finfo = self._field_info()
+        content_cols = finfo[0] if finfo else ["text"]
+        kdf = self.spark.createDataFrame(
+            sorted({(str(c), int(t)) for c, t in keys}),
+            "conv_id string, turn_idx long",
+        )
+        hits = self._live_docs().select(
+            "doc_id", "conv_id",
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            *content_cols, "dl",
+        )
+        # prune the big scan with a broadcast INNER join (the key list is
+        # the build side), then attach not-found keys with a tiny left
+        # join — the preserved side of an outer join can't be broadcast
+        pruned = hits.join(F.broadcast(kdf), ["conv_id", "turn_idx"], "inner")
+        return (
+            kdf.join(F.broadcast(pruned), ["conv_id", "turn_idx"], "left")
+            .select(
+                "conv_id", "turn_idx", "doc_id", *content_cols, "dl",
+                F.col("doc_id").isNotNull().alias("found"),
+            )
+            .orderBy("conv_id", "turn_idx")
+        )
+
+    def term_vectors(self, conv_id: str, turn_idx: int) -> DataFrame:
+        """ES ``_termvectors`` (``term_statistics: true``): one row per
+        (term, position) of the LIVE doc — ``tf`` (in-doc term
+        frequency), ``df`` (corpus document frequency), ``ttf`` (corpus
+        total term frequency), positions 0-based. The text is re-analyzed
+        with the index's persisted analyzer — exactly what ES does when
+        term vectors aren't stored — and df/ttf come from the merged
+        segment dictionary, which (like ES 7 scoring stats) includes
+        superseded versions until compaction.
+
+        Plan: ONE key-pruned docs scan (conv_id/turn_idx predicates
+        pushed to parquet) → posexplode of the JVM tokenizer (codegen) →
+        window tf + broadcast join of the term-pruned dictionary. The
+        postings are never read: this is a forward-index operation, and
+        the docs table IS the forward index."""
+        from ..analysis import tokens_expr
+        from pyspark.sql.window import Window
+
+        analyzer = self._analyzer()
+        finfo = self._field_info()
+        content = finfo[1] if finfo else "text"
+        row_df = self._live_docs().where(
+            (F.col("conv_id") == F.lit(str(conv_id)))
+            & (F.col("turn_idx") == F.lit(int(turn_idx)))
+        )
+        toks = row_df.select(
+            F.posexplode(tokens_expr(F.col(content), analyzer))
+            .alias("pos", "term")
+        )
+        w = Window.partitionBy("term")
+        dic = self._merged_dictionary().select(
+            "term", F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("ttf"),
+        )
+        return (
+            toks.withColumn("tf", F.count("*").over(w).cast("long"))
+            .join(F.broadcast(dic), "term", "left")
+            .select("term", "pos", "tf", "df", "ttf")
+            .orderBy("term", "pos")
+        )
 
     def merge_segments(self, seg_ids: list[int]) -> int:
         """Tiered-merge step (Lucene/ES merge-policy analogue, SURVEY B3):

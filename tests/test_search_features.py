@@ -2282,3 +2282,47 @@ def test_suggest_completion(spark, pcorpus):
     assert s.suggest_completion("xyzzynope").count() == 0
     with pytest.raises(ValueError, match="one token"):
         s.suggest_completion("two words")
+
+
+def test_auto_date_histogram(spark, pcorpus):
+    """ES auto_date_histogram: ladder choice from the estimated bucket
+    count (floor(span/est)+1 <= target), calendar buckets for month+,
+    interval rides along, zero-filled spine."""
+    pdf, built, s = pcorpus
+    q = "zephyr karo"
+    matched = _matched_ids(pdf, built, q)
+    # ts = 2024-01-01 + (doc_id % 300) days, like the entry twin
+    attrs = built.doc_stats.select(
+        "doc_id",
+        F.expr(
+            "timestamp'2024-01-01' + make_interval(0, 0, 0, "
+            "cast(doc_id % 300 AS int))"
+        ).alias("ts"),
+    )
+    import datetime as dt
+
+    days = sorted({d % 300 for d in matched})
+    span = (days[-1] - days[0]) * 86400.0
+    # target 10: month must win on this span (7d rung estimates > 10)
+    assert (span // 604800) + 1 > 10 >= (span // 2_592_000) + 1
+    rows = s.auto_date_histogram_agg(q, attrs, "ts", buckets=10).collect()
+    assert {r["interval"] for r in rows} == {"month"}
+    from collections import Counter
+
+    months = Counter(
+        (dt.date(2024, 1, 1) + dt.timedelta(days=d % 300)).month
+        for d in matched
+    )
+    lo, hi = min(months), max(months)
+    want = [(f"2024-{m:02d}-01", months.get(m, 0)) for m in range(lo, hi + 1)]
+    got = [(r["bucket"].strftime("%Y-%m-%d"), r["doc_count"]) for r in rows]
+    assert got == want
+    # a looser target lands on the 1d rung (smallest fitting)
+    assert (span // 43200) + 1 > 400 >= (span // 86400) + 1
+    rows_d = s.auto_date_histogram_agg(q, attrs, "ts", buckets=400).collect()
+    assert {r["interval"] for r in rows_d} == {"1d"}
+    assert sum(r["doc_count"] for r in rows_d) == len(matched)
+    assert len(rows_d) == days[-1] - days[0] + 1  # zero-filled day spine
+    with pytest.raises(ValueError, match="buckets"):
+        s.auto_date_histogram_agg(q, attrs, "ts", buckets=0)
+    assert s.auto_date_histogram_agg("qzxabsent", attrs, "ts").count() == 0

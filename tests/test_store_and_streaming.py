@@ -803,3 +803,59 @@ def test_snapshot_and_restore(spark, tmp_path):
         IndexStore(spark, str(tmp_path / "nope")).snapshot(
             str(tmp_path / "snap2")
         )
+
+
+def test_mget_and_term_vectors(spark, tmp_path):
+    """ES _mget (every requested key answers, found flag, newest version
+    after upsert) and _termvectors (per-position rows with tf/df/ttf
+    from the merged dictionary, re-analyzed source)."""
+    from collections import Counter
+
+    from rabbit_index_ingest_spark.analysis import py_tokenize
+    from rabbit_index_ingest_spark.datagen import transcripts_df
+    from rabbit_index_ingest_spark.index.build import build_index
+    from rabbit_index_ingest_spark.index.store import IndexStore
+    from pyspark.sql import functions as F
+
+    t = transcripts_df(spark, n_conv=8)
+    store = IndexStore(spark, str(tmp_path / "idx"))
+    store.save(build_index(spark, t))
+    rows = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.collect()}
+    (c0, i0), (c1, i1) = sorted(rows)[0], sorted(rows)[3]
+    got = store.mget([(c0, i0), (c1, i1), ("conv-nope", 0)]).collect()
+    assert [(r["conv_id"], r["turn_idx"], r["found"]) for r in got] == [
+        (c0, i0, True), (c1, i1, True), ("conv-nope", 0, False)
+    ]
+    assert got[0]["text"] == rows[(c0, i0)]
+    assert got[2]["text"] is None and got[2]["doc_id"] is None
+    # upsert replaces: mget must return the NEW text, never the tombstoned
+    store.upsert(spark.createDataFrame(
+        [(c0, i0, "karo zephyr karo")],
+        "conv_id string, turn_idx long, text string",
+    ))
+    got2 = store.mget([(c0, i0)]).collect()
+    assert got2[0]["text"] == "karo zephyr karo" and got2[0]["found"]
+    with pytest.raises(ValueError, match="at least one"):
+        store.mget([])
+    # term vectors of the updated doc: positions/tf from the new text,
+    # df/ttf from the merged (all-versions) dictionary
+    tv = store.term_vectors(c0, i0).collect()
+    toks = py_tokenize("karo zephyr karo")
+    want_pos = sorted((tok, p) for p, tok in enumerate(toks))
+    assert [(r["term"], r["pos"]) for r in tv] == want_pos
+    tf = Counter(toks)
+    assert all(r["tf"] == tf[r["term"]] for r in tv)
+    # corpus stats: every doc version ever indexed counts (segment model)
+    all_texts = list(rows.values()) + ["karo zephyr karo"]
+    df_c = Counter()
+    ttf_c = Counter()
+    for txt in all_texts:
+        tk = py_tokenize(txt)
+        ttf_c.update(tk)
+        df_c.update(set(tk))
+    assert all(
+        r["df"] == df_c[r["term"]] and r["ttf"] == ttf_c[r["term"]]
+        for r in tv
+    )
+    # absent / tombstoned doc → empty
+    assert store.term_vectors("conv-nope", 0).count() == 0
