@@ -1426,6 +1426,28 @@ def _q_bq1_bool_query(spark, sf_dir):
     )
 
 
+BQ2_SOURCES = ["src1", "src4", "src7", "src9"]
+
+
+def _q_bq2_bool_multiterm(spark, sf_dir):
+    """bool DSL round-6 extension: a wildcard SHOULD clause at its
+    ES-inside-bool constant_score rewrite (docs containing any 'str*m*'
+    vocab term add 0.5) composed with a terms attr FILTER
+    (source IN 4 values) over a scored must. Full scored set."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = _agg_attrs(spark, sf_dir, built, "source")
+    top = searcher.bool_query(
+        must=[{"match": {"query": " ".join(BM25_QUERY_TERMS)}}],
+        should=[{"wildcard": {"value": "str*m*", "boost": 0.5}}],
+        filter=[{"terms": {"col": "source", "values": BQ2_SOURCES}}],
+        attrs=attrs,
+        k=10_000_000,
+    )
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 QS1_QUERY = '+spark "table hash" str* -dup'
 
 
@@ -2051,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sug2_completion": _q_sug2_completion,
         "ub1_update_by_query": _q_ub1_update_by_query,
         "g20_auto_histo": _q_g20_auto_histo,
+        "bq2_bool_multiterm": _q_bq2_bool_multiterm,
         "mg1_mget": _q_mg1_mget,
         "tv1_term_vectors": _q_tv1_term_vectors,
         "spf1_span_first": _q_spf1_span_first,
@@ -3163,6 +3186,24 @@ SELECT s.doc_id,
        round(s.score * ln(1 + 0.01 * d.n_chars), 4) AS score
 FROM scored s JOIN documents d USING (doc_id)
 WHERE d.n_chars IS NOT NULL
+"""
+
+    # bq2: wildcard-in-bool twin — constant 0.5 for docs containing any
+    # 'str*m*' vocab term (the constant_score multi-term rewrite), terms
+    # filter over source
+    srcs = ", ".join(f"'{s_}'" for s_ in BQ2_SOURCES)
+    sql["bq2_bool_multiterm"] = fs_base[: -len(fs_tail)] + f""",
+wmatch AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'str%m%'
+)
+SELECT s.doc_id,
+       round(s.score
+             + CASE WHEN w.doc_id IS NOT NULL THEN 0.5 ELSE 0.0 END,
+             4) AS score
+FROM scored s
+JOIN documents d USING (doc_id)
+LEFT JOIN wmatch w ON w.doc_id = s.doc_id
+WHERE d.source IN ({srcs})
 """
 
     # collapse twin: one hit per source — row_number over the UNROUNDED

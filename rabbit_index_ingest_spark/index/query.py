@@ -2058,6 +2058,14 @@ class Searcher:
         * ``{"ids": {"values": [doc_id, ...][, "boost": w]}}`` — the ES
           ids query: the given INTERNAL doc_ids at constant 1.0·boost
           (live docs only); an empty list matches nothing.
+        * ``{"fuzzy": {"value": t[, "fuzziness": n][, "prefix_length": p]
+          [, "max_expansions": m][, "boost": w]}}``,
+          ``{"wildcard": {"value": pat[, "boost": w]}}``,
+          ``{"regexp": {"value": pat[, "boost": w]}}`` — the multi-term
+          kinds at their ES-inside-bool default rewrite
+          (``constant_score_blended`` ranks like constant score here):
+          every doc matching ANY expansion scores 1.0·boost. The
+          standalone ``topk_fuzzy`` keeps the scored BM25 rewrite.
 
         Each clause is ONE independent decode + aggregation over its own
         term-pruned block scan (scale shape identical to
@@ -2117,12 +2125,34 @@ class Searcher:
                 )  # only INDEXED ids match (ES drops unknown ids)
                 .select("doc_id", F.lit(1.0).alias("score"))
             )
+        elif kind in ("fuzzy", "wildcard", "regexp"):
+            if kind == "fuzzy":
+                terms = self.expand_fuzzy(
+                    body["value"],
+                    fuzziness=body.get("fuzziness"),
+                    prefix_length=int(body.get("prefix_length", 0)),
+                    max_expansions=int(body.get("max_expansions", 50)),
+                )
+            elif kind == "wildcard":
+                terms = self.expand_wildcard(
+                    body["value"],
+                    max_expansions=int(body.get("max_expansions", 1024)),
+                )
+            else:
+                terms = self.expand_regexp(
+                    body["value"],
+                    max_expansions=int(body.get("max_expansions", 1024)),
+                )
+            ms = self._terms_matchset(terms)
+            if ms is None:
+                return None
+            scored = ms.select("doc_id", F.lit(1.0).alias("score"))
         else:
             raise ValueError(
                 f"unknown scored clause kind {kind!r}; expected "
-                "match / match_phrase / prefix / match_all / ids (put "
-                "attr predicates — term/range/exists — in filter or "
-                "must_not)"
+                "match / match_phrase / prefix / match_all / ids / "
+                "fuzzy / wildcard / regexp (put attr predicates — "
+                "term/range/exists/terms — in filter or must_not)"
             )
         if boost != 1.0:
             scored = scored.select(
@@ -2134,7 +2164,13 @@ class Searcher:
         """Distinct live doc_ids containing ANY dictionary term with the
         prefix (Lucene constant_score multi-term rewrite's match set):
         term-pruned block scan → cheap positionless decode → distinct."""
-        terms = self.expand_prefix(prefix, 1 << 20)
+        return self._terms_matchset(self.expand_prefix(prefix, 1 << 20))
+
+    def _terms_matchset(self, terms: list[str]) -> DataFrame | None:
+        """Distinct live doc_ids containing ANY of ``terms`` — the
+        constant_score multi-term rewrite's match set shared by the
+        prefix / fuzzy / wildcard / regexp clause kinds: term-pruned
+        block scan → cheap positionless decode → distinct."""
         if not terms:
             return None
         blocks = self.postings.where(
@@ -2163,7 +2199,7 @@ class Searcher:
         so Catalyst pushes the predicate to the parquet scan); scored
         kinds reuse ``_clause_scored`` and drop the score column."""
         (kind, body), = clause.items()
-        if kind in ("term", "range", "exists"):
+        if kind in ("term", "range", "exists", "terms"):
             if attrs is None:
                 raise ValueError(f"{kind!r} clause needs attrs=")
             pred = self._attr_pred(attrs, kind, body)
@@ -2180,6 +2216,11 @@ class Searcher:
         c = self._attr_col(attrs, body["col"])
         if kind == "term":
             return c == F.lit(body["value"])
+        if kind == "terms":
+            vals = list(body["values"])
+            if not vals:
+                return F.lit(False)  # ES: empty terms list matches nothing
+            return c.isin(vals)
         if kind == "exists":
             return c.isNotNull()
         if kind == "range":
@@ -2201,7 +2242,8 @@ class Searcher:
                 pred = pred & cmp
             return pred
         raise ValueError(
-            f"unknown attr clause kind {kind!r}; expected term/range/exists"
+            f"unknown attr clause kind {kind!r}; expected "
+            "term/terms/range/exists"
         )
 
     def bool_query(

@@ -3,6 +3,7 @@ hit highlighting (the ES aggs / highlight analogues)."""
 
 from __future__ import annotations
 
+import re
 from collections import Counter
 
 import pytest
@@ -2326,3 +2327,69 @@ def test_auto_date_histogram(spark, pcorpus):
     with pytest.raises(ValueError, match="buckets"):
         s.auto_date_histogram_agg(q, attrs, "ts", buckets=0)
     assert s.auto_date_histogram_agg("qzxabsent", attrs, "ts").count() == 0
+
+
+def test_bool_multiterm_clauses_and_terms_filter(spark, pcorpus):
+    """bool DSL round-6 extension: fuzzy/wildcard/regexp scored clauses
+    (constant_score rewrite, ES-inside-bool default) and the terms attr
+    filter (empty list matches nothing)."""
+    pdf, built, s = pcorpus
+    big = 10_000_000
+    vocab = {t for txt in pdf["text"] for t in py_tokenize(txt)}
+    toks = [set(py_tokenize(t)) for t in pdf["text"]]
+    stats = built.doc_stats.orderBy("conv_id", "turn_idx").collect()
+
+    def matchset(terms):
+        return {r["doc_id"] for i, r in enumerate(stats) if terms & toks[i]}
+
+    # wildcard clause: qu*m* (quantum ...) at constant 1.0
+    wterms = {t for t in vocab if t.startswith("qu") and "m" in t[2:]}
+    got = s.bool_query(must=[{"wildcard": {"value": "qu*m*"}}], k=big).collect()
+    assert {r["doc_id"] for r in got} == matchset(wterms)
+    assert {r["score"] for r in got} == {1.0}
+    # fuzzy clause with boost
+    fterms = {t for t in vocab if _lev(t, "zephr") <= 1}
+    assert fterms
+    got_f = s.bool_query(
+        must=[{"fuzzy": {"value": "zephr", "fuzziness": 1, "boost": 3.0}}],
+        k=big,
+    ).collect()
+    assert {r["doc_id"] for r in got_f} == matchset(fterms)
+    assert {r["score"] for r in got_f} == {3.0}
+    # regexp clause composes with a scored match (constant adds on top)
+    base = {r["doc_id"]: r["score"]
+            for r in s.topk_dataframe("karo", big).collect()}
+    rterms = {t for t in vocab if re.fullmatch("ka.o", t)}
+    combo = {
+        r["doc_id"]: r["score"]
+        for r in s.bool_query(
+            must=[{"match": {"query": "karo"}}],
+            should=[{"regexp": {"value": "ka.o"}}],
+            k=big,
+        ).collect()
+    }
+    assert combo.keys() == base.keys()
+    rset = matchset(rterms)
+    for d, sc in combo.items():
+        assert sc == pytest.approx(base[d] + (1.0 if d in rset else 0.0),
+                                   rel=1e-12)
+    # terms filter: gate on turn_idx values; empty list = unmatchable
+    attrs = built.doc_stats.select("doc_id", "turn_idx")
+    filt = s.bool_query(
+        must=[{"match": {"query": "karo"}}],
+        filter=[{"terms": {"col": "turn_idx", "values": [0, 2]}}],
+        attrs=attrs, k=big,
+    ).collect()
+    ti = {r["doc_id"]: r["turn_idx"] for r in stats}
+    assert {r["doc_id"] for r in filt} == {
+        d for d in base if ti[d] in (0, 2)
+    }
+    assert s.bool_query(
+        must=[{"match": {"query": "karo"}}],
+        filter=[{"terms": {"col": "turn_idx", "values": []}}],
+        attrs=attrs, k=big,
+    ).count() == 0
+    # unknown multi-term value that expands to nothing = unmatchable must
+    assert s.bool_query(
+        must=[{"wildcard": {"value": "qzx*nope*"}}], k=big
+    ).count() == 0
