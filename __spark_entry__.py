@@ -2007,6 +2007,145 @@ def _q_sug2_completion(spark, sf_dir):
     return searcher.suggest_completion("qu", size=5)
 
 
+SUG3_INPUT = "tble jon"  # 2 candidates per position within 2 edits
+
+
+def _q_sug3_phrase_suggest(spark, sf_dir):
+    """ES phrase suggester: per-position term-suggester candidates
+    (max_edits=2, 3 per position + the input term when indexed), whole
+    phrases scored by a stupid-backoff bigram LM from the index's own
+    position streams; top 5, input phrase never suggested."""
+    built, searcher = _searcher(spark, sf_dir)
+    out = searcher.suggest_phrase(
+        SUG3_INPUT, size=5, max_edits=2, candidates_per_term=3
+    )
+    return out.select("phrase", F.round("score", 6).alias("score"))
+
+
+PCTR_VALUES = (40.0, 120.0, 250.0, 600.0)
+
+
+def _q_g21_percentile_ranks(spark, sf_dir):
+    """ES percentile_ranks over the match set: exact midpoint CDF (the
+    quantity ES's tdigest estimates) of n_chars at 4 probe values,
+    including one below and one above the observed range (0 / 100)."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = _agg_attrs(spark, sf_dir, built, "n_chars")
+    out = searcher.percentile_ranks_agg(
+        " ".join(BM25_QUERY_TERMS), attrs, "n_chars", PCTR_VALUES
+    )
+    return out.select("value", F.round("percent", 6).alias("percent"))
+
+
+def _q_g22_rare_terms(spark, sf_dir):
+    """ES rare_terms: n_chars values appearing in at most 2 matching
+    docs, rarest first (count asc, value asc); exact groupBy+HAVING."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = _agg_attrs(spark, sf_dir, built, "n_chars")
+    return searcher.rare_terms_agg(
+        " ".join(BM25_QUERY_TERMS), attrs, "n_chars", max_doc_count=2
+    )
+
+
+def _q_g23_multi_terms(spark, sf_dir):
+    """ES multi_terms: compound (lang, source) buckets over the match
+    set — top 8 by count desc then keys asc, with an avg(n_chars)
+    sub-metric riding the same groupBy."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = _agg_attrs(spark, sf_dir, built, "lang", "source", "n_chars")
+    out = searcher.multi_terms_agg(
+        " ".join(BM25_QUERY_TERMS), attrs, ["lang", "source"],
+        metrics=[("avg_chars", "avg", "n_chars")], size=8,
+    )
+    return out.select(
+        "lang", "source", "doc_count",
+        F.round("avg_chars", 4).alias("avg_chars"),
+    )
+
+
+def _q_g24_max_bucket(spark, sf_dir):
+    """ES max_bucket sibling pipeline over a terms agg: the source
+    bucket(s) with the highest doc_count — one row per tying key (the
+    relational rendering of ES's keys array)."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = _agg_attrs(spark, sf_dir, built, "source")
+    buckets = searcher.terms_agg(
+        " ".join(BM25_QUERY_TERMS), attrs, "source", size=1_000_000
+    )
+    return searcher.bucket_stats(buckets, "max", key_col="value")
+
+
+def _q_g25_bucket_pipeline(spark, sf_dir):
+    """ES bucket_selector + bucket_sort pipeline: source buckets with
+    doc_count >= 5, sorted count desc / key asc, from=1 size=4."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = _agg_attrs(spark, sf_dir, built, "source")
+    buckets = searcher.terms_agg(
+        " ".join(BM25_QUERY_TERMS), attrs, "source", size=1_000_000
+    )
+    kept = searcher.bucket_selector(buckets, "doc_count >= 5")
+    return searcher.bucket_sort(
+        kept, [("doc_count", "desc"), ("value", "asc")], from_=1, size=4
+    )
+
+
+PIN1_PINS = [13, 2, 7]  # original documents.doc_id values, pin order
+
+
+def _q_pin1_pinned(spark, sf_dir):
+    """ES pinned query: docs 13, 2, 7 pinned to ranks 1-3 in that order
+    (regardless of relevance), organic BM25 ranking deduped after; top
+    15 as (doc_id, rank)."""
+    built, searcher = _searcher(spark, sf_dir)
+    m = {
+        r["orig"]: r["doc_id"]
+        for r in built.doc_stats.where(
+            F.col("conv_id").cast("long").isin(PIN1_PINS)
+        ).select(
+            "doc_id", F.col("conv_id").cast("long").alias("orig")
+        ).collect()
+    }
+    internal = [m[p] for p in PIN1_PINS if p in m]
+    top = searcher.topk_pinned(internal, " ".join(BM25_QUERY_TERMS), k=15)
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+DFQ1_ORIGIN, DFQ1_PIVOT, DFQ1_BOOST = 300.0, 150.0, 0.8
+
+
+def _q_dfq1_distance_feature(spark, sf_dir):
+    """ES distance_feature in a bool should: BM25 plus the bounded
+    contribution 0.8·150/(150+|n_chars−300|); full scored set."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = _agg_attrs(spark, sf_dir, built, "n_chars")
+    top = searcher.topk_distance_feature(
+        " ".join(BM25_QUERY_TERMS), attrs, "n_chars",
+        origin=DFQ1_ORIGIN, pivot=DFQ1_PIVOT, k=10_000_000,
+        boost=DFQ1_BOOST,
+    )
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+RF1_PIVOT, RF1_BOOST = 260.0, 2.0
+
+
+def _q_rf1_rank_feature(spark, sf_dir):
+    """Standalone ES rank_feature: every live doc ranked purely by
+    saturation over n_chars (boost·x/(x+pivot)) — no postings read."""
+    built, searcher = _searcher(spark, sf_dir)
+    attrs = _agg_attrs(spark, sf_dir, built, "n_chars")
+    top = searcher.topk_rank_feature(
+        attrs, "n_chars", k=10_000_000, pivot=RF1_PIVOT, boost=RF1_BOOST
+    )
+    return _with_orig_doc_id(top, built).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "b1_doc_lengths": _q_b1_doc_lengths,
@@ -2073,6 +2212,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sug2_completion": _q_sug2_completion,
         "ub1_update_by_query": _q_ub1_update_by_query,
         "g20_auto_histo": _q_g20_auto_histo,
+        "sug3_phrase_suggest": _q_sug3_phrase_suggest,
+        "g21_percentile_ranks": _q_g21_percentile_ranks,
+        "g22_rare_terms": _q_g22_rare_terms,
+        "g23_multi_terms": _q_g23_multi_terms,
+        "g24_max_bucket": _q_g24_max_bucket,
+        "g25_bucket_pipeline": _q_g25_bucket_pipeline,
+        "pin1_pinned": _q_pin1_pinned,
+        "dfq1_distance_feature": _q_dfq1_distance_feature,
+        "rf1_rank_feature": _q_rf1_rank_feature,
         "bq2_bool_multiterm": _q_bq2_bool_multiterm,
         "mg1_mget": _q_mg1_mget,
         "tv1_term_vectors": _q_tv1_term_vectors,
@@ -3204,6 +3352,157 @@ FROM scored s
 JOIN documents d USING (doc_id)
 LEFT JOIN wmatch w ON w.doc_id = s.doc_id
 WHERE d.source IN ({srcs})
+"""
+
+    # g21: percentile_ranks — exact midpoint CDF over the match set
+    pr_vals = ", ".join(f"({v!r})" for v in PCTR_VALUES)
+    sql["g21_percentile_ranks"] = matched_cte + f""",
+vals AS (
+  SELECT n_chars::DOUBLE AS x
+  FROM matched JOIN documents USING (doc_id)
+  WHERE n_chars IS NOT NULL
+)
+SELECT v.value::DOUBLE AS value,
+       round(100.0 * (count(*) FILTER (x < v.value)
+                      + 0.5 * count(*) FILTER (x = v.value))
+             / count(*), 6) AS percent
+FROM vals CROSS JOIN (VALUES {pr_vals}) AS v(value)
+GROUP BY v.value ORDER BY v.value
+"""
+
+    # g22: rare_terms — exact groupBy + HAVING twin, rarest first
+    sql["g22_rare_terms"] = matched_cte + """
+SELECT n_chars AS value, count(*) AS doc_count
+FROM matched JOIN documents USING (doc_id)
+WHERE n_chars IS NOT NULL
+GROUP BY 1 HAVING count(*) <= 2
+ORDER BY doc_count ASC, value ASC
+"""
+
+    # g23: multi_terms — compound key (null keys out), avg sub-metric
+    sql["g23_multi_terms"] = matched_cte + """
+SELECT lang, source, count(*) AS doc_count,
+       round(avg(n_chars), 4) AS avg_chars
+FROM matched JOIN documents USING (doc_id)
+WHERE lang IS NOT NULL AND source IS NOT NULL
+GROUP BY 1, 2
+ORDER BY doc_count DESC, lang ASC, source ASC
+LIMIT 8
+"""
+
+    # g24: max_bucket over source terms buckets (ties = keys-array rows)
+    sql["g24_max_bucket"] = matched_cte + """,
+counts AS (
+  SELECT source AS key, count(*)::DOUBLE AS value
+  FROM matched JOIN documents USING (doc_id)
+  WHERE source IS NOT NULL GROUP BY 1
+)
+SELECT key, value FROM counts
+WHERE value = (SELECT max(value) FROM counts)
+ORDER BY key
+"""
+
+    # g25: bucket_selector (count >= 5) + bucket_sort (from 1, size 4)
+    sql["g25_bucket_pipeline"] = matched_cte + """,
+counts AS (
+  SELECT source AS value, count(*) AS doc_count
+  FROM matched JOIN documents USING (doc_id)
+  WHERE source IS NOT NULL GROUP BY 1
+  HAVING count(*) >= 5
+)
+SELECT value, doc_count FROM counts
+ORDER BY doc_count DESC, value ASC
+LIMIT 4 OFFSET 1
+"""
+
+    # pin1: pinned-first ranking twin — pins at ranks 1..p in pin order,
+    # organic (score desc, doc_id asc) deduped after
+    pins_vals = ", ".join(f"({p}, {i + 1})" for i, p in enumerate(PIN1_PINS))
+    sql["pin1_pinned"] = fs_base[: -len(fs_tail)] + f""",
+pins(doc_id, ord) AS (SELECT * FROM (VALUES {pins_vals}) t(a, b)),
+organic AS (
+  SELECT s.doc_id,
+         row_number() OVER (ORDER BY s.score DESC, s.doc_id ASC) AS rn
+  FROM scored s
+  WHERE s.doc_id NOT IN (SELECT doc_id FROM pins)
+)
+SELECT doc_id::BIGINT AS doc_id, ord::BIGINT AS "rank" FROM pins
+UNION ALL
+SELECT doc_id::BIGINT, (rn + (SELECT count(*) FROM pins))::BIGINT
+FROM organic
+WHERE rn <= 15 - (SELECT count(*) FROM pins)
+"""
+
+    # dfq1: distance_feature twin — bounded contribution over n_chars
+    sql["dfq1_distance_feature"] = fs_base[: -len(fs_tail)] + f"""
+SELECT s.doc_id,
+       round(s.score + CASE WHEN d.n_chars IS NULL THEN 0.0
+             ELSE {DFQ1_BOOST!r} * {DFQ1_PIVOT!r}
+                  / ({DFQ1_PIVOT!r} + abs(d.n_chars - {DFQ1_ORIGIN!r}))
+             END, 4) AS score
+FROM scored s LEFT JOIN documents d USING (doc_id)
+"""
+
+    # sug3: phrase-suggester twin — same candidate scan (lev<=2, top 3
+    # by distance/df/term + the input term when indexed), same
+    # stupid-backoff bigram LM over adjacent positions
+    def _cand_cte(name: str, word: str) -> str:
+        return f"""{name} AS (
+  SELECT term FROM (
+    SELECT u.term FROM uni u JOIN dfs f USING (term)
+    WHERE u.term != '{word}' AND levenshtein(u.term, '{word}') <= 2
+    ORDER BY levenshtein(u.term, '{word}') ASC, f.df DESC, u.term ASC
+    LIMIT 3
+  )
+  UNION
+  SELECT term FROM dfs WHERE term = '{word}'
+)"""
+
+    s3w1, s3w2 = SUG3_INPUT.split()
+    sql["sug3_phrase_suggest"] = f"""
+WITH tt AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+  FROM tt
+),
+uni AS (SELECT term, count(*)::DOUBLE AS cf FROM tok GROUP BY 1),
+dfs AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY 1),
+tot AS (SELECT sum(cf) AS t FROM uni),
+{_cand_cte("cand1", s3w1)},
+{_cand_cte("cand2", s3w2)},
+big AS (
+  SELECT a.term AS v, b.term AS w, count(*)::DOUBLE AS c
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term IN (SELECT term FROM cand1)
+    AND b.term IN (SELECT term FROM cand2)
+  GROUP BY 1, 2
+)
+SELECT w1 || ' ' || w2 AS phrase, round(score, 6) AS score
+FROM (
+  SELECT c1.term AS w1, c2.term AS w2,
+         ln(u1.cf / tot.t)
+         + CASE WHEN bg.c IS NOT NULL
+                THEN ln(bg.c / u1.cf)
+                ELSE ln(0.4 * u2.cf / tot.t) END AS score
+  FROM cand1 c1
+  CROSS JOIN cand2 c2
+  JOIN uni u1 ON u1.term = c1.term
+  JOIN uni u2 ON u2.term = c2.term
+  LEFT JOIN big bg ON bg.v = c1.term AND bg.w = c2.term
+  CROSS JOIN tot
+) WHERE NOT (w1 = '{s3w1}' AND w2 = '{s3w2}')
+ORDER BY score DESC, phrase ASC
+LIMIT 5
+"""
+
+    # rf1: rank_feature saturation twin — feature-only ranking, no
+    # postings; parenthesized to match the engine's boost·(x/(x+pivot))
+    sql["rf1_rank_feature"] = f"""
+SELECT doc_id,
+       round({RF1_BOOST!r} * (n_chars / (n_chars + {RF1_PIVOT!r})), 6)
+         AS score
+FROM documents
+WHERE n_chars IS NOT NULL AND n_chars > 0
 """
 
     # collapse twin: one hit per source — row_number over the UNROUNDED

@@ -8,9 +8,10 @@ Run via spark-submit on a cluster:
 
 or locally: ``python -m rabbit_index_ingest_spark.cli <cmd> ...``.
 
-Subcommands: build [--resume] | upsert | query | suggest |
-delete-by-query | update-by-query | mget | termvectors | snapshot |
-restore | merge | compact | stats | gen-corpus.
+Subcommands: build [--resume] | upsert | query | suggest [--type
+term|completion|phrase] | analyze | delete-by-query | update-by-query |
+mget | termvectors | snapshot | restore | merge | compact | stats |
+gen-corpus.
 """
 
 from __future__ import annotations
@@ -249,15 +250,30 @@ def _parser() -> argparse.ArgumentParser:
 
     sg = sub.add_parser(
         "suggest",
-        help="ES term suggester (did-you-mean): dictionary terms within "
-             "--max-edits of --q, ranked distance asc, df desc",
+        help="ES suggesters: term (did-you-mean, the default), "
+             "completion (prefix autocomplete), phrase (whole-phrase "
+             "correction via a stupid-backoff bigram LM from the index's "
+             "own positions)",
     )
     sg.add_argument("--index", required=True)
     sg.add_argument("--q", required=True)
+    sg.add_argument("--type", choices=["term", "completion", "phrase"],
+                    default="term", dest="suggest_type")
     sg.add_argument("--max-edits", type=int, default=2)
     sg.add_argument("--size", type=int, default=5)
     sg.add_argument("--suggest-mode", choices=["missing", "always"],
-                    default="missing")
+                    default="missing", help="term suggester only")
+    sg.add_argument("--candidates-per-term", type=int, default=5,
+                    help="phrase suggester: corrections tried per "
+                         "position")
+
+    an = sub.add_parser(
+        "analyze",
+        help="ES _analyze: how the index's analyzer tokenizes --text "
+             "(token, position, start/end offsets)",
+    )
+    an.add_argument("--index", required=True)
+    an.add_argument("--text", required=True)
 
     st = sub.add_parser(
         "stats",
@@ -597,13 +613,41 @@ def main(argv: list[str] | None = None) -> int:
             spark, L.postings, L.dictionary, L.n_docs, L.avgdl,
             deleted_df=L.deleted_df, analyzer=L.analyzer,
         )
-        for r in s.suggest_term(
-            args.q, max_edits=args.max_edits, size=args.size,
-            suggest_mode=args.suggest_mode,
-        ).collect():
+        if args.suggest_type == "term":
+            for r in s.suggest_term(
+                args.q, max_edits=args.max_edits, size=args.size,
+                suggest_mode=args.suggest_mode,
+            ).collect():
+                print(json.dumps(
+                    {"term": r["term"], "distance": r["distance"],
+                     "df": r["df"]}
+                ))
+        elif args.suggest_type == "completion":
+            for r in s.suggest_completion(args.q, size=args.size).collect():
+                print(json.dumps({"term": r["term"], "df": r["df"]}))
+        else:
+            for r in s.suggest_phrase(
+                args.q, size=args.size, max_edits=args.max_edits,
+                candidates_per_term=args.candidates_per_term,
+            ).collect():
+                print(json.dumps(
+                    {"phrase": r["phrase"], "score": round(r["score"], 6)}
+                ))
+
+    elif args.cmd == "analyze":
+        from .index.query import Searcher
+        from .index.store import IndexStore
+
+        L = IndexStore(spark, args.index).load()
+        s = Searcher(
+            spark, L.postings, L.dictionary, L.n_docs, L.avgdl,
+            deleted_df=L.deleted_df, analyzer=L.analyzer,
+        )
+        for r in s.analyze(args.text).collect():
             print(json.dumps(
-                {"term": r["term"], "distance": r["distance"],
-                 "df": r["df"]}
+                {"token": r["token"], "position": r["position"],
+                 "start_offset": r["start_offset"],
+                 "end_offset": r["end_offset"]}
             ))
 
     elif args.cmd == "delete-by-query":

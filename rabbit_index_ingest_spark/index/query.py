@@ -2891,6 +2891,199 @@ class Searcher:
             .limit(k)
         )
 
+    def topk_pinned(
+        self, ids: list[int], query_text: str, k: int = 10
+    ) -> DataFrame:
+        """ES ``pinned`` query: the given doc_ids appear FIRST, in the
+        given order (regardless of relevance — they need not match the
+        organic query, only exist and be live), then the organic match
+        ranking with pinned docs deduplicated out. ES fakes this with
+        descending near-FLOAT_MAX scores; the honest relational rendering
+        is an explicit ``(doc_id, rank)`` — rank 1..p for live pinned
+        docs, p+1.. for organic (score desc, doc_id asc).
+
+        Plan: one ``topk_dataframe`` run over-fetched by len(ids) (so k
+        organic rows survive the dedup), one tiny roster semi-join for
+        the pinned liveness check, and a row_number over the ≤ k+len(ids)
+        result rows — the pinned list is query-sized (ES caps ~100),
+        never data-sized."""
+        from pyspark.sql.window import Window
+
+        ids = [int(d) for d in ids]
+        if len(set(ids)) != len(ids):
+            raise ValueError(f"pinned ids must be unique: {ids}")
+        organic = self.topk_dataframe(query_text, k + len(ids)).select(
+            "doc_id",
+            F.lit(1).alias("_grp"),
+            (-F.col("score")).alias("_key"),
+        )
+        if ids:
+            organic = organic.where(~F.col("doc_id").isin(ids))
+            pinned = self.spark.createDataFrame(
+                [(d, i) for i, d in enumerate(ids)], "doc_id long, _ord int"
+            )
+            pinned_live = pinned.join(
+                self._all_docs_attrs(), "doc_id", "left_semi"
+            ).select(
+                "doc_id",
+                F.lit(0).alias("_grp"),
+                F.col("_ord").cast("double").alias("_key"),
+            )
+            organic = pinned_live.unionByName(organic)
+        w = Window.orderBy("_grp", "_key", "doc_id")
+        return (
+            organic.select("doc_id", F.row_number().over(w).alias("rank"))
+            .where(F.col("rank") <= k)
+            .orderBy("rank")
+        )
+
+    def topk_distance_feature(
+        self,
+        query_text: str,
+        attrs: DataFrame,
+        col: str,
+        origin: float,
+        pivot: float,
+        k: int = 10,
+        boost: float = 1.0,
+        allowed: DataFrame | None = None,
+        excluded: DataFrame | None = None,
+    ) -> DataFrame:
+        """ES ``distance_feature`` query composed in a bool SHOULD over a
+        scored match (its canonical use — "boost by recency/proximity"):
+
+            score = BM25(query) + boost · pivot / (pivot + |x − origin|)
+
+        with ``x = attrs[col]`` (numeric; pass dates as epoch). A doc
+        missing the feature gets NO contribution (in a should, the
+        non-matching distance_feature clause adds 0 — the ES contract).
+        Unlike ``function_score``, ES keeps distance_feature skippable
+        because its contribution is bounded by ``boost``; the distributed
+        analogue here is ONE full-match-set BM25 aggregation + one left
+        attr join + a codegen expression (the bound could thread into the
+        block-max kernel as a +boost score ceiling — not needed at the
+        measured scales)."""
+        if pivot <= 0:
+            raise ValueError(f"pivot must be > 0, got {pivot}")
+        if boost < 0:
+            raise ValueError(f"boost must be >= 0, got {boost}")
+        plan = self._plan(query_text)
+        if plan is None:
+            return _empty_topk(self.spark)
+        idfs, blocks, _ = plan
+        flat = self._mask_deleted(flat_postings(blocks))
+        if allowed is not None:
+            flat = flat.join(allowed.select("doc_id"), "doc_id", "left_semi")
+        if excluded is not None:
+            flat = flat.join(excluded.select("doc_id"), "doc_id", "left_anti")
+        scored = self._bm25_scored(flat, idfs)
+        x = self._attr_col(attrs, col).cast("double")
+        joined = scored.join(
+            attrs.select("doc_id", x.alias("_dfv")), "doc_id", "left"
+        )
+        contrib = (
+            F.lit(float(boost))
+            * F.lit(float(pivot))
+            / (
+                F.lit(float(pivot))
+                + F.abs(F.col("_dfv") - F.lit(float(origin)))
+            )
+        )
+        return (
+            joined.select(
+                "doc_id",
+                (F.col("score") + F.coalesce(contrib, F.lit(0.0)))
+                .alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    _RANK_FEATURE_FNS = ("saturation", "log", "sigmoid")
+
+    def topk_rank_feature(
+        self,
+        attrs: DataFrame,
+        col: str,
+        k: int = 10,
+        function: str = "saturation",
+        pivot: float | None = None,
+        boost: float = 1.0,
+        scaling_factor: float = 1.0,
+        exponent: float = 0.6,
+    ) -> DataFrame:
+        """Standalone ES ``rank_feature`` query: rank live docs purely by
+        a static positive feature (pagerank / url_length / popularity)
+        through one of the ES functions
+
+            saturation: S = x / (x + pivot)
+            log:        S = ln(scaling_factor · x + 1)
+            sigmoid:    S = x^exp / (x^exp + pivot^exp)
+
+        score = boost · S. Only docs HAVING the feature match (ES:
+        rank_feature doesn't match docs missing the field), and values
+        must be positive (the ES rank_feature field contract — violators
+        raise here rather than silently corrupting the monotonicity the
+        functions assume). ``pivot=None`` with saturation uses the ES
+        default: the feature's geometric mean — exact here
+        (``exp(avg(ln x))``, one tiny extra agg) where ES approximates
+        from index stats. Returns ``(doc_id, score)``.
+
+        Plan: one roster semi-join of the attrs scan + the codegen
+        expression + TakeOrdered — no postings read at all (the feature
+        IS the ranking)."""
+        if function not in self._RANK_FEATURE_FNS:
+            raise ValueError(
+                f"function must be one of {self._RANK_FEATURE_FNS}, got "
+                f"{function!r}"
+            )
+        if boost < 0:
+            raise ValueError(f"boost must be >= 0, got {boost}")
+        x = self._attr_col(attrs, col).cast("double")
+        live = (
+            attrs.select("doc_id", x.alias("_x"))
+            .where(F.col("_x").isNotNull())
+            .join(self._all_docs_attrs(), "doc_id", "left_semi")
+        )
+        xv = F.col("_x")
+        if function == "sigmoid":
+            if pivot is None:
+                raise ValueError("sigmoid needs an explicit pivot")
+            if exponent <= 0:
+                raise ValueError(f"exponent must be > 0, got {exponent}")
+        if function == "saturation" and pivot is None:
+            row = live.agg(F.exp(F.avg(F.log(xv))).alias("gm")).first()
+            pivot = float(row["gm"]) if row["gm"] is not None else None
+            if pivot is None:
+                return _empty_topk(self.spark)
+        if function != "log" and (pivot is None or pivot <= 0):
+            raise ValueError(f"pivot must be > 0, got {pivot}")
+        if function == "saturation":
+            s = xv / (xv + F.lit(float(pivot)))
+        elif function == "log":
+            if scaling_factor <= 0:
+                raise ValueError(
+                    f"scaling_factor must be > 0, got {scaling_factor}"
+                )
+            s = F.log1p(F.lit(float(scaling_factor)) * xv)
+        else:
+            p = F.pow(xv, F.lit(float(exponent)))
+            s = p / (p + F.lit(float(pivot) ** float(exponent)))
+        # positivity check rides the scoring scan (no separate validation
+        # pass over a 100 TB attrs table): a non-positive feature value
+        # fails the job with the contract message
+        s = F.when(
+            xv <= 0,
+            F.raise_error(
+                F.lit(f"rank_feature values must be > 0 (column {col!r})")
+            ),
+        ).otherwise(s)
+        return (
+            live.select("doc_id", (F.lit(float(boost)) * s).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def topk_collapse(
         self,
         query_text: str,
@@ -3026,6 +3219,200 @@ class Searcher:
             .orderBy(F.desc("df"), F.asc("term"))
             .limit(size)
         )
+
+    def suggest_phrase(
+        self,
+        text: str,
+        size: int = 5,
+        max_edits: int = 2,
+        candidates_per_term: int = 5,
+        min_doc_freq: int = 1,
+        alpha: float = 0.4,
+        max_positions: int = 5,
+    ) -> DataFrame:
+        """ES ``phrase`` suggester ("did you mean" over WHOLE phrases):
+        per-position candidate corrections from the term suggester's
+        vocabulary scan (the input term is also a candidate when it
+        exists in the index), every candidate phrase scored by a
+        stupid-backoff word-bigram language model read from the INDEX'S
+        OWN position streams (ES reads a shingle field / index stats —
+        same information)::
+
+            score(w_1..w_n) = ln P(w_1) + Σ_i ln P_sb(w_i | w_{i-1})
+            P(w)        = cf(w) / total_tokens
+            P_sb(w | v) = count(v·w) / cf(v)        if the bigram occurs
+                        = α · cf(w) / total_tokens  otherwise (backoff)
+
+        with ``cf`` the corpus term frequency (dictionary), ``count(v·w)``
+        the corpus adjacent-occurrence count, and α the ES
+        ``stupid_backoff`` discount (default 0.4). The exact input phrase
+        is never suggested (ES returns corrections). Returns
+        ``(phrase, score)`` — score desc, phrase asc, top ``size``.
+
+        Plan shape: one vocabulary scan per position (term-suggester
+        shape); ONE term-pruned positional decode of ALL candidate terms
+        + one self-join on (doc_id, pos+1) filtered to the wanted pairs
+        computes every bigram count together; enumeration/scoring of the
+        ≤ candidates^positions phrase product is driver-side and
+        query-sized (the ES collate step is too). Tombstoned docs are
+        masked from the bigram counts; cf/df are dictionary-level and
+        count not-yet-compacted deletes, like ES."""
+        toks = self._tok(text)
+        if not 1 <= len(toks) <= max_positions:
+            raise ValueError(
+                f"phrase suggest input must analyze to 1..{max_positions} "
+                f"tokens, got {toks!r}"
+            )
+        if not 0 < alpha <= 1:
+            raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+        dfs = self._term_dfs(toks)
+        cands: list[list[str]] = []
+        for t in toks:
+            cs = [
+                r["term"]
+                for r in self.suggest_term(
+                    t, max_edits=max_edits, size=candidates_per_term,
+                    min_doc_freq=min_doc_freq, suggest_mode="always",
+                ).collect()
+            ]
+            if dfs[t] >= min_doc_freq and dfs[t] > 0:
+                cs.append(t)
+            if not cs:  # an uncorrectable position: no phrase possible
+                return self.spark.createDataFrame(
+                    [], "phrase string, score double"
+                )
+            cands.append(sorted(set(cs)))
+        terms = sorted({t for cs in cands for t in cs})
+        # unigram cf for every candidate + the exact corpus token total
+        buckets = _term_buckets(self.spark, terms)
+        cf_rows = (
+            self.dictionary.where(F.col("bucket").isin(buckets))
+            .where(F.col("term").isin(terms))
+            .select("term", "cf")
+            .collect()
+        )
+        cf = {r["term"]: float(r["cf"]) for r in cf_rows}
+        total = float(
+            self.dictionary.agg(F.sum("cf").alias("t")).first()["t"] or 0
+        )
+        if total <= 0:
+            return self.spark.createDataFrame(
+                [], "phrase string, score double"
+            )
+        # bigram counts for adjacent-position candidate pairs: one
+        # positional decode of the candidate terms, one self-join
+        bigram: dict[tuple[str, str], float] = {}
+        pairs = {
+            (a, b)
+            for i in range(len(cands) - 1)
+            for a in cands[i]
+            for b in cands[i + 1]
+        }
+        if pairs:
+            blocks = self.postings.where(
+                F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+            )
+            pos = self._mask_deleted(
+                flat_postings_positional(blocks).select(
+                    "term", "doc_id", F.explode("positions").alias("pos")
+                )
+            )
+            a, b = pos.alias("a"), pos.alias("b")
+            pair_keys = [f"{x}\x1e{y}" for x, y in sorted(pairs)]
+            counted = (
+                a.join(
+                    b,
+                    (F.col("a.doc_id") == F.col("b.doc_id"))
+                    & (F.col("b.pos") == F.col("a.pos") + 1),
+                )
+                .where(
+                    F.concat_ws(
+                        "\x1e", F.col("a.term"), F.col("b.term")
+                    ).isin(pair_keys)
+                )
+                .groupBy(
+                    F.col("a.term").alias("v"), F.col("b.term").alias("w")
+                )
+                .agg(F.count("*").alias("c"))
+                .collect()
+            )
+            bigram = {(r["v"], r["w"]): float(r["c"]) for r in counted}
+        # driver-side enumeration + scoring (query-sized product space)
+        import itertools
+
+        scored: list[tuple[str, float]] = []
+        for combo in itertools.product(*cands):
+            if list(combo) == toks:
+                continue  # never suggest the input itself
+            s = math.log(cf[combo[0]] / total)
+            for v, w in zip(combo, combo[1:]):
+                c = bigram.get((v, w), 0.0)
+                if c > 0:
+                    s += math.log(c / cf[v])
+                else:
+                    s += math.log(alpha * cf[w] / total)
+            scored.append((" ".join(combo), s))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        return self.spark.createDataFrame(
+            scored[:size], "phrase string, score double"
+        )
+
+    def analyze(self, text: str) -> DataFrame:
+        """ES ``_analyze`` API: how the Searcher's analyzer tokenizes a
+        request-supplied string — ``(token, position, start_offset,
+        end_offset)`` rows (the ES response fields; offsets index the
+        ORIGINAL text — the token pattern is case-insensitive by
+        construction, so matching the un-lowercased text keeps offsets
+        exact even for case-folds that change string length, e.g. İ).
+        A request-scoped driver-side call, like ES's own _analyze — no
+        data is scanned."""
+        from ..analysis import _PY_TOKEN_RE, _PY_TOKEN_RE_STANDARD
+
+        pat = (
+            _PY_TOKEN_RE_STANDARD if self.analyzer == "standard"
+            else _PY_TOKEN_RE
+        )
+        rows = [
+            (m.group().lower(), i, m.start(), m.end())
+            for i, m in enumerate(pat.finditer(text or ""))
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "token string, position int, start_offset int, end_offset int",
+        )
+
+    def scroll(
+        self,
+        query_text: str,
+        page_size: int = 1000,
+        boosts: dict[str, float] | None = None,
+        allowed: DataFrame | None = None,
+        excluded: DataFrame | None = None,
+    ):
+        """ES ``scroll`` / point-in-time export: iterate the ENTIRE match
+        ranking page by page. Yields each page as a list of Rows
+        ``(doc_id, score)`` in global (score desc, doc_id asc) order —
+        a driver-paced export loop, which is what ES scroll is; each
+        page runs the ``search_after`` cursor plan (O(page_size) heap /
+        transfer per doc range at ANY depth — the scale path; never
+        from/size's O(depth) per page). A Searcher's frames are
+        immutable, so the iteration is a consistent snapshot by
+        construction (no PIT keep-alive bookkeeping needed)."""
+        if page_size < 1:
+            raise ValueError(f"page_size must be >= 1, got {page_size}")
+        after = None
+        while True:
+            rows = self.search_after(
+                query_text, k=page_size, after=after,
+                allowed=allowed, excluded=excluded, boosts=boosts,
+            ).collect()
+            if not rows:
+                return
+            yield rows
+            if len(rows) < page_size:
+                return
+            last = rows[-1]
+            after = (last["score"], last["doc_id"])
 
     def topk_more_like_this(
         self,
@@ -3537,6 +3924,154 @@ class Searcher:
         )
         return joined.agg(agg.cast("long").alias("value"))
 
+    def percentile_ranks_agg(
+        self,
+        query_text: str,
+        attrs: DataFrame,
+        col: str,
+        values: tuple[float, ...],
+    ) -> DataFrame:
+        """ES ``percentile_ranks`` aggregation over the match set: for
+        each given value ``v``, the percentage of observed attribute
+        values at or below it — the midpoint-CDF convention ES's TDigest
+        sketch estimates, computed EXACTLY here::
+
+            percent(v) = 100 · (#{x < v} + 0.5·#{x = v}) / n
+
+        (the quantity tdigest's ``cdf`` converges to; values below the
+        observed min give 0, above the max 100). NULL attribute rows
+        drop (ES). Returns ``(value, percent)`` ordered by value.
+
+        Plan: ONE conditional-aggregation pass over the match-set join —
+        2·len(values)+1 map-side-combined counters, no sort, no
+        per-value jobs; the inverse of ``percentiles_agg`` with the same
+        single-aggregation shape."""
+        out_schema = "value double, percent double"
+        vs = [float(v) for v in values]
+        if not vs:
+            raise ValueError("values must be non-empty")
+        matched = self._matched_docs(query_text)
+        if matched is None:
+            return self.spark.createDataFrame([], out_schema)
+        x = self._attr_col(attrs, col).cast("double")
+        one = F.lit(1).cast("long")
+        aggs = [F.count("*").alias("_n")]
+        for i, v in enumerate(vs):
+            aggs.append(
+                F.sum(F.when(x < F.lit(v), one).otherwise(0)).alias(f"_lt{i}")
+            )
+            aggs.append(
+                F.sum(F.when(x == F.lit(v), one).otherwise(0)).alias(f"_eq{i}")
+            )
+        pct = F.array(*[
+            F.lit(100.0)
+            * (F.col(f"_lt{i}") + F.lit(0.5) * F.col(f"_eq{i}"))
+            / F.col("_n")
+            for i in range(len(vs))
+        ])
+        return (
+            matched.join(attrs, "doc_id", "inner")
+            .where(x.isNotNull())
+            .agg(*aggs)
+            .where(F.col("_n") > 0)
+            .select(F.posexplode(pct).alias("_i", "percent"))
+            .select(
+                F.element_at(
+                    F.array(*[F.lit(v) for v in vs]), F.col("_i") + 1
+                ).alias("value"),
+                "percent",
+            )
+            .orderBy("value")
+        )
+
+    def rare_terms_agg(
+        self,
+        query_text: str,
+        attrs: DataFrame,
+        col: str,
+        max_doc_count: int = 1,
+    ) -> DataFrame:
+        """ES ``rare_terms`` aggregation: the long-tail complement of
+        ``terms_agg`` — buckets of ``attrs[col]`` over the match set
+        whose doc_count is AT MOST ``max_doc_count`` (ES bounds it to
+        [1, 100]), ordered rarest-first (doc_count asc, value asc).
+        ES approximates membership with a CuckooFilter to bound memory;
+        here the exact groupBy + HAVING is one map-side-combined shuffle
+        and the RESULT is small by construction (only rare values
+        survive), so the exact form scales. Nulls drop (ES). Returns
+        ``(value, doc_count)``."""
+        if not 1 <= int(max_doc_count) <= 100:
+            raise ValueError(
+                f"max_doc_count must be in [1, 100], got {max_doc_count}"
+            )
+        fkey = self._attr_col(attrs, col)
+        matched = self._matched_docs(query_text)
+        if matched is None:
+            return attrs.select(
+                fkey.alias("value"), F.lit(0).cast("long").alias("doc_count")
+            ).limit(0)
+        return (
+            matched.join(attrs, "doc_id", "inner")
+            .where(fkey.isNotNull())
+            .groupBy(fkey.alias("value"))
+            .agg(F.count("*").alias("doc_count"))
+            .where(F.col("doc_count") <= int(max_doc_count))
+            .orderBy(F.asc("doc_count"), F.asc("value"))
+        )
+
+    def multi_terms_agg(
+        self,
+        query_text: str,
+        attrs: DataFrame,
+        cols: list[str],
+        metrics: list[tuple[str, str, str]] | None = None,
+        size: int = 10,
+    ) -> DataFrame:
+        """ES ``multi_terms`` aggregation: compound-key buckets over the
+        match set — top-``size`` by doc_count desc, ties broken by each
+        key component ascending in order (the ES compound-key order). A
+        doc missing ANY key component joins no bucket (the ES contract:
+        every source must yield a value). Metric sub-aggregations as in
+        ``terms_agg``. Returns ``(<cols...>, doc_count[, <metrics>...])``.
+
+        Plan: identical to ``terms_agg`` — ONE decode + ONE groupBy on
+        the compound key computes counts and all sub-metrics together;
+        bucket selection is a TakeOrdered over the aggregated frame."""
+        if len(cols) < 2:
+            raise ValueError(f"multi_terms needs >= 2 key columns: {cols}")
+        fns = {
+            "avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum,
+            "value_count": F.count,
+        }
+        metrics = list(metrics or [])
+        aggs = [F.count("*").alias("doc_count")]
+        for name, fn, mcol in metrics:
+            if fn not in fns:
+                raise ValueError(
+                    f"metric fn must be one of {sorted(fns)}, got {fn!r}"
+                )
+            aggs.append(
+                fns[fn](self._attr_col(attrs, mcol).cast("double"))
+                .alias(name)
+            )
+        keys = [self._attr_col(attrs, c) for c in cols]
+        matched = self._matched_docs(query_text)
+        if matched is None:
+            return attrs.select(
+                *[k.alias(c) for k, c in zip(keys, cols)],
+                F.lit(0).cast("long").alias("doc_count"),
+                *[F.lit(0.0).alias(n) for n, _, _ in metrics],
+            ).limit(0)
+        joined = matched.join(attrs, "doc_id", "inner")
+        for k in keys:
+            joined = joined.where(k.isNotNull())
+        return (
+            joined.groupBy(*[k.alias(c) for k, c in zip(keys, cols)])
+            .agg(*aggs)
+            .orderBy(F.desc("doc_count"), *[F.asc(c) for c in cols])
+            .limit(size)
+        )
+
     def range_agg(
         self,
         query_text: str,
@@ -3784,6 +4319,105 @@ class Searcher:
             )
             .orderBy("bucket")
         )
+
+    @staticmethod
+    def bucket_stats(
+        buckets: DataFrame,
+        stat: str = "max",
+        metric_col: str = "doc_count",
+        key_col: str = "bucket",
+    ) -> DataFrame:
+        """ES SIBLING pipeline aggregations — ``max_bucket`` /
+        ``min_bucket`` / ``avg_bucket`` / ``sum_bucket`` /
+        ``stats_bucket`` — over a parent aggregation's bucket frame (the
+        output of ``terms_agg`` / ``date_histogram_agg`` / ...), metric =
+        ``buckets_path`` (``doc_count`` ≙ ES ``_count``).
+
+        ``max``/``min`` return one ``(key, value)`` row PER bucket
+        achieving the extremum, ordered by key — the relational rendering
+        of ES's ``keys`` array + ``value``; ``avg``/``sum`` one
+        ``(value)`` row; ``stats`` one ``(count, min, max, avg, sum)``
+        row. The input is a bucket-count-sized frame (thousands of rows
+        at 100 TB), so the whole-frame window / single agg here is
+        negligible next to the parent's scan."""
+        from pyspark.sql.window import Window
+
+        m = F.col(metric_col).cast("double")
+        if stat in ("max", "min"):
+            ext = (F.max(m) if stat == "max" else F.min(m)).over(
+                Window.partitionBy()
+            )
+            return (
+                buckets.select(
+                    F.col(key_col).alias("key"),
+                    m.alias("value"),
+                    ext.alias("_ext"),
+                )
+                .where(F.col("value") == F.col("_ext"))
+                .drop("_ext")
+                .orderBy("key")
+            )
+        if stat in ("avg", "sum"):
+            fn = F.avg if stat == "avg" else F.sum
+            return buckets.agg(fn(m).alias("value"))
+        if stat == "stats":
+            return buckets.agg(
+                F.count(m).alias("count"),
+                F.min(m).alias("min"),
+                F.max(m).alias("max"),
+                F.avg(m).alias("avg"),
+                F.sum(m).alias("sum"),
+            )
+        raise ValueError(
+            f"stat must be max/min/avg/sum/stats, got {stat!r}"
+        )
+
+    @staticmethod
+    def bucket_sort(
+        buckets: DataFrame,
+        sort: list[tuple[str, str]],
+        from_: int = 0,
+        size: int | None = None,
+    ) -> DataFrame:
+        """ES ``bucket_sort`` pipeline: reorder + paginate the PARENT
+        buckets by metric columns. ``sort`` = [(col, "asc"|"desc"), ...];
+        the combination must be a total order for pagination to be
+        deterministic (ES guarantees no tiebreak — this implementation
+        demands the caller append the bucket key when metrics can tie).
+        ``from_``/``size`` are ES ``from``/``size``. A window over the
+        bucket-count-sized frame — no new scan of the data."""
+        from pyspark.sql.window import Window
+
+        if not sort:
+            raise ValueError("sort must name at least one column")
+        keys = []
+        for col, direction in sort:
+            if direction not in ("asc", "desc"):
+                raise ValueError(
+                    f"sort direction must be asc or desc, got {direction!r}"
+                )
+            keys.append(
+                F.col(col).asc() if direction == "asc" else F.col(col).desc()
+            )
+        if from_ == 0 and size is None:
+            return buckets.orderBy(*keys)
+        rn = F.row_number().over(Window.orderBy(*keys))
+        out = buckets.select("*", rn.alias("_rn")).where(
+            F.col("_rn") > int(from_)
+        )
+        if size is not None:
+            out = out.where(F.col("_rn") <= int(from_) + int(size))
+        return out.drop("_rn").orderBy(*keys)
+
+    @staticmethod
+    def bucket_selector(buckets: DataFrame, predicate: str) -> DataFrame:
+        """ES ``bucket_selector`` pipeline: keep parent buckets where the
+        predicate over the bucket row holds. The ES script
+        (``params.count > 10``) renders relationally as a SQL boolean
+        expression over the bucket columns (``"doc_count > 10"``) — a
+        pure filter on the bucket frame, no new jobs, and Catalyst can
+        still fold it into the parent aggregation's plan."""
+        return buckets.where(F.expr(predicate))
 
     def filters_agg(
         self,

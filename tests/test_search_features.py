@@ -2393,3 +2393,413 @@ def test_bool_multiterm_clauses_and_terms_filter(spark, pcorpus):
     assert s.bool_query(
         must=[{"wildcard": {"value": "qzx*nope*"}}], k=big
     ).count() == 0
+
+
+def test_percentile_ranks_agg(spark, pcorpus):
+    """ES percentile_ranks: exact midpoint CDF — 100·(lt + 0.5·eq)/n —
+    the quantity tdigest estimates; outside-range values give 0/100."""
+    _, built, s = pcorpus
+    attrs = built.doc_stats.select("doc_id", "turn_idx")
+    q = "karo"
+    matched = set(_scored_map(s.topk_dataframe(q, BIGK)))
+    vals = [r["turn_idx"] for r in attrs.collect() if r["doc_id"] in matched]
+    n = len(vals)
+    assert n > 0
+    probe = (-1.0, 0.0, 1.5, 2.0, 6.0, 99.0)
+
+    def want(v):
+        lt = sum(1 for x in vals if x < v)
+        eq = sum(1 for x in vals if x == v)
+        return 100.0 * (lt + 0.5 * eq) / n
+
+    got = {
+        r["value"]: r["percent"]
+        for r in s.percentile_ranks_agg(q, attrs, "turn_idx", probe).collect()
+    }
+    assert set(got) == set(probe)
+    for v in probe:
+        assert got[v] == pytest.approx(want(v), abs=1e-9)
+    assert got[-1.0] == 0.0 and got[99.0] == 100.0
+    assert (
+        s.percentile_ranks_agg("qzxabsent", attrs, "turn_idx", probe).count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        s.percentile_ranks_agg(q, attrs, "turn_idx", ())
+
+
+def test_rare_terms_agg(spark, pcorpus):
+    """ES rare_terms: buckets with doc_count <= max_doc_count, rarest
+    first (count asc, value asc); exact groupBy+HAVING rendering."""
+    _, built, s = pcorpus
+    attrs = built.doc_stats.select("doc_id", "turn_idx")
+    q = "karo"
+    matched = set(_scored_map(s.topk_dataframe(q, BIGK)))
+    counts = Counter(
+        r["turn_idx"] for r in attrs.collect() if r["doc_id"] in matched
+    )
+    for mdc in (1, 3, 100):
+        want = sorted(
+            ((v, c) for v, c in counts.items() if c <= mdc),
+            key=lambda t: (t[1], t[0]),
+        )
+        got = [
+            (r["value"], r["doc_count"])
+            for r in s.rare_terms_agg(q, attrs, "turn_idx", mdc).collect()
+        ]
+        assert got == want, mdc
+    assert s.rare_terms_agg("qzxabsent", attrs, "turn_idx").count() == 0
+    with pytest.raises(ValueError, match="max_doc_count"):
+        s.rare_terms_agg(q, attrs, "turn_idx", 0)
+    with pytest.raises(ValueError, match="max_doc_count"):
+        s.rare_terms_agg(q, attrs, "turn_idx", 101)
+
+
+def test_multi_terms_agg(spark, pcorpus):
+    """ES multi_terms: compound-key buckets (count desc, keys asc); a doc
+    with ANY null key component joins no bucket; metric sub-aggs ride."""
+    _, built, s = pcorpus
+    # second key: parity of turn_idx, NULL for turn_idx 5 (null-drop probe)
+    attrs = built.doc_stats.select(
+        "doc_id",
+        "turn_idx",
+        F.when(F.col("turn_idx") != 5, F.col("turn_idx") % 2).alias("par"),
+    )
+    q = "karo"
+    matched = set(_scored_map(s.topk_dataframe(q, BIGK)))
+    rows = [
+        (r["turn_idx"], r["par"])
+        for r in attrs.collect()
+        if r["doc_id"] in matched
+    ]
+    counts = Counter((t, p) for t, p in rows if p is not None)
+    want_all = sorted(
+        ((t, p, c) for (t, p), c in counts.items()),
+        key=lambda x: (-x[2], x[0], x[1]),
+    )
+    got = [
+        (r["turn_idx"], r["par"], r["doc_count"])
+        for r in s.multi_terms_agg(
+            q, attrs, ["turn_idx", "par"], size=5
+        ).collect()
+    ]
+    assert got == want_all[:5]
+    # metric sub-agg: avg turn_idx per bucket (trivially the key itself)
+    got_m = s.multi_terms_agg(
+        q, attrs, ["turn_idx", "par"],
+        metrics=[("avg_ti", "avg", "turn_idx")], size=3,
+    ).collect()
+    for r in got_m:
+        assert r["avg_ti"] == pytest.approx(float(r["turn_idx"]))
+    assert (
+        s.multi_terms_agg("qzxabsent", attrs, ["turn_idx", "par"]).count()
+        == 0
+    )
+    with pytest.raises(ValueError, match=">= 2 key columns"):
+        s.multi_terms_agg(q, attrs, ["turn_idx"])
+    with pytest.raises(ValueError, match="metric fn"):
+        s.multi_terms_agg(
+            q, attrs, ["turn_idx", "par"], metrics=[("x", "median", "par")]
+        )
+
+
+def test_bucket_pipeline_stats_sort_selector(spark, pcorpus):
+    """ES sibling/bucket pipelines over a parent agg's bucket frame:
+    max_bucket (ties = ES keys array), stats_bucket, bucket_sort with
+    from/size, bucket_selector."""
+    _, built, s = pcorpus
+    attrs = built.doc_stats.select("doc_id", "turn_idx")
+    q = "karo"
+    buckets = s.terms_agg(q, attrs, "turn_idx", size=1_000_000)
+    rows = [(r["value"], r["doc_count"]) for r in buckets.collect()]
+    assert rows
+    mx = max(c for _, c in rows)
+    want_keys = sorted(v for v, c in rows if c == mx)
+    got_max = s.bucket_stats(
+        buckets, "max", metric_col="doc_count", key_col="value"
+    ).collect()
+    assert [r["key"] for r in got_max] == want_keys
+    assert {r["value"] for r in got_max} == {float(mx)}
+    # min_bucket ties
+    mn = min(c for _, c in rows)
+    got_min = s.bucket_stats(
+        buckets, "min", metric_col="doc_count", key_col="value"
+    ).collect()
+    assert [r["key"] for r in got_min] == sorted(
+        v for v, c in rows if c == mn
+    )
+    # avg/sum/stats single-row forms
+    counts = [c for _, c in rows]
+    assert s.bucket_stats(buckets, "sum").first()["value"] == float(
+        sum(counts)
+    )
+    st = s.bucket_stats(buckets, "stats").first()
+    assert (st["count"], st["min"], st["max"], st["sum"]) == (
+        len(counts), float(min(counts)), float(max(counts)),
+        float(sum(counts)),
+    )
+    assert st["avg"] == pytest.approx(sum(counts) / len(counts))
+    with pytest.raises(ValueError, match="stat must be"):
+        s.bucket_stats(buckets, "median")
+    # bucket_sort: count desc, key asc, from=2 size=3
+    want_sorted = sorted(rows, key=lambda t: (-t[1], t[0]))
+    got_sorted = [
+        (r["value"], r["doc_count"])
+        for r in s.bucket_sort(
+            buckets, [("doc_count", "desc"), ("value", "asc")],
+            from_=2, size=3,
+        ).collect()
+    ]
+    assert got_sorted == want_sorted[2:5]
+    with pytest.raises(ValueError, match="direction"):
+        s.bucket_sort(buckets, [("doc_count", "down")])
+    with pytest.raises(ValueError, match="at least one"):
+        s.bucket_sort(buckets, [])
+    # bucket_selector: predicate over bucket columns
+    want_sel = sorted((v, c) for v, c in rows if c > mn)
+    got_sel = sorted(
+        (r["value"], r["doc_count"])
+        for r in s.bucket_selector(buckets, f"doc_count > {mn}").collect()
+    )
+    assert got_sel == want_sel
+
+
+def test_pinned_query(spark, pcorpus):
+    """ES pinned query: given ids first in given order (live-checked,
+    need not match the query), organic ranking deduped after."""
+    _, built, s = pcorpus
+    q = "karo"
+    organic = [
+        r["doc_id"]
+        for r in s.topk_dataframe(q, 50).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        ).collect()
+    ]
+    all_live = {r["doc_id"] for r in built.doc_stats.collect()}
+    non_match = sorted(all_live - set(
+        r["doc_id"] for r in s.topk_dataframe(q, BIGK).collect()
+    ))[0]
+    dead = max(all_live) + 1_000
+    pins = [organic[3], non_match, dead, organic[0]]
+    got = [
+        (r["doc_id"], r["rank"])
+        for r in s.topk_pinned(pins, q, k=10).collect()
+    ]
+    # dead id dropped; pinned order preserved; organic dedups pins
+    want_heads = [organic[3], non_match, organic[0]]
+    rest = [d for d in organic if d not in pins][: 10 - len(want_heads)]
+    assert got == [(d, i + 1) for i, d in enumerate(want_heads + rest)]
+    # empty pins = organic ranks
+    got0 = [
+        (r["doc_id"], r["rank"]) for r in s.topk_pinned([], q, k=5).collect()
+    ]
+    assert got0 == [(d, i + 1) for i, d in enumerate(organic[:5])]
+    with pytest.raises(ValueError, match="unique"):
+        s.topk_pinned([1, 1], q)
+
+
+def test_distance_feature_query(spark, pcorpus):
+    """ES distance_feature in a bool should: score = BM25 + boost·pivot /
+    (pivot + |x − origin|); docs missing the feature get +0."""
+    _, built, s = pcorpus
+    # NULL the feature for turn_idx 0 docs (missing-field probe)
+    attrs = built.doc_stats.select(
+        "doc_id",
+        F.when(F.col("turn_idx") != 0, F.col("turn_idx")).alias("ti"),
+    )
+    q = "karo"
+    base = _scored_map(s.topk_dataframe(q, BIGK))
+    tv = {r["doc_id"]: r["ti"] for r in attrs.collect()}
+    origin, pivot, boost = 2.0, 3.0, 0.7
+
+    def contrib(d):
+        x = tv[d]
+        return 0.0 if x is None else boost * pivot / (pivot + abs(x - origin))
+
+    want = sorted(
+        ((d, v + contrib(d)) for d, v in base.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in s.topk_distance_feature(
+            q, attrs, "ti", origin=origin, pivot=pivot, k=10, boost=boost
+        ).collect()
+    ]
+    assert [(d, round(v, 9)) for d, v in got] == [
+        (d, round(v, 9)) for d, v in want
+    ]
+    with pytest.raises(ValueError, match="pivot"):
+        s.topk_distance_feature(q, attrs, "ti", origin=0, pivot=0)
+    with pytest.raises(ValueError, match="boost"):
+        s.topk_distance_feature(q, attrs, "ti", origin=0, pivot=1, boost=-1)
+    assert s.topk_distance_feature(
+        "qzxabsent", attrs, "ti", origin=0, pivot=1
+    ).count() == 0
+
+
+def test_rank_feature_query(spark, pcorpus):
+    """ES rank_feature standalone: rank live docs by a positive static
+    feature through saturation / log / sigmoid; docs missing the feature
+    don't match; non-positive values fail the job."""
+    import math
+
+    _, built, s = pcorpus
+    # positive feature; NULL for turn_idx 3 (no-match probe)
+    attrs = built.doc_stats.select(
+        "doc_id",
+        F.when(F.col("turn_idx") != 3, F.col("turn_idx") + 1).alias("pop"),
+    )
+    feats = {
+        r["doc_id"]: r["pop"] for r in attrs.collect()
+        if r["pop"] is not None
+    }
+
+    def top(score_fn, k=10):
+        return sorted(
+            ((d, score_fn(x)) for d, x in feats.items()),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+
+    def got(df):
+        return [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+
+    def rnd(want):
+        return [(d, round(v, 9)) for d, v in want]
+
+    # saturation, explicit pivot
+    assert got(
+        s.topk_rank_feature(attrs, "pop", k=10, pivot=2.5, boost=1.5)
+    ) == rnd(top(lambda x: 1.5 * x / (x + 2.5)))
+    # saturation, default pivot = exact geometric mean
+    gm = math.exp(sum(math.log(x) for x in feats.values()) / len(feats))
+    assert got(s.topk_rank_feature(attrs, "pop", k=10)) == rnd(
+        top(lambda x: x / (x + gm))
+    )
+    # log
+    assert got(
+        s.topk_rank_feature(
+            attrs, "pop", k=10, function="log", scaling_factor=0.5
+        )
+    ) == rnd(top(lambda x: math.log1p(0.5 * x)))
+    # sigmoid
+    assert got(
+        s.topk_rank_feature(
+            attrs, "pop", k=10, function="sigmoid", pivot=3.0, exponent=0.6
+        )
+    ) == rnd(top(lambda x: x**0.6 / (x**0.6 + 3.0**0.6)))
+    # validation
+    with pytest.raises(ValueError, match="function"):
+        s.topk_rank_feature(attrs, "pop", function="linear")
+    with pytest.raises(ValueError, match="sigmoid needs"):
+        s.topk_rank_feature(attrs, "pop", function="sigmoid")
+    with pytest.raises(ValueError, match="boost"):
+        s.topk_rank_feature(attrs, "pop", boost=-1)
+    with pytest.raises(ValueError, match="scaling_factor"):
+        s.topk_rank_feature(attrs, "pop", function="log", scaling_factor=0)
+    # non-positive feature values fail the scoring job (contract check
+    # rides the scan — turn_idx itself contains 0)
+    bad = built.doc_stats.select("doc_id", F.col("turn_idx").alias("pop"))
+    with pytest.raises(Exception, match="must be > 0"):
+        s.topk_rank_feature(bad, "pop", pivot=1.0).collect()
+
+
+def test_analyze_api(spark, pcorpus):
+    """ES _analyze: tokens + positions + ORIGINAL-text offsets for a
+    request-supplied string, per the Searcher's analyzer."""
+    _, _, s = pcorpus
+    txt = "Hello, can't STOP 3.14 café zephyr"
+    rows = s.analyze(txt).collect()
+    assert [r["token"] for r in rows] == py_tokenize(txt)
+    for r in rows:
+        assert txt[r["start_offset"]:r["end_offset"]].lower() == r["token"]
+    assert [r["position"] for r in rows] == list(range(len(rows)))
+    assert s.analyze("").count() == 0
+    assert s.analyze("...!?").count() == 0
+
+
+def test_scroll_tiles_full_ranking(spark, pcorpus):
+    """ES scroll: driver-paced page iteration over the search_after
+    cursor exactly tiles the full (score desc, doc_id asc) ranking."""
+    _, _, s = pcorpus
+    full = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.topk_dataframe("karo", BIGK)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .collect()
+    ]
+    pages = list(s.scroll("karo", page_size=7))
+    got = [
+        (r["doc_id"], round(r["score"], 9)) for pg in pages for r in pg
+    ]
+    assert got == full
+    assert all(len(pg) == 7 for pg in pages[:-1])
+    assert 1 <= len(pages[-1]) <= 7
+    assert list(s.scroll("qzxabsent")) == []
+    with pytest.raises(ValueError, match="page_size"):
+        next(s.scroll("karo", page_size=0))
+
+
+def test_suggest_phrase_stupid_backoff(spark, pcorpus):
+    """ES phrase suggester: per-position term-suggester candidates,
+    whole phrases scored by a stupid-backoff bigram LM from the index's
+    own positions; exact python oracle."""
+    import itertools
+    import math
+
+    pdf, _, s = pcorpus
+    toks_per_doc = [py_tokenize(t) for t in pdf["text"]]
+    cf = Counter(t for ts in toks_per_doc for t in ts)
+    df = Counter(t for ts in toks_per_doc for t in set(ts))
+    total = sum(cf.values())
+    big = Counter(
+        (a, b) for ts in toks_per_doc for a, b in zip(ts, ts[1:])
+    )
+
+    def cands(word, max_edits=2, k=5):
+        sc = sorted(
+            (_lev(t, word), -df[t], t)
+            for t in df
+            if t != word and _lev(t, word) <= max_edits
+        )
+        cs = [t for _, _, t in sc[:k]]
+        if df[word] > 0:
+            cs.append(word)
+        return sorted(set(cs))
+
+    query = "zephr karo"  # one misspelled position, one exact
+    qt = py_tokenize(query)
+    c1, c2 = cands(qt[0]), cands(qt[1])
+    assert c1 and c2
+    want = []
+    for w1, w2 in itertools.product(c1, c2):
+        if [w1, w2] == qt:
+            continue
+        sc = math.log(cf[w1] / total)
+        c = big.get((w1, w2), 0)
+        sc += (
+            math.log(c / cf[w1]) if c > 0
+            else math.log(0.4 * cf[w2] / total)
+        )
+        want.append((f"{w1} {w2}", sc))
+    want.sort(key=lambda t: (-t[1], t[0]))
+    got = [
+        (r["phrase"], r["score"])
+        for r in s.suggest_phrase(query, size=5).collect()
+    ]
+    assert [(p, round(v, 9)) for p, v in got] == [
+        (p, round(v, 9)) for p, v in want[:5]
+    ]
+    # single-token input degenerates to unigram ranking, input excluded
+    got1 = [r["phrase"] for r in s.suggest_phrase("karo", size=3).collect()]
+    want1 = sorted(
+        ((math.log(cf[w] / total), w) for w in cands("karo") if w != "karo"),
+        key=lambda t: (-t[0], t[1]),
+    )
+    assert got1 == [w for _, w in want1[:3]]
+    # validation + uncorrectable-position empty path
+    with pytest.raises(ValueError, match="1..5"):
+        s.suggest_phrase("a b c d e f")
+    with pytest.raises(ValueError, match="alpha"):
+        s.suggest_phrase("karo", alpha=0)
+    assert s.suggest_phrase("qzxqzxqzxnope").count() == 0
