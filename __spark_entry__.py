@@ -2007,6 +2007,53 @@ def _q_sug2_completion(spark, sf_dir):
     return searcher.suggest_completion("qu", size=5)
 
 
+T8_RATES = {"en": 0.5, "de": 0.2}
+T8_DEFAULT = 0.1
+T8_SALT = 42
+
+
+def _q_t8_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: keep-rate by lang (en 50%,
+    de 20%, others 10%) via a pure md5-prefix predicate — membership is
+    reproducible across engines and partition layouts, no RNG state."""
+    from rabbit_index_ingest_spark.operators.training import (
+        stratified_sample,
+    )
+
+    return stratified_sample(
+        _docs(spark, sf_dir), "doc_id", "lang", T8_RATES,
+        default_rate=T8_DEFAULT, salt=T8_SALT,
+    ).select("doc_id", "lang")
+
+
+def _q_t9_ngram_counts(spark, sf_dir):
+    """Corpus bigram statistics: top-20 bigrams by count (count desc,
+    ngram asc) — one tokenize + explode + ONE map-side-combined
+    groupBy."""
+    from rabbit_index_ingest_spark.operators.training import ngram_counts
+
+    return ngram_counts(_docs(spark, sf_dir), "text", n=2, k=20)
+
+
+T10_BUDGET = 1000
+
+
+def _q_t10_pack_sequences(spark, sf_dir):
+    """Sequence packing: every doc assigned to its 1000-token context
+    bin in doc_id order (concatenate-then-chunk) via the distributed
+    prefix sum — range partition + per-partition totals + broadcast
+    offsets, never a global-order window."""
+    from rabbit_index_ingest_spark.analysis import doc_len_expr
+    from rabbit_index_ingest_spark.operators.training import pack_sequences
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", doc_len_expr("text").alias("len")
+    )
+    return pack_sequences(
+        spark, docs, "doc_id", "len", T10_BUDGET, partitions=8
+    )
+
+
 SUG3_INPUT = "tble jon"  # 2 candidates per position within 2 edits
 
 
@@ -2212,6 +2259,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sug2_completion": _q_sug2_completion,
         "ub1_update_by_query": _q_ub1_update_by_query,
         "g20_auto_histo": _q_g20_auto_histo,
+        "t8_stratified_sample": _q_t8_stratified_sample,
+        "t9_ngram_counts": _q_t9_ngram_counts,
+        "t10_pack_sequences": _q_t10_pack_sequences,
         "sug3_phrase_suggest": _q_sug3_phrase_suggest,
         "g21_percentile_ranks": _q_g21_percentile_ranks,
         "g22_rare_terms": _q_g22_rare_terms,
@@ -3441,6 +3491,46 @@ SELECT s.doc_id,
                   / ({DFQ1_PIVOT!r} + abs(d.n_chars - {DFQ1_ORIGIN!r}))
              END, 4) AS score
 FROM scored s LEFT JOIN documents d USING (doc_id)
+"""
+
+    # t8: stratified-sample twin — identical md5-prefix predicate
+    from rabbit_index_ingest_spark.operators.training import (
+        _rate_threshold as _thr,
+    )
+
+    t8_cases = " ".join(
+        f"WHEN '{v}' THEN '{_thr(r)}'" for v, r in sorted(T8_RATES.items())
+    )
+    sql["t8_stratified_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(doc_id::VARCHAR || '-{T8_SALT}'), 1, 8)
+      < CASE lang {t8_cases} ELSE '{_thr(T8_DEFAULT)}' END
+"""
+
+    # t9: bigram-stats twin — positional self-join over the token stream
+    sql["t9_ngram_counts"] = f"""
+WITH tt AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+  FROM tt
+)
+SELECT a.term || ' ' || b.term AS ngram, count(*) AS "count"
+FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+GROUP BY 1 ORDER BY "count" DESC, ngram ASC LIMIT 20
+"""
+
+    # t10: sequence-packing twin — the plain global-order window the
+    # distributed prefix sum must equal exactly
+    sql["t10_pack_sequences"] = f"""
+WITH d AS (
+  SELECT doc_id, len({_TOK})::BIGINT AS "len" FROM documents
+)
+SELECT doc_id, "len",
+       (coalesce(sum("len") OVER (
+          ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        // {T10_BUDGET})::BIGINT AS bin
+FROM d
 """
 
     # sug3: phrase-suggester twin — same candidate scan (lev<=2, top 3

@@ -461,3 +461,104 @@ def test_match_count(spark):
     )
     assert s2.match_count("alpha").collect()[0]["n"] == len(qt("alpha")) - 1
     built.release()
+
+
+def test_stratified_sample_deterministic(spark):
+    import hashlib
+
+    from rabbit_index_ingest_spark.operators.training import (
+        _rate_threshold,
+        stratified_sample,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    rates = {"a": 0.5, "b": 0.1}
+
+    def keep(k, s):
+        h = hashlib.md5(f"{k}-42".encode()).hexdigest()[:8]
+        return h < _rate_threshold(rates.get(s, 0.25))
+
+    want = {k for k, s in rows if keep(k, s)}
+    got = {
+        r["k"]
+        for r in stratified_sample(
+            df, "k", "s", rates, default_rate=0.25
+        ).collect()
+    }
+    assert got == want and 0 < len(got) < 500
+    # membership independent of partition layout (the sample() pitfall)
+    got7 = {
+        r["k"]
+        for r in stratified_sample(
+            df.repartition(7), "k", "s", rates, default_rate=0.25
+        ).collect()
+    }
+    assert got7 == got
+    # rate edges: 0 keeps nothing, 1 keeps everything
+    assert stratified_sample(df, "k", "s", {}, default_rate=0.0).count() == 0
+    assert (
+        stratified_sample(df, "k", "s", {}, default_rate=1.0).count() == 500
+    )
+    with pytest.raises(ValueError, match="rate"):
+        stratified_sample(df, "k", "s", {"a": 1.5})
+
+
+def test_ngram_counts_matches_counter(spark):
+    from collections import Counter
+
+    from rabbit_index_ingest_spark.analysis import py_tokenize
+    from rabbit_index_ingest_spark.operators.training import ngram_counts
+
+    texts = [
+        "the quick brown fox the quick",
+        "brown fox jumps",
+        "the quick brown",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for n in (1, 2, 3):
+        c = Counter()
+        for t in texts:
+            toks = py_tokenize(t)
+            for i in range(len(toks) - n + 1):
+                c[" ".join(toks[i:i + n])] += 1
+        want = sorted(c.items(), key=lambda t: (-t[1], t[0]))[:5]
+        got = [
+            (r["ngram"], r["count"])
+            for r in ngram_counts(df, "text", n=n, k=5).collect()
+        ]
+        assert got == want, n
+    with pytest.raises(ValueError, match="n must"):
+        ngram_counts(df, "text", n=0)
+
+
+def test_pack_sequences_prefix_sum(spark):
+    from rabbit_index_ingest_spark.operators.training import pack_sequences
+
+    rows = [(i, 1 + (i * 7) % 13) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, ln long")
+    budget = 25
+    run, want = 0, {}
+    for k, ln in sorted(rows):
+        want[k] = run // budget
+        run += ln
+    got = {
+        r["k"]: r["bin"]
+        for r in pack_sequences(
+            spark, df, "k", "ln", budget, partitions=5
+        ).collect()
+    }
+    assert got == want
+    # default partitioning agrees (the distributed prefix sum is exact
+    # whatever the range layout)
+    got_d = {
+        r["k"]: r["bin"]
+        for r in pack_sequences(spark, df, "k", "ln", budget).collect()
+    }
+    assert got_d == want
+    assert pack_sequences(
+        spark, df.limit(0), "k", "ln", budget
+    ).count() == 0
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(spark, df, "k", "ln", 0)
