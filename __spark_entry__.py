@@ -169,12 +169,17 @@ def _write_b7_corpus() -> None:
     """Materialize the (deterministic, seed-42) b7 transcript corpus where
     the DuckDB oracle can read_parquet it. Pure pandas→pyarrow — no Spark —
     so BOTH queries() and oracle_sql() can call it regardless of which the
-    driver runs first; repeated writes are byte-stable."""
+    driver runs first; repeated writes are byte-stable, and the write is
+    ATOMIC (temp file + os.replace) so a concurrent oracle_sql() caller
+    can never truncate the file under a reader mid-scan — an open DuckDB
+    scan keeps the old inode."""
     from rabbit_index_ingest_spark.datagen import transcripts_pandas
 
+    tmp = f"{B7_CORPUS_PARQUET}.tmp-{os.getpid()}"
     transcripts_pandas(n_conv=60)[["conv_id", "turn_idx", "text"]].to_parquet(
-        B7_CORPUS_PARQUET, index=False
+        tmp, index=False
     )
+    os.replace(tmp, B7_CORPUS_PARQUET)
 
 
 def _q_b7_transcripts_topk(spark, sf_dir):
@@ -447,6 +452,29 @@ def _q_d3_lsh_pairs(spark, sf_dir):
     return lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=4)
 
 
+def _q_d7_dedup_groups(spark, sf_dir):
+    """Dedup clusters: the d3 LSH candidate pairs folded into connected
+    components — (doc_id, component) with component = min reachable id,
+    i.e. the kept doc of each near-dup cluster."""
+    from rabbit_index_ingest_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.unionByName(
+        d.where(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+        )
+    )
+    sigs = minhash_signatures(dup, n_hashes=16, method="md5")
+    pairs = lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=4)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
 def _q_d4_ngram_jaccard(spark, sf_dir):
     from rabbit_index_ingest_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -585,7 +613,11 @@ def _write_s3_centroids(sf_dir: str) -> None:
             "val": pa.array(cents.reshape(-1), pa.float64()),
         }
     )
-    pq.write_table(table, S3_CENTROIDS_PARQUET)
+    # atomic (temp + os.replace): a concurrent oracle_sql() caller must
+    # never truncate the snapshot under a DuckDB reader mid-scan
+    tmp = f"{S3_CENTROIDS_PARQUET}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, S3_CENTROIDS_PARQUET)
 
 
 def _q_s3_ivf_topk(spark, sf_dir):
@@ -2259,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sug2_completion": _q_sug2_completion,
         "ub1_update_by_query": _q_ub1_update_by_query,
         "g20_auto_histo": _q_g20_auto_histo,
+        "d7_dedup_groups": _q_d7_dedup_groups,
         "t8_stratified_sample": _q_t8_stratified_sample,
         "t9_ngram_counts": _q_t9_ngram_counts,
         "t10_pack_sequences": _q_t10_pack_sequences,
@@ -4387,6 +4420,24 @@ bands AS ({bands_union})
 SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
 FROM bands l JOIN bands r USING (band_key)
 WHERE l.doc_id < r.doc_id
+"""
+
+    sql["d7_dedup_groups"] = sql["d3_lsh_pairs"].replace(
+        "WITH dup AS (", "WITH RECURSIVE dup AS ("
+    ).rstrip().rsplit("SELECT DISTINCT", 1)[0].rstrip() + """,
+pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r USING (band_key)
+  WHERE l.doc_id < r.doc_id
+),
+bi AS (SELECT a AS s, b AS t FROM pairs UNION SELECT b, a FROM pairs),
+reach(n, m) AS (
+  SELECT s, t FROM bi
+  UNION
+  SELECT r.n, b.t FROM reach r JOIN bi b ON b.s = r.m
+)
+SELECT n AS doc_id, least(n, min(m)) AS component
+FROM reach GROUP BY n
 """
 
     sql["d4_ngram_jaccard"] = f"""

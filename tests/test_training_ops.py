@@ -562,3 +562,27 @@ def test_pack_sequences_prefix_sum(spark):
     ).count() == 0
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(spark, df, "k", "ln", 0)
+
+
+def test_connected_components_dedup_groups(spark):
+    from rabbit_index_ingest_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # {1..6} as a CHAIN (diameter 5 — exercises multiple propagation
+    # rounds), {10,11} and {20,21,22} as separate clusters
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (20, 21),
+         (21, 22)],
+        "a long, b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+        10: 10, 11: 10, 20: 20, 21: 20, 22: 20,
+    }
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iterations=1)
