@@ -586,3 +586,29 @@ def test_connected_components_dedup_groups(spark):
     }
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(edges, max_iterations=1)
+
+
+def test_training_ops_plan_shapes(spark):
+    """Scale-shape assertions: stratified_sample is a pure filter (NO
+    Exchange — nothing shuffles, no Python stage), and ngram_counts /
+    multi-column groupBys shuffle exactly once (map-side combine)."""
+    from rabbit_index_ingest_spark.operators.training import (
+        ngram_counts,
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en", "a b c") for i in range(10)],
+        "k long, lang string, text string",
+    )
+
+    def plan(frame):
+        return frame._jdf.queryExecution().executedPlan().toString()
+
+    p = plan(stratified_sample(df, "k", "lang", {"en": 0.5}, 0.1))
+    assert "Exchange" not in p and "EvalPython" not in p
+    # ngram_counts: the groupBy is ONE exchange (plus the TakeOrdered's
+    # single-partition gather, which moves only the aggregated frame)
+    p2 = plan(ngram_counts(df, "text", n=2, k=3))
+    assert p2.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in p2
