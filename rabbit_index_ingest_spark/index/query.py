@@ -2034,7 +2034,75 @@ class Searcher:
             ).alias("score"),
         )
 
+    def _phrase_scored_fast(self, query_text: str) -> DataFrame | None:
+        """Full exact-phrase scored set ``(doc_id, score)`` on the
+        block-max positional chassis — the scale-path twin of
+        ``_phrase_scored`` used by ``bool_query`` clauses (which need the
+        FULL clause match set, not a top-k).
+
+        Same plan as ``topk_phrase`` with the per-range emit cap set to
+        the range capacity (``2^range_bits``) so no match is truncated:
+        blocks group by doc range, every term's blocks semi-join the
+        rarest term's range_ids (block metadata only), pass 1 intersects
+        doc candidates on the cheap streams, pass 2 decodes positions for
+        candidates only — decoded positions never cross an executor
+        boundary. Scores are bit-identical to ``_phrase_scored``
+        (``_finish_positional_topk`` mirrors the JVM operation order;
+        asserted by tests and the bq1/qs1 oracle twins). Replaces the
+        union/groupBy plan here because a hot×hot phrase clause inside a
+        bool query paid the decode-everything worst case (measured 3.6 s
+        of a 6 s q_bool_mix at sf0.1) plus an EAGER localCheckpoint job
+        for the prefilter."""
+        qterms = self._tok(query_text)
+        if not qterms:
+            return None
+        uniq = sorted(set(qterms))
+        meta = self._term_meta(uniq)
+        if any(meta[t][0] == 0 for t in uniq):
+            return None  # a phrase term matches nothing
+        idf_phrase = sum(lucene_idf(self.n_docs, meta[t][0]) for t in qterms)
+        offsets: dict[str, list[int]] = {}
+        for i, t in enumerate(qterms):
+            offsets.setdefault(t, []).append(i)
+        order = sorted(uniq, key=lambda t: (meta[t][0], t))
+        blocks = self.postings.where(
+            F.col("bucket").isin(_term_buckets(self.spark, uniq))
+        ).where(F.col("term").isin(uniq))
+        if len(uniq) > 1:
+            rare_ranges = (
+                blocks.where(F.col("term") == order[0])
+                .select("range_id")
+                .distinct()
+            )
+            blocks = blocks.join(rare_ranges, "range_id", "left_semi")
+        side = self._side_frame(None, None)
+        scorer = _make_phrase_range_scorer(
+            idf_phrase, self.avgdl, 1 << self.range_bits, self.range_bits,
+            order, offsets, self.deleted,
+            cogrouped=side is not None,
+        )
+        grouped = blocks.select(*_SCORE_COLS, "pos_bytes").groupBy("range_id")
+        if side is not None:
+            return grouped.cogroup(side.groupBy("range_id")).applyInPandas(
+                scorer, TOPK_SCHEMA
+            )
+        return grouped.applyInPandas(scorer, TOPK_SCHEMA)
+
     # ---------------- ES bool query (compositional DSL) ----------------
+
+    def _prefetch_clause_meta(self, clauses: list[dict]) -> None:
+        """Warm the dictionary term-meta cache for every match /
+        match_phrase clause in ONE collect — per-clause ``_plan`` calls
+        otherwise each run their own tiny dictionary job (4 driver round
+        trips for the bench's 4-clause bool query; guide §1.2 per-task
+        overhead)."""
+        terms: set[str] = set()
+        for c in clauses:
+            (kind, body), = c.items()
+            if kind in ("match", "match_phrase"):
+                terms.update(self._tok(body["query"]))
+        if terms:
+            self._term_meta(sorted(terms))
 
     def _clause_scored(self, clause: dict) -> DataFrame | None:
         """Full scored match set ``(doc_id, score)`` for ONE scored clause
@@ -2099,7 +2167,7 @@ class Searcher:
                 require_n=require_n, min_match=min_match,
             )
         elif kind == "match_phrase":
-            scored = self._phrase_scored(body["query"])
+            scored = self._phrase_scored_fast(body["query"])
             if scored is None:
                 return None
         elif kind == "prefix":
@@ -2295,6 +2363,8 @@ class Searcher:
             raise ValueError(
                 "bool_query needs at least one of must/should/filter"
             )
+        # one dictionary job for every clause's terms (vs one per clause)
+        self._prefetch_clause_meta(must + should + must_not)
         frames: list[DataFrame] = []
         for c in must:
             s = self._clause_scored(c)

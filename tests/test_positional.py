@@ -666,3 +666,23 @@ def test_phrase_prefix_allowed_filter(spark, corpus):
         "zephyr qu", 10, allowed=allowed_df
     ).collect()
     _assert_topk_equal(got, want, 10)
+
+
+def test_phrase_scored_fast_equals_dataframe_full_set(spark, corpus):
+    """The bool-clause phrase path (_phrase_scored_fast, block-max range
+    scorer with the per-range cap lifted) must return the SAME FULL
+    (doc_id, score) set as the DataFrame reference twin (_phrase_scored),
+    bit-exact — including a phrase with a repeated term."""
+    _, _, searcher = corpus
+    for phrase in ("zephyr quantum", "quantum lattice", "karo karo"):
+        slow = searcher._phrase_scored(phrase)
+        fast = searcher._phrase_scored_fast(phrase)
+        if slow is None or fast is None:
+            assert slow is None and fast is None
+            continue
+        want = {(r["doc_id"], r["score"]) for r in slow.collect()}
+        got = {(r["doc_id"], r["score"]) for r in fast.collect()}
+        assert got == want
+    # absent-term phrase: both report unmatchable
+    assert searcher._phrase_scored("zephyr qzxnope") is None
+    assert searcher._phrase_scored_fast("zephyr qzxnope") is None
