@@ -50,11 +50,20 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     return out[mask].tobytes()
 
 
-def varbyte_decode(buf: bytes) -> np.ndarray:
-    """Inverse of varbyte_encode → uint64 array (vectorized)."""
-    if not buf:
+def varbyte_decode(buf: bytes | np.ndarray) -> np.ndarray:
+    """Inverse of varbyte_encode → uint64 array (vectorized). Accepts the
+    raw ``bytes`` of one stream or a uint8 ndarray view over several
+    CONCATENATED streams (each value's byte group is self-delimiting, so
+    concatenation of valid streams is a valid stream — the batch decoders
+    exploit this to decode a whole Arrow batch of blocks in one call)."""
+    if isinstance(buf, np.ndarray):
+        b = buf
+        if len(b) == 0:
+            return np.empty(0, dtype=np.uint64)
+    elif not buf:
         return np.empty(0, dtype=np.uint64)
-    b = np.frombuffer(buf, dtype=np.uint8)
+    else:
+        b = np.frombuffer(buf, dtype=np.uint8)
     ends = np.flatnonzero(b < 0x80)
     starts = np.empty_like(ends)
     starts[0] = 0
@@ -153,6 +162,69 @@ def unpack_positions(
     corr = out[starts] - deltas[starts]
     out -= np.repeat(corr, counts)
     return out, starts
+
+
+def decode_blocks_batch(
+    nd: np.ndarray,
+    doc_stream: np.ndarray,
+    tf_stream: np.ndarray,
+    dl_stream: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a WHOLE batch of blocks' (doc, tf, dl) streams in one pass —
+    the batch-wide twin of per-block ``unpack_block`` used by the flat
+    decoders: ``nd`` is the per-block posting count and each ``*_stream``
+    the batch's concatenated varbyte stream (valid because every value's
+    byte group is self-delimiting). Doc ids reconstruct with ONE global
+    cumsum corrected at block boundaries (block-leading gaps are stored
+    absolute), exactly the segment-cumsum of ``unpack_positions``.
+    Returns (doc_ids, tfs, dls) int64 arrays of length ``nd.sum()``.
+    """
+    total = int(nd.sum())
+    if total == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), e.copy()
+    gaps = varbyte_decode(doc_stream)
+    tfs = varbyte_decode(tf_stream).astype(np.int64)
+    dls = varbyte_decode(dl_stream).astype(np.int64)
+    if not (len(gaps) == len(tfs) == len(dls) == total):
+        raise ValueError(
+            f"corrupt block streams: {total} postings declared, decoded "
+            f"{len(gaps)}/{len(tfs)}/{len(dls)} doc/tf/dl values"
+        )
+    starts = np.zeros(len(nd), dtype=np.int64)
+    np.cumsum(nd[:-1], out=starts[1:])
+    cs = np.cumsum(gaps)
+    corr = cs[starts] - gaps[starts]
+    ids = (cs - np.repeat(corr, nd)).astype(np.int64)
+    return ids, tfs, dls
+
+
+def decode_positions_batch(
+    tfs: np.ndarray, pos_stream: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch-wide ``unpack_positions``: decode the concatenated position
+    stream of MANY blocks at once. ``tfs`` is the per-posting occurrence
+    count across the whole batch (every posting has tf ≥ 1 by
+    construction); positions reset at doc boundaries (doc-leading delta
+    stored absolute), so one global cumsum + boundary correction
+    reconstructs everything. Returns (flat positions, per-doc offsets of
+    length len(tfs)+1) — offsets slice doc i's positions as
+    ``flat[offs[i]:offs[i+1]]``, ready for an Arrow ListArray."""
+    counts = np.asarray(tfs, dtype=np.int64)
+    offs = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    deltas = varbyte_decode(pos_stream).astype(np.int64)
+    if len(deltas) != offs[-1]:
+        raise ValueError(
+            f"corrupt position stream: {int(offs[-1])} occurrences "
+            f"declared, decoded {len(deltas)} position deltas"
+        )
+    if not len(deltas):
+        return deltas, offs
+    cs = np.cumsum(deltas)
+    dstarts = offs[:-1]
+    corr = cs[dstarts] - deltas[dstarts]
+    return cs - np.repeat(corr, counts), offs
 
 
 def pack_batch(

@@ -197,67 +197,124 @@ def _empty_topk(spark: SparkSession) -> DataFrame:
     )
 
 
+def _binary_stream(col) -> tuple[np.ndarray, np.ndarray]:
+    """(concatenated uint8 stream, per-row byte lengths) of one Arrow
+    binary column — zero-copy views over the batch buffers (an Arrow
+    binary array IS one contiguous data buffer plus an offsets array, so
+    "concatenate every row" is a slice, not a copy)."""
+    import pyarrow as pa
+
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+        col.offset : col.offset + len(col) + 1
+    ]
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    return data[offs[0] : offs[-1]], np.diff(offs).astype(np.int64)
+
+
 def flat_postings(blocks: DataFrame) -> DataFrame:
-    """Decode posting blocks back to one row per (term, doc_id) posting."""
+    """Decode posting blocks back to one row per (term, doc_id) posting.
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    Arrow-native batch decode (guide §4.2): the whole Arrow batch's
+    varbyte streams are decoded in ONE vectorized pass
+    (``codec.decode_blocks_batch`` — concatenated streams are valid
+    streams, block boundaries reconstruct via segment cumsum), the term
+    column fans out with an Arrow ``take``, and the output is built as
+    Arrow arrays directly. Replaces a per-block Python loop that built
+    one pandas frame per block + a batch-wide ``pd.concat`` — profiled
+    at 2-4× the decode cost for hot terms.
+    """
+
+    def decode(batches) -> Iterator:
+        import pyarrow as pa
+
         for batch in batches:
-            frames = []
-            for row in batch.itertuples(index=False):
-                ids, tfs = codec.unpack_block(row.doc_bytes, row.tf_bytes)
-                dls = codec.varbyte_decode(row.dl_bytes).astype(np.int64)
-                frames.append(
-                    pd.DataFrame({"term": row.term, "doc_id": ids, "tf": tfs, "dl": dls})
-                )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            n = batch.num_rows
+            if n == 0:
+                continue
+            nd = batch.column("n_docs").to_numpy().astype(np.int64)
+            doc_s, _ = _binary_stream(batch.column("doc_bytes"))
+            tf_s, _ = _binary_stream(batch.column("tf_bytes"))
+            dl_s, _ = _binary_stream(batch.column("dl_bytes"))
+            ids, tfs, dls = codec.decode_blocks_batch(nd, doc_s, tf_s, dl_s)
+            idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), nd))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("term").take(idx),
+                    pa.array(ids),
+                    pa.array(tfs),
+                    pa.array(dls),
+                ],
+                names=["term", "doc_id", "tf", "dl"],
+            )
 
-    # explicit projection: mapInPandas ships every input column through
+    # explicit projection: the decoder ships every input column through
     # Arrow, so without this a positional index would pay pos_bytes
     # transfer on every BM25 query
     return blocks.select(
-        "term", "doc_bytes", "tf_bytes", "dl_bytes"
-    ).mapInPandas(decode, FLAT_SCHEMA)
+        "term", "n_docs", "doc_bytes", "tf_bytes", "dl_bytes"
+    ).mapInArrow(decode, FLAT_SCHEMA)
 
 
 def flat_postings_positional(blocks: DataFrame) -> DataFrame:
     """Decode posting blocks to (term, doc_id, tf, dl, positions) rows —
     ``positions`` is the doc's ascending within-doc token positions of
     ``term`` (phrase/proximity queries). Raises inside the task if the
-    index was built with ``positions=False`` (empty pos stream)."""
+    index was built with ``positions=False`` (empty pos stream).
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    Arrow-native like ``flat_postings``; the position column is built as
+    a ``ListArray`` over the batch-decoded flat positions and the per-doc
+    offsets — no per-doc ``np.split`` (one tiny ndarray per doc) and no
+    object-Series→Arrow conversion, which profiled at ~4.6× the
+    positionless decode for hot terms (5.9 s vs 1.3 s at sf0.1)."""
+
+    def decode(batches) -> Iterator:
+        import pyarrow as pa
+
         for batch in batches:
-            frames = []
-            for row in batch.itertuples(index=False):
-                ids, tfs = codec.unpack_block(row.doc_bytes, row.tf_bytes)
-                dls = codec.varbyte_decode(row.dl_bytes).astype(np.int64)
-                if len(row.pos_bytes) == 0 and tfs.sum() > 0:
-                    raise ValueError(
-                        "posting block has no position stream — the index "
-                        "was built with positions=False; rebuild with "
-                        "build_index(..., positions=True) for phrase queries"
-                    )
-                flat, starts = codec.unpack_positions(row.pos_bytes, tfs)
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "term": row.term,
-                            "doc_id": ids,
-                            "tf": tfs,
-                            "dl": dls,
-                            "positions": pd.Series(
-                                np.split(flat, starts[1:]), dtype=object
-                            ),
-                        }
-                    )
+            n = batch.num_rows
+            if n == 0:
+                continue
+            nd = batch.column("n_docs").to_numpy().astype(np.int64)
+            doc_s, _ = _binary_stream(batch.column("doc_bytes"))
+            tf_s, _ = _binary_stream(batch.column("tf_bytes"))
+            dl_s, _ = _binary_stream(batch.column("dl_bytes"))
+            ids, tfs, dls = codec.decode_blocks_batch(nd, doc_s, tf_s, dl_s)
+            pos_s, pos_len = _binary_stream(batch.column("pos_bytes"))
+            block_starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(nd[:-1], out=block_starts[1:])
+            occ_pb = np.add.reduceat(tfs, block_starts)
+            if ((pos_len == 0) & (occ_pb > 0)).any():
+                raise ValueError(
+                    "posting block has no position stream — the index "
+                    "was built with positions=False; rebuild with "
+                    "build_index(..., positions=True) for phrase queries"
                 )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            flat, offs = codec.decode_positions_batch(tfs, pos_s)
+            if offs[-1] > np.iinfo(np.int32).max:
+                raise ValueError(
+                    "arrow batch position payload exceeds int32 offsets; "
+                    "lower spark.sql.execution.arrow.maxRecordsPerBatch"
+                )
+            idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), nd))
+            positions = pa.ListArray.from_arrays(
+                pa.array(offs.astype(np.int32), type=pa.int32()),
+                pa.array(flat),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("term").take(idx),
+                    pa.array(ids),
+                    pa.array(tfs),
+                    pa.array(dls),
+                    positions,
+                ],
+                names=["term", "doc_id", "tf", "dl", "positions"],
+            )
 
     return blocks.select(
-        "term", "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes"
-    ).mapInPandas(decode, FLAT_POS_SCHEMA)
+        "term", "n_docs", "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes"
+    ).mapInArrow(decode, FLAT_POS_SCHEMA)
 
 
 def _term_buckets(spark: SparkSession, terms: list[str]) -> list[int]:
