@@ -160,6 +160,165 @@ def assign_doc_ids(
     return df2
 
 
+def _presorted_partition_offsets(
+    df: DataFrame, key_cols: tuple[str, str]
+) -> tuple[dict[int, int], int] | None:
+    """Per-partition row counts for doc-id assignment WITHOUT the range
+    shuffle, when the input is already partition-wise ordered by the key:
+    every partition internally non-decreasing on (k1, k2) AND partition
+    key ranges pairwise disjoint (a parquet corpus written in key order —
+    e.g. any ingest clustered by conversation — satisfies both; guide-§8
+    shape: the decision needs only keys, so the heavy text column should
+    cross the network zero times, not once).
+
+    The probe is ONE shuffle-free, column-pruned job: ``mapInArrow`` over
+    (partition_id, k1, k2) streams each partition's batches in order and
+    emits a single stats row (count, sorted?, first/last key) per
+    partition — sortedness via vectorized Arrow comparisons, min/max for
+    free because a sorted partition's min/max are its first/last rows.
+    Returns offsets keyed by partition id (ordered by first key, so doc
+    ids stay isomorphic to (k1, k2) order) and the total row count, or
+    None when the precondition fails and the caller must range-shuffle.
+
+    Safety gate: the fast path relies on (a) the scan partitioning and
+    per-partition row ORDER being identical between the probe job and
+    the numbering job, and (b) ``spark_partition_id()`` evaluating per
+    TASK. Both hold for narrow plans over a file scan within a session;
+    they do NOT hold upstream of an Exchange (shuffle fetch order is
+    nondeterministic) or over a LocalRelation (Catalyst's
+    ConvertToLocalRelation folds projections driver-side — observed:
+    every partition reporting pid 0), so the plan must contain a
+    FileScan leaf and no Exchange/rand(); duplicate probe pids reject as
+    a belt-and-braces check. Key types are restricted to string/integral
+    (Python-side range comparison must match Spark ordering; UTF-8
+    binary order == code-point order)."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return None
+    if "Exchange" in plan or "rand(" in plan.lower():
+        return None
+    if "FileScan" not in plan:
+        return None
+    k1, k2 = key_cols
+    t1, t2 = df.schema[k1].dataType, df.schema[k2].dataType
+    _ok_types = (
+        T.StringType, T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+    )
+    if not (isinstance(t1, _ok_types) and isinstance(t2, _ok_types)):
+        return None
+
+    probe_schema = T.StructType(
+        [
+            T.StructField("_pid", T.IntegerType(), False),
+            T.StructField("_cnt", T.LongType(), False),
+            T.StructField("_sorted", T.BooleanType(), False),
+            T.StructField("_first1", t1, True),
+            T.StructField("_first2", t2, True),
+            T.StructField("_last1", t1, True),
+            T.StructField("_last2", t2, True),
+        ]
+    )
+
+    def _pa_type(t):
+        import pyarrow as pa
+
+        return {
+            "string": pa.string(), "integer": pa.int32(),
+            "long": pa.int64(), "short": pa.int16(), "byte": pa.int8(),
+        }[t.typeName()]
+
+    pa_t1, pa_t2 = _pa_type(t1), _pa_type(t2)
+
+    def probe(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        pid = None
+        cnt = 0
+        ok = True
+        first = last = None  # (k1 scalar, k2 scalar)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            if pid is None:
+                pid = batch.column("_pid")[0].as_py()
+                first = (batch.column("_k1")[0], batch.column("_k2")[0])
+            a1, a2 = batch.column("_k1"), batch.column("_k2")
+            if ok:
+                if a1.null_count or a2.null_count:
+                    ok = False
+                elif n > 1:
+                    p1, p2 = a1.slice(0, n - 1), a2.slice(0, n - 1)
+                    c1, c2 = a1.slice(1), a2.slice(1)
+                    nondec = pc.or_(
+                        pc.greater(c1, p1),
+                        pc.and_(pc.equal(c1, p1), pc.greater_equal(c2, p2)),
+                    )
+                    if pc.all(nondec).as_py() is not True:
+                        ok = False
+                if ok and last is not None:
+                    lo1, lo2 = last
+                    hi1, hi2 = a1[0], a2[0]
+                    if not (
+                        hi1.as_py() > lo1.as_py()
+                        or (
+                            hi1.as_py() == lo1.as_py()
+                            and hi2.as_py() >= lo2.as_py()
+                        )
+                    ):
+                        ok = False
+            last = (a1[n - 1], a2[n - 1])
+            cnt += n
+        if pid is not None:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([pid], pa.int32()),
+                    pa.array([cnt], pa.int64()),
+                    pa.array([ok]),
+                    pa.array([first[0].as_py()], pa_t1),
+                    pa.array([first[1].as_py()], pa_t2),
+                    pa.array([last[0].as_py()], pa_t1),
+                    pa.array([last[1].as_py()], pa_t2),
+                ],
+                names=[
+                    "_pid", "_cnt", "_sorted",
+                    "_first1", "_first2", "_last1", "_last2",
+                ],
+            )
+
+    rows = (
+        df.select(
+            F.spark_partition_id().alias("_pid"),
+            F.col(k1).alias("_k1"),
+            F.col(k2).alias("_k2"),
+        )
+        .mapInArrow(probe, probe_schema)
+        .collect()
+    )
+    if not rows:
+        return {}, 0
+    if len({r["_pid"] for r in rows}) != len(rows):
+        return None  # pid collision — partition ids not trustworthy
+    if not all(r["_sorted"] for r in rows):
+        return None
+    by_first = sorted(
+        rows, key=lambda r: (r["_first1"], r["_first2"], r["_pid"])
+    )
+    # pairwise-disjoint, strictly increasing partition key ranges (an
+    # equal boundary key would make the relative order ambiguous)
+    for prev, nxt in zip(by_first, by_first[1:]):
+        if (prev["_last1"], prev["_last2"]) >= (nxt["_first1"], nxt["_first2"]):
+            return None
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in by_first:
+        offsets[r["_pid"]] = acc
+        acc += r["_cnt"]
+    return offsets, acc
+
+
 def assign_doc_ids_with_count(
     df: DataFrame,
     key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
@@ -183,6 +342,17 @@ def assign_doc_ids_with_count(
     the same persisted frame, so they see identical partitioning.
     """
     spark = df.sparkSession
+    # FAST PATH (guide §8 "decide with small rows, move big rows never"):
+    # input already partition-wise ordered by the key — number in place
+    # from a shuffle-free, column-pruned stats probe. The text payload is
+    # never shuffled and nothing needs an extra persist; falls back to
+    # the range shuffle whenever the precondition or safety gate fails.
+    fast = _presorted_partition_offsets(df, key_cols)
+    if fast is not None:
+        offsets, n_rows = fast
+        off = {pid: id_base + o for pid, o in offsets.items()}
+        return _number_from_offsets(df, off, id_base, spark), n_rows, None
+
     # partition count follows the shuffle-partitions conf (a data-size
     # knob), NOT the core count — the same job must produce the same
     # partitioning at any cluster size, and partitions must stay small
@@ -204,7 +374,21 @@ def assign_doc_ids_with_count(
         offsets[pid] = acc
         acc += sizes[pid]
     n_rows = acc - id_base
+    out = _number_from_offsets(ranged, offsets, id_base, spark, orig_cols=df.columns)
+    return out, n_rows, (ranged if persist else None)
 
+
+def _number_from_offsets(
+    src: DataFrame,
+    offsets: dict[int, int],
+    id_base: int,
+    spark: SparkSession,
+    orig_cols: list[str] | None = None,
+) -> DataFrame:
+    """Attach ``doc_id = offsets[partition] + within-partition index`` —
+    pure JVM (``monotonically_increasing_id``'s low 33 bits are the
+    per-partition row counter). Shared by the range-shuffle and the
+    presorted fast path."""
     local_idx = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
     if len(offsets) <= 8192:
         # small partition count: inline the offset table as a map literal
@@ -212,26 +396,24 @@ def assign_doc_ids_with_count(
         offset_expr = (
             F.create_map(*flat)[F.spark_partition_id()] if flat else F.lit(id_base)
         )
-        out = ranged.select(
+        return src.select(
             (offset_expr.cast("long") + local_idx).alias("doc_id"), "*"
         )
-    else:
-        # huge partition counts (10^12-scale builds): a map literal would
-        # bloat the plan — broadcast-join the offset table on partition id
-        # (BHJ streams the probe side, preserving intra-partition order)
-        off_df = spark.createDataFrame(
-            sorted(offsets.items()), "_pid int, _off long"
+    # huge partition counts (10^12-scale builds): a map literal would
+    # bloat the plan — broadcast-join the offset table on partition id
+    # (BHJ streams the probe side, preserving intra-partition order)
+    off_df = spark.createDataFrame(
+        sorted(offsets.items()), "_pid int, _off long"
+    )
+    return (
+        src.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lid", local_idx)
+        .join(F.broadcast(off_df), "_pid")
+        .select(
+            (F.col("_off") + F.col("_lid")).alias("doc_id"),
+            *[F.col(c) for c in (orig_cols or src.columns)],
         )
-        out = (
-            ranged.withColumn("_pid", F.spark_partition_id())
-            .withColumn("_lid", local_idx)
-            .join(F.broadcast(off_df), "_pid")
-            .select(
-                (F.col("_off") + F.col("_lid")).alias("doc_id"),
-                *[F.col(c) for c in df.columns],
-            )
-        )
-    return out, n_rows, (ranged if persist else None)
+    )
 
 
 _BLOCK_COLS = [f.name for f in BLOCKS_SCHEMA.fields]
