@@ -114,17 +114,21 @@ def _minhash_fast(
 ) -> DataFrame:
     """Vectorized numpy minhash (see minhash_signatures docstring).
 
+    Tokenization happens in the JVM (``tokens_expr`` — whole-stage
+    codegen; provably identical to the pandas regex it replaces, see
+    analysis.py's three-way parity contract), so the Python stage
+    receives a ready Arrow ``list<string>`` column: flat token values and
+    per-doc counts come straight off the ListArray buffers — the pandas
+    per-row ``.str.findall`` pass (the stage's former hot spot) is gone.
+
     Base hash — NO per-shingle Python (round-5 verdict: the per-shingle
     md5 loop was the last interpreted loop on the 100 TB dedup path):
 
-    1. tokenize the Arrow batch with pandas vectorized ``.str`` ops;
-    2. md5-hash only the batch's DISTINCT TOKENS (token vocabulary ≪
-       occurrences — unlike the shingle vocabulary, which round-3
-       measurement showed is ~70 % of occurrences) and gather per
-       occurrence through ``pd.factorize`` codes (C hash table — NOT
-       ``np.unique``, whose object-string sort costs more than the md5
-       loop it replaces; measured in tools/minhash_ab.py);
-    3. shingle hash = degree-(k−1) polynomial of the k token hashes in
+    1. ``pyarrow.compute.dictionary_encode`` the batch's flat tokens (C
+       hash table — replaces ``pd.factorize``) and md5 only the DISTINCT
+       TOKENS (token vocabulary ≪ occurrences), gathered per occurrence
+       through the dictionary codes;
+    2. shingle hash = degree-(k−1) polynomial of the k token hashes in
        uint64 wraparound (``h·P + next``, P odd ⇒ position-sensitive and
        bijective per step) — k vectorized multiply-adds over the whole
        batch, windows never crossing doc boundaries by construction of
@@ -137,7 +141,7 @@ def _minhash_fast(
     """
     import hashlib
 
-    from ..analysis import _PY_TOKEN_RE
+    from ..analysis import tokens_expr
 
     out_schema = T.StructType(
         [df.schema[key_col]]
@@ -148,19 +152,28 @@ def _minhash_fast(
     Bc = rs.randint(0, 2**62, size=n_hashes).astype(np.uint64)
 
     def run(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         old_err = np.seterr(over="ignore")
         for batch in batches:
-            keys = batch[key_col].tolist()
-            toks = batch[text_col].fillna("").str.lower().str.findall(_PY_TOKEN_RE)
-            n_tok = toks.str.len().to_numpy(np.int64)
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            toks = batch.column("_toks")
+            list_offs = np.frombuffer(
+                toks.buffers()[1], dtype=np.int32
+            )[toks.offset : toks.offset + n_rows + 1].astype(np.int64)
+            n_tok = np.diff(list_offs)
+            flat_toks = toks.values[list_offs[0] : list_offs[-1]]
             n_sh = np.maximum(n_tok - (shingle_k - 1), 0)
             bounds = np.concatenate(([0], np.cumsum(n_sh)))
             total = int(bounds[-1])
-            out = {key_col: keys}
             nonempty = n_sh > 0
             if total:
-                flat = toks.explode().dropna()
-                codes, vocab = pd.factorize(flat.to_numpy(), sort=False)
+                dec = pc.dictionary_encode(flat_toks)
+                codes = dec.indices.to_numpy()
+                vocab = dec.dictionary.to_pylist()
                 vh = np.fromiter(
                     (
                         int.from_bytes(hashlib.md5(v.encode()).digest()[:8], "big")
@@ -172,7 +185,7 @@ def _minhash_fast(
                 th = vh[codes]  # per-occurrence token hash (gather)
                 # global token index of each shingle's first token
                 tb = np.concatenate(([0], np.cumsum(n_tok)))
-                doc_of = np.repeat(np.arange(len(keys)), n_sh)
+                doc_of = np.repeat(np.arange(n_rows), n_sh)
                 starts = tb[doc_of] + (np.arange(total) - bounds[doc_of])
                 sh = np.zeros(total, dtype=np.uint64)
                 for j in range(shingle_k):
@@ -181,20 +194,26 @@ def _minhash_fast(
             else:
                 flat = np.empty(0, dtype=np.uint64)
             sh_starts = bounds[:-1]
+            cols = [batch.column(key_col)]
+            null_mask = ~nonempty
             for i in range(n_hashes):
                 derived = A[i] * flat + Bc[i]  # uint64 wraparound
-                col = pd.array(
-                    np.zeros(len(keys), dtype=np.int64), dtype="Int64"
-                )
+                col = np.zeros(n_rows, dtype=np.int64)
                 if nonempty.any():
                     red = np.minimum.reduceat(derived, sh_starts[nonempty])
                     col[nonempty] = red.view(np.int64)
-                col[~nonempty] = pd.NA
-                out[f"mh_{i}"] = col
-            yield pd.DataFrame(out)
+                cols.append(pa.array(col, pa.int64(), mask=null_mask))
+            yield pa.RecordBatch.from_arrays(
+                cols, names=[key_col] + [f"mh_{i}" for i in range(n_hashes)]
+            )
         np.seterr(**old_err)
 
-    return df.select(key_col, text_col).mapInPandas(run, out_schema)
+    return df.select(
+        key_col,
+        F.coalesce(tokens_expr(text_col), F.array().cast("array<string>")).alias(
+            "_toks"
+        ),
+    ).mapInArrow(run, out_schema)
 
 
 _PAIR_MIX = 0x9E3779B97F4A7C15  # odd multiplier for the grid residue mix

@@ -612,3 +612,61 @@ def test_training_ops_plan_shapes(spark):
     p2 = plan(ngram_counts(df, "text", n=2, k=3))
     assert p2.count("Exchange hashpartitioning") == 1
     assert "EvalPython" not in p2
+
+
+def test_minhash_fast_exact_vs_python_twin(spark):
+    """The Arrow-native fast minhash must be BIT-identical to a pure
+    Python re-derivation (tokenize via py_tokenize, md5 base hash,
+    polynomial shingle combine, affine families) — pins the r7 rewrite
+    (JVM tokenize + dictionary_encode replacing pandas findall/factorize)."""
+    import hashlib
+
+    import numpy as np
+
+    from rabbit_index_ingest_spark.analysis import py_tokenize
+    from rabbit_index_ingest_spark.operators.dedup import (
+        SEED_MINHASH,
+        _SHINGLE_P,
+        minhash_signatures,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "",
+        "one two",  # < shingle_k tokens -> null signature
+        "Café Naïve 東京 résumé emoji 😀 Ωmega mix 3 14",
+        "a a a a a a",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    n_hashes, k = 6, 3
+    got = {
+        r["doc_id"]: [r[f"mh_{i}"] for i in range(n_hashes)]
+        for r in minhash_signatures(df, n_hashes=n_hashes, shingle_k=k).collect()
+    }
+    rs = np.random.RandomState(SEED_MINHASH)
+    A = (rs.randint(0, 2**62, size=n_hashes).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    Bc = rs.randint(0, 2**62, size=n_hashes).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(texts):
+            toks = py_tokenize(t)
+            if len(toks) < k:
+                assert got[i] == [None] * n_hashes
+                continue
+            th = np.array(
+                [
+                    int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                    for w in toks
+                ],
+                dtype=np.uint64,
+            )
+            sh = np.zeros(len(toks) - k + 1, dtype=np.uint64)
+            for j in range(k):
+                sh = sh * _SHINGLE_P + th[j : j + len(sh)]
+            want = [
+                int(np.int64((A[h] * sh + Bc[h]).min().view(np.int64)))
+                for h in range(n_hashes)
+            ]
+            assert got[i] == want, f"doc {i}"
