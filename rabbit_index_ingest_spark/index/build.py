@@ -45,7 +45,14 @@ from ..analysis import tokens_expr
 from . import codec
 
 # Docs per BMW scoring range; blocks never span a range boundary.
-RANGE_BITS = 16
+# 13 (8192 docs/range) — the per-range scorers' parallelism unit: at 16
+# a 210k-doc corpus had FOUR ranges, so every positional/blockmax stage
+# ran on 4 of 32 cores (guide §2.5 "stage sits at 4/32"); 13 measured
+# ~2× on the hot positional queries (phrase 1.12→0.76 s, near
+# 1.64→0.77 s) while 11 over-fragments (block-count blowup: 518k vs
+# 171k blocks). Persisted in corpus_stats; load() rejects a store built
+# with a different value.
+RANGE_BITS = 13
 
 N_TERM_BUCKETS = 64  # storage partition count for term-pruned scans
 
@@ -697,9 +704,10 @@ def build_index_prenumbered(
     # follow the index's setting instead of sampling blocks (a sampled
     # probe made the merged format nondeterministic on a mixed index)
     corpus_stats = spark.createDataFrame(
-        [(n_docs, avgdl, total_tokens, next_doc_id, positions, analyzer)],
+        [(n_docs, avgdl, total_tokens, next_doc_id, positions, analyzer,
+          range_bits)],
         "n_docs long, avgdl double, total_tokens long, next_doc_id long,"
-        " positions boolean, analyzer string",
+        " positions boolean, analyzer string, range_bits long",
     )
 
     return BuiltIndex(
@@ -909,9 +917,10 @@ def build_index_multifield_prenumbered(
     total_default = next(r[3] for r in fs_rows if r[0] == default_field)
     avgdl = (total_default / n_docs) if n_docs else 0.0
     corpus_stats = spark.createDataFrame(
-        [(n_docs, avgdl, total_default, next_doc_id, positions, analyzer)],
+        [(n_docs, avgdl, total_default, next_doc_id, positions, analyzer,
+          range_bits)],
         "n_docs long, avgdl double, total_tokens long, next_doc_id long,"
-        " positions boolean, analyzer string",
+        " positions boolean, analyzer string, range_bits long",
     )
     return BuiltIndex(
         docs=docs,

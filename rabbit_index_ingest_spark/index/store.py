@@ -43,7 +43,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .build import BuiltIndex, build_index
+from .build import RANGE_BITS, BuiltIndex, build_index
+
+# range layout of stores written before the range_bits stats column
+# existed (rounds 1-6 used 16; the column makes the layout explicit)
+_LEGACY_RANGE_BITS = 16
+_DEFAULT_RANGE_BITS = RANGE_BITS
 
 # physical tables; doc_stats is a logical projection of docs (see save())
 TABLES = ("corpus_stats", "dictionary", "postings", "docs")
@@ -411,6 +416,14 @@ class IndexStore:
                     [row["analyzer"] if "analyzer" in row else "simple"],
                     pa.string(),
                 ),
+                "range_bits": pa.array(
+                    [
+                        row["range_bits"]
+                        if "range_bits" in row
+                        else _DEFAULT_RANGE_BITS
+                    ],
+                    pa.int64(),
+                ),
             }
         )
         path = self._path("corpus_stats", segment)
@@ -496,7 +509,7 @@ class IndexStore:
             doc_stats = self.spark.read.parquet(self._path("docs", segment))
         doc_stats = doc_stats.select("doc_id", "dl")
         range_long = (
-            doc_stats.groupBy(F.shiftright("doc_id", 16).alias("key"))
+            doc_stats.groupBy(F.shiftright("doc_id", RANGE_BITS).alias("key"))
             .agg(
                 F.count("*").alias("turns_tokenized"),
                 F.sum("dl").alias("tokens_total"),
@@ -798,7 +811,32 @@ class IndexStore:
         has_an_col = "analyzer" in stats_df.columns
         if has_an_col:
             aggs.append(F.max("analyzer").alias("an"))
+        has_rb_col = "range_bits" in stats_df.columns
+        if has_rb_col:
+            aggs.append(F.min("range_bits").alias("rb_min"))
+            aggs.append(F.max("range_bits").alias("rb_max"))
         corpus = stats_df.agg(*aggs).collect()[0]
+        # range layout guard: every scorer derives doc ranges from the
+        # CODE constant (the frozen bench constructs Searcher with the
+        # default), so a store whose persisted range_bits differs would
+        # silently mis-score — fail loud and name the fix instead
+        rb = (
+            int(corpus["rb_min"])
+            if has_rb_col and corpus["rb_min"] is not None
+            else _LEGACY_RANGE_BITS
+        )
+        rb_max = (
+            int(corpus["rb_max"])
+            if has_rb_col and corpus["rb_max"] is not None
+            else _LEGACY_RANGE_BITS
+        )
+        if rb != rb_max or rb != RANGE_BITS:
+            raise ValueError(
+                f"index at {self.root!r} was built with range_bits="
+                f"{rb if rb == rb_max else (rb, rb_max)} but this engine "
+                f"build uses {RANGE_BITS}; rebuild the index (or compact "
+                "with the current code) before querying"
+            )
         n_docs = int(corpus["n_docs"])
         avgdl = (int(corpus["tt"]) / n_docs) if n_docs else 0.0
         # null-safe: on a mixed-schema store (pre-flag segments) min()
