@@ -2187,10 +2187,13 @@ class Searcher:
           [, "max_expansions": m][, "boost": w]}}``,
           ``{"wildcard": {"value": pat[, "boost": w]}}``,
           ``{"regexp": {"value": pat[, "boost": w]}}`` — the multi-term
-          kinds at their ES-inside-bool default rewrite
-          (``constant_score_blended`` ranks like constant score here):
-          every doc matching ANY expansion scores 1.0·boost. The
-          standalone ``topk_fuzzy`` keeps the scored BM25 rewrite.
+          kinds rendered as constant score: every doc matching ANY
+          expansion scores 1.0·boost. DOCUMENTED DEVIATION (round-6
+          ADVICE): ES's default fuzzy rewrite inside bool is
+          ``top_terms_blended_freqs``, which produces blended BM25-like
+          scores, not a constant — callers needing scored expansion
+          ranking should use the standalone ``topk_fuzzy`` (scored BM25
+          rewrite via ``_topk_expanded``) instead of a bool clause.
 
         Each clause is ONE independent decode + aggregation over its own
         term-pruned block scan (scale shape identical to
@@ -4184,10 +4187,18 @@ class Searcher:
         keys = [self._attr_col(attrs, c) for c in cols]
         matched = self._matched_docs(query_text)
         if matched is None:
+            # typed per metric fn: value_count is BIGINT on the matched
+            # path (F.count), every other metric DOUBLE — the two
+            # branches must return the same schema (round-6 ADVICE)
+            empty_lits = [
+                (F.lit(0).cast("long") if fn == "value_count" else F.lit(0.0))
+                .alias(n)
+                for n, fn, _ in metrics
+            ]
             return attrs.select(
                 *[k.alias(c) for k, c in zip(keys, cols)],
                 F.lit(0).cast("long").alias("doc_count"),
-                *[F.lit(0.0).alias(n) for n, _, _ in metrics],
+                *empty_lits,
             ).limit(0)
         joined = matched.join(attrs, "doc_id", "inner")
         for k in keys:

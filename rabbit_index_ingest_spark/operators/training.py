@@ -23,10 +23,16 @@ rabbit_indexer/, stops at index ingest):
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..analysis import tokens_expr
+
+# at most one live pack_sequences cache per driver thread (see
+# pack_sequences; the pattern is dedup._GROUPS_CACHE's)
+_PACK_CACHE = threading.local()
 
 # sampling hashes the first 8 md5 hex chars — 16^8 buckets; md5 is the
 # one keyed hash Spark and DuckDB both evaluate identically, and the
@@ -57,12 +63,17 @@ def stratified_sample(
     ``substr(md5(key || '-' || salt), 1, 8) < threshold(stratum rate)``.
 
     ``rates`` maps stratum value → keep-rate; rows in unlisted strata
-    (or with a NULL stratum) use ``default_rate``. The predicate is a
-    pure column expression — Catalyst pushes it into the scan, nothing
-    shuffles, and membership is independent of partitioning and rerun
-    (unlike ``DataFrame.sample``/``sampleBy``, whose output moves with
-    the partition layout). The effective rate converges to the nominal
-    one at 1/16^8 granularity (md5 is uniform on the 8-hex prefix)."""
+    (or with a NULL stratum) use ``default_rate``. Rows with a NULL
+    ``key_col`` are DROPPED (contract, round-6 ADVICE: concat_ws skips
+    NULLs, so all NULL-key rows would otherwise hash identically and be
+    kept/dropped as one block, diverging from the SQL twin whose
+    ``key || '-salt'`` is NULL and never below the threshold). The
+    predicate is a pure column expression — Catalyst pushes it into the
+    scan, nothing shuffles, and membership is independent of
+    partitioning and rerun (unlike ``DataFrame.sample``/``sampleBy``,
+    whose output moves with the partition layout). The effective rate
+    converges to the nominal one at 1/16^8 granularity (md5 is uniform
+    on the 8-hex prefix)."""
     thr_expr = F.lit(_rate_threshold(default_rate))
     for value, rate in sorted(rates.items()):
         thr_expr = F.when(
@@ -72,7 +83,7 @@ def stratified_sample(
         F.md5(F.concat_ws("-", F.col(key_col).cast("string"),
                           F.lit(str(salt)))), 1, 8
     )
-    return df.where(h < thr_expr)
+    return df.where(F.col(key_col).isNotNull() & (h < thr_expr))
 
 
 def ngram_counts(
@@ -137,20 +148,34 @@ def pack_sequences(
     base = df.select(
         F.col(key_col).alias("key"),
         F.col(len_col).cast("long").alias("len"),
-    )
+    ).where(F.col("len").isNotNull())  # round-6 ADVICE: a NULL length
+    # would poison the per-partition total (sum → NULL → TypeError) while
+    # silently contributing 0 to every later doc's offset — drop up front
     if partitions is not None:
         base = base.repartitionByRange(partitions, "key")
     else:
         base = base.repartitionByRange("key")
     part = base.withColumn("_pid", F.spark_partition_id())
+    # the persist is LOAD-BEARING: the range partitioner samples, so an
+    # evicted+recomputed frame could land rows in different partitions
+    # between the totals job and the output join. Cache hygiene follows
+    # dedup._GROUPS_CACHE: at most ONE live pack cache per driver thread
+    # — entering a new call unpersists the same thread's previous frame
+    # (round-6 ADVICE: repeated calls leaked executor cache forever).
+    mine = getattr(_PACK_CACHE, "frames", None)
+    if mine is None:
+        mine = _PACK_CACHE.frames = []
+    while mine:
+        mine.pop().unpersist()
     part = part.persist()
+    mine.append(part)
     totals = (
         part.groupBy("_pid").agg(F.sum("len").alias("_tot")).collect()
     )
     offs, acc = {}, 0
     for r in sorted(totals, key=lambda r: r["_pid"]):
         offs[r["_pid"]] = acc
-        acc += int(r["_tot"])
+        acc += int(r["_tot"] or 0)
     off_df = F.broadcast(
         spark.createDataFrame(
             [(p, o) for p, o in offs.items()] or [(0, 0)],
