@@ -2669,6 +2669,16 @@ class Searcher:
         rarest = min(uniq, key=lambda t: meta[t][0])
         if len(uniq) < 2:
             return rarest, None, None
+        if meta[rarest][0] > max(1, self.n_docs // 2):
+            # non-selective guard (r7): when even the RAREST term matches
+            # over half the corpus, the prefilter removes < half of the
+            # other terms' rows but still costs an eager decode job, a
+            # broadcast and per-term semi-joins — measured net-negative
+            # on the hot×hot worst case (interleaved A/B at sf0.1:
+            # phrase_df 1.68→1.19 s, near_df 1.91→1.53 s median without
+            # it). Lossless to skip: the prefilter only ever removes
+            # rows that cannot match.
+            return rarest, None, None
 
         def term_blocks(t: str) -> DataFrame:
             return self.postings.where(

@@ -686,3 +686,32 @@ def test_phrase_scored_fast_equals_dataframe_full_set(spark, corpus):
     # absent-term phrase: both report unmatchable
     assert searcher._phrase_scored("zephyr qzxnope") is None
     assert searcher._phrase_scored_fast("zephyr qzxnope") is None
+
+
+def test_prefilter_skipped_for_nonselective_rarest(spark):
+    """r7 guard: a phrase whose RAREST term matches > half the corpus
+    must skip the broadcast prefilter (pure overhead there), while a
+    selective rarest term keeps it — results identical either way."""
+    import pandas as pd
+
+    rows = []
+    for j in range(120):
+        text = "alpha beta " + ("rareword " if j == 7 else "") + "w%d" % j
+        rows.append(("c%03d" % j, 0, text))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    built = build_index(spark, spark.createDataFrame(pdf))
+    s = Searcher(
+        spark, built.postings, built.dictionary, built.n_docs, built.avgdl
+    )
+    uniq = ["alpha", "beta"]
+    meta = s._term_meta(uniq + ["rareword"])
+    assert meta["alpha"][0] > s.n_docs // 2  # fixture: both terms hot
+    _, pre, rng = s._rare_prefilter(uniq, meta)
+    assert pre is None and rng is None
+    _, pre2, rng2 = s._rare_prefilter(sorted(["alpha", "rareword"]), meta)
+    assert pre2 is not None and rng2 is not None
+    want = _py_phrase_topk(pdf, "alpha beta", 10)
+    _assert_topk_equal(
+        s.topk_phrase_dataframe("alpha beta", 10).collect(), want, 10
+    )
+    built.release()
