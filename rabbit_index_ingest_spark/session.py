@@ -76,11 +76,29 @@ def get_spark(
     shuffle = shuffle_partitions or int(
         os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
     )
+    # AQE: OFF by default, opt back in with SPARK_GRAFT_AQE=1 (or
+    # extra_conf). AQE's value is runtime re-planning when the static plan
+    # mis-sizes shuffles (unknown data sizes, skewed joins, post-filter
+    # explosions). This engine sizes every shuffle explicitly from the
+    # data (callers derive spark.sql.shuffle.partitions from input volume,
+    # the pack shuffle passes an explicit partition count, storage writes
+    # repartition by their layout columns, skew is handled structurally —
+    # doc-range salts in the build, the 3-tier LSH bucket split, grid
+    # cells), so AQE has nothing left to fix — what remains is its cost:
+    # each Exchange becomes a stage-materialization barrier with a driver
+    # re-planning round, which on short interactive queries is pure
+    # latency AT ANY CLUSTER SIZE (a search engine does not re-plan per
+    # shard hop; cf. guide §1.2 — config after algorithm). Interleaved
+    # A/B on this box (same plans, AQE on→off): q_bmw_hot 0.61→0.33 s,
+    # q_bmw_mix 0.79→0.37 s, bool_query 3.4→2.0 s, build_core
+    # 6.1→4.7 s, save 2.9→2.1 s, dedup neutral. Pipelines with genuinely
+    # unpredictable shuffle sizes should re-enable it per session.
+    aqe = "true" if os.environ.get("SPARK_GRAFT_AQE") else "false"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cores_s}]")
         .config("spark.sql.shuffle.partitions", str(shuffle))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
