@@ -422,14 +422,18 @@ def lsh_candidate_pairs(
     the post-aggregation groups frame is persisted inside
     ``_bucketed_pairs`` for its small/hot split).
     """
+    # Band key: xxhash64 over (band index, the band's signature slots) —
+    # an 8-byte long, not an md5 hex STRING (32 chars ≈ 5x the key bytes
+    # on the banding shuffle). Any injective-enough digest yields the
+    # SAME bucket equivalence classes (docs collide iff their slot tuples
+    # are equal), so candidate pairs are unchanged; multi-column xxhash64
+    # is unambiguous without a separator. A cross-band collision cannot
+    # conflate bands because the band index is hashed in.
     band_structs = F.array(
         *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.lit(str(b)),
-                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
-                )
+            F.xxhash64(
+                F.lit(b),
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
             )
             for b in range(n_bands)
         ]
