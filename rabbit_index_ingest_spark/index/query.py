@@ -419,6 +419,66 @@ class Searcher:
     def _term_dfs(self, terms: list[str]) -> dict[str, int]:
         return {t: m[0] for t, m in self._term_meta(terms).items()}
 
+    def _scorer_partitions(
+        self, meta: dict[str, tuple[int, int, int]] | None
+    ) -> int:
+        """Task count for a range-grouped scorer stage, sized from the
+        QUERIED TERMS' block count (df is already in hand from the
+        dictionary) instead of the session-wide shuffle setting.
+
+        The session's ``spark.sql.shuffle.partitions`` is sized for the
+        BUILD's occurrence volume; a query's scorer stage only carries the
+        query terms' posting blocks — often orders of magnitude less. Each
+        scorer task has a fixed cost (Arrow stream setup, Python worker
+        round trip), so running a rare-term query through hundreds of
+        near-empty tasks is pure overhead — measured: hot-term scorers at
+        sf0.1 are ~25-35% faster at 16-26 tasks than at the session's 64,
+        and at 2 pinned cores a 256-task stage inflated q_p95 4x. AQE's
+        partition coalescing used to paper over this at the price of a
+        driver re-plan round per query (see session.py); deriving the
+        count from the dictionary stats is exact, free, and works at any
+        scale. Bounds: a task should carry at least ~64 blocks before
+        extra slots pay for themselves, at most ~512 before losing
+        parallelism; never exceed the session setting (the data-sized
+        global ceiling) nor the corpus's RANGE COUNT (more tasks than
+        ranges can only produce empty ones — the group key has at most
+        ~n_docs/2^range_bits distinct values). ``meta=None`` (expansion
+        paths, where per-term df is not in hand) falls back to the range
+        count alone — for the early-terminating constant-score scorer the
+        per-range work is O(k), so task count IS the cost there."""
+        nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        n_ranges = max(1, -(-max(self.n_docs, 1) // (1 << self.range_bits)))
+        if meta is None:
+            return max(1, min(nparts, n_ranges))
+        est = sum(
+            -(-m[0] // codec.BLOCK_SIZE) for m in meta.values() if m[0] > 0
+        )
+        if est <= 0:
+            return 1
+        dp = self.spark.sparkContext.defaultParallelism
+        want = max(-(-est // 512), min(dp, -(-est // 64)))
+        return max(1, min(nparts, n_ranges, want))
+
+    def _group_by_range(
+        self,
+        sel: DataFrame,
+        side: DataFrame | None,
+        meta: dict[str, tuple[int, int, int]] | None,
+    ):
+        """(left, side) groupings for a per-range scorer: both inputs are
+        explicitly repartitioned by ``range_id`` to the data-sized task
+        count (``_scorer_partitions``), which the following
+        ``groupBy("range_id")`` reuses (hash partitioning on the group key
+        satisfies the grouped/cogrouped distribution requirement — ONE
+        exchange, exactly as before, at the right width). Per-range
+        results are partition-assignment-independent, so scores, ranks
+        and the blocks_skipped accumulator are unchanged."""
+        n = self._scorer_partitions(meta)
+        left = sel.repartition(n, F.col("range_id")).groupBy("range_id")
+        if side is None:
+            return left, None
+        return left, side.repartition(n, F.col("range_id")).groupBy("range_id")
+
     def _plan(
         self, query_text: str
     ) -> tuple[dict[str, float], DataFrame, dict[str, tuple[int, int, int]]] | None:
@@ -720,6 +780,9 @@ class Searcher:
             else self._seed_theta0(idfs, meta, blocks, k)
         )
         side = self._side_frame(allowed, excluded)
+        grouped, side_g = self._group_by_range(
+            blocks.select(*_SCORE_COLS), side, meta
+        )
         if side is not None:
             # tombstones/filters at scale: cogroup each doc-range's blocks
             # with its side rows — neither set ever leaves the cluster
@@ -729,22 +792,13 @@ class Searcher:
                 cogrouped=True, skip_acc=skip_acc, theta0=theta0,
                 allowed_present=allowed is not None,
             )
-            local = (
-                blocks.select(*_SCORE_COLS)
-                .groupBy("range_id")
-                .cogroup(side.groupBy("range_id"))
-                .applyInPandas(scorer, TOPK_SCHEMA)
-            )
+            local = grouped.cogroup(side_g).applyInPandas(scorer, TOPK_SCHEMA)
         else:
             scorer = _make_range_scorer(
                 idfs, self.avgdl, k, self.range_bits, self.deleted,
                 skip_acc=skip_acc, theta0=theta0,
             )
-            local = (
-                blocks.select(*_SCORE_COLS)
-                .groupBy("range_id")
-                .applyInPandas(scorer, TOPK_SCHEMA)
-            )
+            local = grouped.applyInPandas(scorer, TOPK_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def topk_dismax(
@@ -789,9 +843,11 @@ class Searcher:
             allowed_present=allowed is not None,
             tie_breaker=float(tie_breaker),
         )
-        grouped = blocks.select(*_SCORE_COLS).groupBy("range_id")
+        grouped, side_g = self._group_by_range(
+            blocks.select(*_SCORE_COLS), side, meta
+        )
         if side is not None:
-            local = grouped.cogroup(side.groupBy("range_id")).applyInPandas(
+            local = grouped.cogroup(side_g).applyInPandas(
                 scorer, TOPK_SCHEMA
             )
         else:
@@ -963,9 +1019,11 @@ class Searcher:
             allowed_present=allowed is not None, tie_breaker=tb,
             avgdls=avgdls, groups=groups if tb is not None else None,
         )
-        grouped = blocks.select(*_SCORE_COLS).groupBy("range_id")
+        grouped, side_g = self._group_by_range(
+            blocks.select(*_SCORE_COLS), side, meta
+        )
         if side is not None:
-            local = grouped.cogroup(side.groupBy("range_id")).applyInPandas(
+            local = grouped.cogroup(side_g).applyInPandas(
                 scorer, TOPK_SCHEMA
             )
         else:
@@ -1095,9 +1153,11 @@ class Searcher:
             allowed_present=allowed is not None,
             cogrouped=side is not None, skip_acc=skip_acc,
         )
-        grouped = blocks.select(*_SCORE_COLS).groupBy("range_id")
+        grouped, side_g = self._group_by_range(
+            blocks.select(*_SCORE_COLS), side, meta
+        )
         if side is not None:
-            local = grouped.cogroup(side.groupBy("range_id")).applyInPandas(
+            local = grouped.cogroup(side_g).applyInPandas(
                 scorer, TOPK_SCHEMA
             )
         else:
@@ -1186,9 +1246,11 @@ class Searcher:
             allowed_present=allowed is not None,
             cogrouped=side is not None, skip_acc=skip_acc,
         )
-        grouped = blocks.select(*_SCORE_COLS).groupBy("range_id")
+        grouped, side_g = self._group_by_range(
+            blocks.select(*_SCORE_COLS), side, meta
+        )
         if side is not None:
-            local = grouped.cogroup(side.groupBy("range_id")).applyInPandas(
+            local = grouped.cogroup(side_g).applyInPandas(
                 scorer, TOPK_SCHEMA
             )
         else:
@@ -1374,9 +1436,14 @@ class Searcher:
             allowed_present=allowed is not None,
             cogrouped=side is not None, skip_acc=skip_acc,
         )
-        grouped = blocks.select(*_SCORE_COLS).groupBy("range_id")
+        # expansion terms carry no df (expand_* return terms only) —
+        # meta=None sizes by range count, the right bound for this
+        # early-terminating O(k)-per-range scorer
+        grouped, side_g = self._group_by_range(
+            blocks.select(*_SCORE_COLS), side, None
+        )
         if side is not None:
-            local = grouped.cogroup(side.groupBy("range_id")).applyInPandas(
+            local = grouped.cogroup(side_g).applyInPandas(
                 scorer, TOPK_SCHEMA
             )
         else:
@@ -1729,9 +1796,11 @@ class Searcher:
             self.deleted, allowed_present=allowed is not None,
             cogrouped=side is not None, skip_acc=skip_acc,
         )
-        grouped = blocks.select(*_SCORE_COLS, "pos_bytes").groupBy("range_id")
+        grouped, side_g = self._group_by_range(
+            blocks.select(*_SCORE_COLS, "pos_bytes"), side, meta
+        )
         if side is not None:
-            local = grouped.cogroup(side.groupBy("range_id")).applyInPandas(
+            local = grouped.cogroup(side_g).applyInPandas(
                 scorer, TOPK_SCHEMA
             )
         else:
@@ -1946,9 +2015,11 @@ class Searcher:
                 self.deleted, allowed_present=allowed is not None,
                 cogrouped=side is not None, skip_acc=skip_acc,
             )
-        grouped = blocks.select(*_SCORE_COLS, "pos_bytes").groupBy("range_id")
+        grouped, side_g = self._group_by_range(
+            blocks.select(*_SCORE_COLS, "pos_bytes"), side, meta
+        )
         if side is not None:
-            local = grouped.cogroup(side.groupBy("range_id")).applyInPandas(
+            local = grouped.cogroup(side_g).applyInPandas(
                 scorer, TOPK_SCHEMA
             )
         else:
@@ -2138,9 +2209,11 @@ class Searcher:
             order, offsets, self.deleted,
             cogrouped=side is not None,
         )
-        grouped = blocks.select(*_SCORE_COLS, "pos_bytes").groupBy("range_id")
+        grouped, side_g = self._group_by_range(
+            blocks.select(*_SCORE_COLS, "pos_bytes"), side, meta
+        )
         if side is not None:
-            return grouped.cogroup(side.groupBy("range_id")).applyInPandas(
+            return grouped.cogroup(side_g).applyInPandas(
                 scorer, TOPK_SCHEMA
             )
         return grouped.applyInPandas(scorer, TOPK_SCHEMA)
@@ -2811,9 +2884,11 @@ class Searcher:
             cogrouped=side is not None, skip_acc=skip_acc, theta0=theta0,
             allowed_present=allowed is not None, cursor=after,
         )
-        grouped = blocks.select(*_SCORE_COLS).groupBy("range_id")
+        grouped, side_g = self._group_by_range(
+            blocks.select(*_SCORE_COLS), side, meta
+        )
         if side is not None:
-            local = grouped.cogroup(side.groupBy("range_id")).applyInPandas(
+            local = grouped.cogroup(side_g).applyInPandas(
                 scorer, TOPK_SCHEMA
             )
         else:
@@ -5138,9 +5213,11 @@ class Searcher:
             self.deleted, allowed_present=allowed is not None,
             cogrouped=side is not None, skip_acc=skip_acc,
         )
-        grouped = blocks.select(*_SCORE_COLS, "pos_bytes").groupBy("range_id")
+        grouped, side_g = self._group_by_range(
+            blocks.select(*_SCORE_COLS, "pos_bytes"), side, meta
+        )
         if side is not None:
-            local = grouped.cogroup(side.groupBy("range_id")).applyInPandas(
+            local = grouped.cogroup(side_g).applyInPandas(
                 scorer, TOPK_SCHEMA
             )
         else:
@@ -5196,9 +5273,11 @@ class Searcher:
             self.deleted, allowed_present=allowed is not None,
             cogrouped=side is not None, skip_acc=skip_acc,
         )
-        grouped = blocks.select(*_SCORE_COLS, "pos_bytes").groupBy("range_id")
+        grouped, side_g = self._group_by_range(
+            blocks.select(*_SCORE_COLS, "pos_bytes"), side, meta
+        )
         if side is not None:
-            local = grouped.cogroup(side.groupBy("range_id")).applyInPandas(
+            local = grouped.cogroup(side_g).applyInPandas(
                 scorer, TOPK_SCHEMA
             )
         else:
