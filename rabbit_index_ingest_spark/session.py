@@ -76,24 +76,27 @@ def get_spark(
     shuffle = shuffle_partitions or int(
         os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
     )
-    # AQE: OFF by default, opt back in with SPARK_GRAFT_AQE=1 (or
-    # extra_conf). AQE's value is runtime re-planning when the static plan
-    # mis-sizes shuffles (unknown data sizes, skewed joins, post-filter
-    # explosions). This engine sizes every shuffle explicitly from the
-    # data (callers derive spark.sql.shuffle.partitions from input volume,
-    # the pack shuffle passes an explicit partition count, storage writes
-    # repartition by their layout columns, skew is handled structurally —
-    # doc-range salts in the build, the 3-tier LSH bucket split, grid
-    # cells), so AQE has nothing left to fix — what remains is its cost:
-    # each Exchange becomes a stage-materialization barrier with a driver
-    # re-planning round, which on short interactive queries is pure
-    # latency AT ANY CLUSTER SIZE (a search engine does not re-plan per
-    # shard hop; cf. guide §1.2 — config after algorithm). Interleaved
-    # A/B on this box (same plans, AQE on→off): q_bmw_hot 0.61→0.33 s,
-    # q_bmw_mix 0.79→0.37 s, bool_query 3.4→2.0 s, build_core
-    # 6.1→4.7 s, save 2.9→2.1 s, dedup neutral. Pipelines with genuinely
-    # unpredictable shuffle sizes should re-enable it per session.
-    aqe = "true" if os.environ.get("SPARK_GRAFT_AQE") else "false"
+    # AQE: ON by default (Spark's own default), opt out per session with
+    # SPARK_GRAFT_AQE=0. An off-by-default experiment mid-round-7 looked
+    # attractive at sf0.1/local[32] (short queries save a driver re-plan
+    # round per Exchange; scorer stages are explicitly data-sized by
+    # Searcher._scorer_partitions so coalescing has little left to do
+    # there) — but it was a CONFIG WIN TUNED TO THE SMALL CORPUS, exactly
+    # the trap the optimization guide warns about: at the scaling corpus
+    # (8.4 M turns, 256 build-sized shuffle partitions) the 8-core pinned
+    # build read 182/182 s with AQE on vs 469/394 s off in interleaved
+    # back-to-back reps — 2.2–2.6×, reproducible — because the build's
+    # rollup/aggregation stages rely on AQE's partition coalescing to
+    # right-size their post-shuffle side at every data:core ratio. The
+    # structural pieces of that experiment survive on their own: scorer
+    # stages repartition to a dictionary-derived width (query.py), and
+    # IndexStore.save forces AQE on for its writes even when a session
+    # opted out.
+    aqe = (
+        "false"
+        if os.environ.get("SPARK_GRAFT_AQE", "").lower() in ("0", "false")
+        else "true"
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cores_s}]")

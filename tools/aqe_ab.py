@@ -49,9 +49,9 @@ spark.stop()
 
 def run_rep(aqe: bool) -> dict:
     env = dict(os.environ)
-    env.pop("SPARK_GRAFT_AQE", None)
-    if aqe:
-        env["SPARK_GRAFT_AQE"] = "1"
+    # set the knob EXPLICITLY for both arms (the session default is on;
+    # an unset variable would make the "off" arm identical to "on")
+    env["SPARK_GRAFT_AQE"] = "1" if aqe else "0"
     p = subprocess.run(
         [sys.executable, "-c", CHILD % {"repo": REPO}],
         capture_output=True, text=True, env=env, cwd=REPO,

@@ -1,10 +1,11 @@
 """Interleaved A/B: the FULL query family with AQE on vs off.
 
-The AQE-off default (session.py) was justified with an A/B over the
-block-max scorer paths, build and save only; this harness covers what
-that one missed — the decode-everything DataFrame twins and the
-bool/query_string combine, which shuffle through the session-wide
-partition count and relied on AQE's coalescing.
+Built to audit the (since-reverted) AQE-off session default, which had
+been justified with an A/B over the block-max scorer paths, build and
+save only; this harness covers the decode-everything DataFrame twins and
+the bool/query_string combine too. Verdict at sf0.1/32 cores: a wash —
+the decision between defaults is made by the SCALING-size build A/B
+(session.py comment), not by this query-side one.
 
 Each arm is a fresh subprocess (fresh JVM): build+save once into a shared
 store dir, then each rep loads the store and times every query min-of-3
@@ -81,9 +82,9 @@ spark.stop()
 
 def run_rep(aqe: bool) -> dict:
     env = dict(os.environ)
-    env.pop("SPARK_GRAFT_AQE", None)
-    if aqe:
-        env["SPARK_GRAFT_AQE"] = "1"
+    # set the knob EXPLICITLY for both arms (the session default is on;
+    # an unset variable would make the "off" arm identical to "on")
+    env["SPARK_GRAFT_AQE"] = "1" if aqe else "0"
     p = subprocess.run(
         [sys.executable, "-c", CHILD % {"repo": REPO, "store": STORE}],
         capture_output=True, text=True, env=env, cwd=REPO,
